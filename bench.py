@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a full materialization (count of a
+write-free action) after a shared-session warmup; value = total
+wall-clock over the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # reference-parity dataflows
+    "rle_event_runs",
+    "status_downtime_totals",
+    "minute_status_rollup",
+    "latest_status_per_user",
+    "rollover_production_totals",
+    "session_stats",
+    # relational shapes
+    "q1_pricing_summary",
+    "q3_unshipped_orders",
+    "q5_region_revenue",
+    "order_priority_counts",
+    # training-data surface
+    "dedup_exact_docs",
+    "doc_token_stats",
+    "minhash_lsh_buckets",
+    "neardup_candidate_pairs",
+    "knn_bruteforce_top5",
+    "lsh_neardup_embeddings",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+    from machine_downtime_monitor_on_aws_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # warmup: touch each table once so JVM/codegen startup isn't billed
+    # to the first query
+    from machine_downtime_monitor_on_aws_spark.tables import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
+    qs = catalog.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Text-analysis column expressions (training-data-pipeline surface).
+
+All pure built-ins (split/transform/md5/length) so they run JVM-side
+and reproduce bit-identically in any engine that implements standard
+MD5 + IEEE arithmetic - which is what lets every one of these carry a
+DuckDB oracle. Whitespace tokenization is the shared primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small shared stopword list used by quality scoring (order matters
+# nowhere; membership only).
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; empty/blank text -> empty array (both
+    Spark and DuckDB split '' into [''])."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text)
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+
+
+def non_space_chars(text: Column) -> Column:
+    return F.length(F.replace(text, F.lit(" "), F.lit("")))
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingles; docs with < n tokens get a single
+    whole-text shingle (degenerate but well-defined, and identical in
+    the oracle - note Spark's sequence(1,0) DESCENDS, so the guard is
+    mandatory)."""
+    toks = tokens(text)
+    n_sh = F.size(toks) - F.lit(n - 1)
+    make = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(n_sh >= 1, make).otherwise(F.array(F.trim(text)))
+
+
+def minhash_signature(shingle_col: Column, num_perms: int) -> Column:
+    """MinHash signature as an array of hex-min strings.
+
+    Permutation k is realized as ``md5(k || ':' || shingle)``; the
+    signature element is the lexicographic min over shingles. Plain
+    strings (not parsed ints) keep it engine-portable: md5 hex and
+    string min are universal.
+    """
+    def perm_min(k: int) -> Column:
+        prefix = f"{k}:"
+        return F.array_min(
+            F.transform(shingle_col, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[perm_min(k) for k in range(num_perms)])
+
+
+def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH band hashes: md5 of each band's concatenated signature
+    rows. Returns array<string> of length num_bands."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )

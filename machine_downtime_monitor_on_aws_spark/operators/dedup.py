@@ -1,0 +1,172 @@
+"""Deduplication operators for large-scale document corpora.
+
+Extension surface per BASELINE.json's north star: exact dedup,
+MinHash+LSH near-dup, n-gram Jaccard verification, SimHash. Designed
+scale-first:
+
+- exact dedup is a hash groupBy on a digest, never on the full text
+  (shuffling 100 TB of text bodies vs 32-byte digests);
+- MinHash+LSH turns the O(n^2) pair problem into an equi-join on
+  (band, band_hash) buckets - the canonical shuffle-friendly
+  formulation; skewed buckets (boilerplate dups) are handled by AQE
+  skew-join splitting;
+- Jaccard verification runs only on LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import band_hashes, minhash_signature, shingles, tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """One row per distinct text: representative (min) id, dup count,
+    content digest. Shuffles 32-byte md5 keys, not documents."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the min-id representative of each text (U2 upsert/dedupe
+    shape generalized)."""
+    w_hash = F.md5(F.col(text_col))
+    reps = (
+        df.select(F.col(id_col).alias("__rid"), w_hash.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("__rid").alias("__keep"))
+    )
+    return (
+        df.withColumn("__h", w_hash)
+        .join(reps, "__h")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__h", "__keep")
+    )
+
+
+def minhash_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = 8,
+    num_bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH bucket assignments.
+
+    num_perms/num_bands tune the Jaccard threshold curve
+    (~ (1/bands)^(bands/perms)); defaults target ~0.5.
+    """
+    if num_perms % num_bands != 0:
+        raise ValueError("num_perms must be divisible by num_bands")
+    rows = num_perms // num_bands
+
+    # Explode to (doc_id, shingle) rows first: adjacent projections
+    # collapse in Catalyst, so building the signature as one nested
+    # expression would re-tokenize the document once per permutation.
+    # The explode forces shingles to be computed exactly once; each
+    # shingle row then hashes K times, and an element-wise min
+    # aggregation (one shuffle on doc_id, map-side partials) builds
+    # the signature. This is also the 100 TB formulation: shingle rows
+    # parallelize across executors regardless of document sizes.
+    sh_rows = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+    )
+    hashed = sh_rows.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{k}:"), F.col("s"))).alias(f"h{k}")
+            for k in range(num_perms)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{k}").alias(f"m{k}") for k in range(num_perms)]
+    )
+    band_cols = []
+    for b in range(num_bands):
+        parts = [F.col(f"m{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)))
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+    )
+
+
+def candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any LSH bucket - the
+    equi-join that replaces the all-pairs cross product."""
+    a = buckets.select(
+        F.col("band_id"), F.col("band_hash"), F.col("doc_id").alias("doc_a")
+    )
+    b = buckets.select(
+        F.col("band_id"), F.col("band_hash"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs; keeps pairs with
+    similarity >= threshold. Joins shingle sets (arrays) only for
+    candidates - the expensive set ops never touch non-candidates."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    pa = pairs.join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sh", "sh_a"), "doc_a")
+    pab = pa.join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sh", "sh_b"), "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pab.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens using xxhash64
+    (Spark-native; rows-only correctness check - xxhash64 isn't
+    portable to the oracle).
+
+    bit b of the fingerprint = sign of sum over tokens of
+    (+1 if token_hash bit b else -1).
+    """
+    toks = tokens(F.col(text_col))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_vote(b: int):
+        mask = F.shiftleft(F.lit(1).cast("long"), b)
+        votes = F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, mask).otherwise(F.lit(0).cast("long"))
+
+    bit_cols = [bit_vote(b) for b in range(64)]
+    fp = bit_cols[0]
+    for c in bit_cols[1:]:
+        fp = fp.bitwiseOR(c)
+    return df.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))

@@ -1,0 +1,68 @@
+"""Latest-value-per-key (arg-max) and change detection.
+
+Re-expresses the reference's UI-reference maintenance
+(``source/lambda/filter-kinesis-stream/index.ts:146-191``): per batch,
+messages are sorted by event timestamp (index.ts:166, comparator
+:347-351) and the last status per machine is kept; a mutation is
+emitted only when the status actually changed or the machine is new
+(index.ts:177-186).
+
+Spark-first: ``max_by(status, (ts, tie))`` is order-insensitive, so
+no sort is needed at all - a single hash aggregation with map-side
+partials. Change-only emission is a join against the prior snapshot
+(batch) or ``outputMode("update")`` (streaming, see
+streaming/change_feed.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    order_col: str | None = None,
+) -> DataFrame:
+    """One row per key: each value col at the maximal (ts, order) row,
+    plus the timestamp itself.
+
+    ``order_col`` breaks timestamp ties deterministically (the
+    reference's stable sort keeps arrival order; index.ts:347-351).
+    """
+    tie = F.col(order_col) if order_col else F.lit(0)
+    ord_key = F.struct(F.col(ts_col), tie)
+    aggs = [F.max_by(F.col(v), ord_key).alias(v) for v in value_cols]
+    aggs.append(F.max(F.col(ts_col)).alias(ts_col))
+    return df.groupBy(*[F.col(k) for k in key_cols]).agg(*aggs)
+
+
+def changed_rows(
+    current: DataFrame,
+    prior: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Rows of ``current`` whose value differs from ``prior`` (or are
+    new) - the change feed (index.ts:177-186).
+
+    Left join on key; keep where prior value is null or differs.
+    ``prior`` (a latest-snapshot) is small relative to the stream -
+    broadcast when it fits; at scale both sides are snapshots keyed
+    the same way so the join co-partitions.
+    """
+    p = prior.select(
+        *[F.col(k) for k in key_cols],
+        F.col(value_col).alias("__prior_value"),
+    )
+    return (
+        current.join(p, key_cols, "left")
+        .filter(
+            F.col("__prior_value").isNull()
+            | (F.col(value_col) != F.col("__prior_value"))
+        )
+        .drop("__prior_value")
+    )

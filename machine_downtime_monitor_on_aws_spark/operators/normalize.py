@@ -1,0 +1,188 @@
+"""Envelope decode + config-driven dynamic-schema parse (S2/P1/P2/D2).
+
+The reference probes each incoming record against N MESSAGE_FORMAT
+configs until one matches
+(``source/lambda/filter-kinesis-stream/machine-data-parser.ts:105-149``).
+A record matches a format iff:
+
+- the configured messages key exists and is an array (:108-110);
+- EVERY message has non-null, non-blank alias/quality/value/timestamp
+  under the configured key names (:113-132);
+- every timestamp parses strictly under the format's pattern
+  (:134-137);
+- every alias splits into >= 2 tokens on the format's delimiter
+  (:139-144).
+
+Unmatched records are rejected and skipped, one bad record never
+kills the batch (:52-55; ``index.ts:86-90``).
+
+Spark-first realization: key names are *data*, so the parse plan is
+built per-format at plan-build time. We parse the payload once into a
+VARIANT (semi-structured, Spark 4 native), then evaluate each
+format's validity predicate and extraction over that variant with
+pure built-ins (``try_variant_get`` / ``forall`` / ``transform`` /
+``try_to_timestamp``). First matching format wins via ``coalesce`` -
+the reference's ``formats.find(...)`` probe order. No Python UDFs:
+everything stays JVM-side and whole-stage-codegen'd, and corrupt
+records become NULLs that we route to a rejects output instead of
+exceptions (T10).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import MessageFormat
+from ..functions.alias import alias_machine_id, alias_tag, alias_token_count
+
+# canonical normalized message schema (long/narrow table, SURVEY.md SS1.1)
+NORMALIZED_COLUMNS = (
+    "machine_id",
+    "tag",
+    "alias",
+    "value",
+    "quality",
+    "event_ts",
+    "event_epoch",
+    "format_id",
+)
+
+
+def decode_payload(df: DataFrame, data_col: str = "data", base64_encoded: bool = True) -> DataFrame:
+    """base64 -> utf8 JSON string (machine-data-parser.ts:42-50).
+
+    Invalid base64/JSON surfaces later as a NULL variant, not an
+    exception.
+    """
+    payload = F.col(data_col)
+    if base64_encoded:
+        payload = F.unbase64(payload).cast("string")
+    return df.withColumn("__json", payload)
+
+
+def _non_blank(c: Column) -> Column:
+    return c.isNotNull() & (F.trim(c) != F.lit(""))
+
+
+def _msg_field(msg: Column, key: str) -> Column:
+    # try_variant_get renders any JSON scalar as its string form
+    # (100 -> '100', true -> 'true'), matching the reference's
+    # `${value}` stringification (index.ts:322, convert_parquet.py:131)
+    return F.try_variant_get(msg, f"$.{_json_path_escape(key)}", "string")
+
+
+def _json_path_escape(key: str) -> str:
+    # config key names are simple identifiers in practice; guard the
+    # path syntax anyway
+    if re.fullmatch(r"[A-Za-z0-9_]+", key):
+        return key
+    return f"['{key}']"
+
+
+def _format_candidate(v: Column, fmt: MessageFormat) -> tuple[Column, Column]:
+    """(valid?, extracted messages array) for one format config."""
+    msgs = F.try_variant_get(v, f"$.{_json_path_escape(fmt.messages_key)}", "array<variant>")
+
+    def msg_valid(m: Column) -> Column:
+        alias = _msg_field(m, fmt.alias_key)
+        ts = F.try_to_timestamp(_msg_field(m, fmt.timestamp_key), F.lit(fmt.timestamp_format))
+        return (
+            _non_blank(alias)
+            & _non_blank(_msg_field(m, fmt.quality_key))
+            & _non_blank(_msg_field(m, fmt.value_key))
+            & _non_blank(_msg_field(m, fmt.timestamp_key))
+            & ts.isNotNull()
+            & (alias_token_count(alias, fmt.alias_delimiter) >= 2)
+        )
+
+    valid = msgs.isNotNull() & (F.size(msgs) >= 0) & F.forall(msgs, msg_valid)
+
+    def msg_extract(m: Column) -> Column:
+        alias = _msg_field(m, fmt.alias_key)
+        ts = F.try_to_timestamp(_msg_field(m, fmt.timestamp_key), F.lit(fmt.timestamp_format))
+        return F.struct(
+            alias_machine_id(alias, fmt.alias_delimiter).alias("machine_id"),
+            alias_tag(alias, fmt.alias_delimiter).alias("tag"),
+            alias.alias("alias"),
+            _msg_field(m, fmt.value_key).alias("value"),
+            _msg_field(m, fmt.quality_key).alias("quality"),
+            ts.alias("event_ts"),
+            # epoch seconds, floor - moment .unix() (machine-data-parser.ts:78)
+            ts.cast("long").alias("event_epoch"),
+        )
+
+    return valid, F.transform(msgs, msg_extract)
+
+
+def parse_envelopes(
+    df: DataFrame,
+    formats: list[MessageFormat],
+    data_col: str = "data",
+    base64_encoded: bool = True,
+) -> DataFrame:
+    """Record-level parse: adds ``format_id`` (matched format or NULL)
+    and ``messages`` (array of normalized structs). Does not explode;
+    rejected records have NULL format_id (route with
+    :func:`split_rejects`)."""
+    if not formats:
+        raise ValueError("at least one MessageFormat required")
+    dec = decode_payload(df, data_col, base64_encoded)
+    v = F.try_parse_json(F.col("__json"))
+    dec = dec.withColumn("__v", v)
+
+    valid_exprs: list[Column] = []
+    msg_exprs: list[Column] = []
+    for fmt in formats:
+        fmt.validate()
+        ok, msgs = _format_candidate(F.col("__v"), fmt)
+        valid_exprs.append(F.when(ok, F.lit(fmt.id)))
+        msg_exprs.append(F.when(ok, msgs))
+
+    return (
+        dec.withColumn("format_id", F.coalesce(*valid_exprs, F.lit(None).cast("string")))
+        .withColumn("messages", F.coalesce(*msg_exprs))
+        .drop("__json", "__v")
+    )
+
+
+def split_rejects(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(matched, rejected) record DataFrames (T10 error isolation)."""
+    return (
+        parsed.filter(F.col("format_id").isNotNull()),
+        parsed.filter(F.col("format_id").isNull()),
+    )
+
+
+def explode_messages(parsed: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
+    """Matched records -> one row per tag message (D2,
+    convert_parquet.py:187), normalized long schema."""
+    keep = [F.col(c) for c in (keep_cols or [])]
+    matched = parsed.filter(F.col("format_id").isNotNull())
+    ex = matched.select(*keep, F.col("format_id"), F.explode("messages").alias("m"))
+    return ex.select(
+        *keep,
+        F.col("m.machine_id").alias("machine_id"),
+        F.col("m.tag").alias("tag"),
+        F.col("m.alias").alias("alias"),
+        F.col("m.value").alias("value"),
+        F.col("m.quality").alias("quality"),
+        F.col("m.event_ts").alias("event_ts"),
+        F.col("m.event_epoch").alias("event_epoch"),
+        F.col("format_id"),
+    )
+
+
+def normalize_stream(
+    df: DataFrame,
+    formats: list[MessageFormat],
+    data_col: str = "data",
+    base64_encoded: bool = True,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """decode -> probe formats -> explode: the full S2/P1/P2/D2 chain."""
+    return explode_messages(
+        parse_envelopes(df, formats, data_col, base64_encoded), keep_cols
+    )

@@ -1,0 +1,361 @@
+"""Domain queries: the reference's dataflows re-expressed over the
+driver's ``events`` table (TESTDATA.md SS8: ``events`` stands in for
+``real_time_data`` / ``raw_envelopes`` at bench scale).
+
+Mapping of the events schema onto the machine-monitoring domain:
+``user_id`` ≙ machine id, ``ts`` ≙ event timestamp, ``event_type`` ≙
+raw status value, ``value`` ≙ production counter. Status
+classification (P4) maps ``error -> DOWN``, ``signup -> IDLE``,
+everything else ``-> UP``.
+
+Every query pins UTC and uses engine-stable output types (bigint
+epochs, decimals) so the DuckDB oracle hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import STATUS_DOWN, STATUS_IDLE, STATUS_UP
+from ..operators.latest import latest_by_key
+from ..operators.minute_rollup import minute_status_rollup
+from ..operators.rle import run_durations, state_durations
+from ..operators.rollover import rollover_total
+from ..operators.sessionize import session_stats
+from ..operators.topk import top_k_per_group
+from ..session import pin_utc
+from ..tables import load_table
+from .catalog import register
+
+# single shared status-mapping expression (P4 over events); built
+# lazily - Column construction needs an active SparkContext
+def _status_expr():
+    return (
+        F.when(F.col("event_type") == "error", STATUS_DOWN)
+        .when(F.col("event_type") == "signup", STATUS_IDLE)
+        .otherwise(STATUS_UP)
+    )
+
+_STATUS_SQL = (
+    "CASE WHEN event_type = 'error' THEN 'DOWN' "
+    "WHEN event_type = 'signup' THEN 'IDLE' ELSE 'UP' END"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_utc(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "rle_event_runs",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), cps AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM ordered
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS BIGINT) AS duration_seconds
+FROM cps
+WHERE next_ts IS NOT NULL
+""",
+)
+def rle_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/W3/J3/J4: run-length encoding + run durations.
+
+    The reference computes this with a GLOBAL row_number + two
+    self-joins (create-quicksight.ts:12-49); we use per-key lag/lead
+    windows (operators/rle.py) - one shuffle on user_id, fully
+    parallel at 100 TB. Open-ended final runs dropped, matching the
+    reference's WHERE (create-quicksight.ts:45-48).
+    """
+    ev = _events(spark, sf_dir)
+    runs = run_durations(
+        ev, ["user_id"], ["ts", "event_id"], "event_type", "ts"
+    )
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("start_epoch"),
+        F.col("duration_seconds"),
+    )
+
+
+@register(
+    "status_downtime_totals",
+    oracle=f"""
+WITH mapped AS (
+  SELECT user_id, ts, event_id, {_STATUS_SQL} AS status FROM events
+), ordered AS (
+  SELECT user_id, status, ts, event_id, lag(status) OVER w AS prev
+  FROM mapped WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), cps AS (
+  SELECT user_id, status, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM ordered WHERE prev IS NULL OR status <> prev
+), runs AS (
+  SELECT user_id, status,
+         CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS BIGINT) AS duration_seconds
+  FROM cps WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       CAST(sum(duration_seconds) AS BIGINT) AS total_down_seconds,
+       count(*) AS n_down_runs
+FROM runs WHERE status = 'DOWN'
+GROUP BY user_id
+""",
+)
+def status_downtime_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BI downtime dataset (A9/J5): classify -> RLE -> DOWN runs
+    -> per-machine downtime totals (create-quicksight.ts:12-49,
+    151-189; the reference's config join doubles as the DOWN filter).
+    """
+    ev = _events(spark, sf_dir).withColumn("status", _status_expr())
+    runs = run_durations(ev, ["user_id"], ["ts", "event_id"], "status", "ts")
+    return (
+        runs.filter(F.col("status") == STATUS_DOWN)
+        .groupBy("user_id")
+        .agg(
+            F.sum("duration_seconds").cast("long").alias("total_down_seconds"),
+            F.count(F.lit(1)).alias("n_down_runs"),
+        )
+    )
+
+
+@register(
+    "state_durations_enriched",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id, lag(event_type) OVER w AS prev
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), cps AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM ordered WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS DECIMAL(18,6)) AS duration_seconds_d,
+       CAST(CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS DECIMAL(18,6)) / 60 AS DECIMAL(18,6)) AS duration_minutes,
+       CAST(CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS DECIMAL(18,6)) / 3600 AS DECIMAL(18,6)) AS duration_hours
+FROM cps WHERE next_ts IS NOT NULL
+""",
+)
+def state_durations_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-shaped duration projection: seconds/minutes/hours as
+    DECIMAL (create-quicksight.ts:42-44,125-127)."""
+    ev = _events(spark, sf_dir)
+    runs = state_durations(ev, ["user_id"], ["ts", "event_id"], "event_type", "ts")
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("start_epoch"),
+        F.col("duration_seconds").cast("decimal(18,6)").alias("duration_seconds_d"),
+        "duration_minutes",
+        "duration_hours",
+    )
+
+
+@register(
+    "minute_status_rollup",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, date_trunc('minute', ts) AS m, ts, event_id,
+         {_STATUS_SQL} AS status
+  FROM events
+), r AS (
+  SELECT user_id, m, status,
+         row_number() OVER (PARTITION BY user_id, m ORDER BY ts DESC, event_id DESC) AS rn,
+         max(CASE WHEN status = 'DOWN' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id, m) AS any_down
+  FROM s
+)
+SELECT user_id, CAST(floor(epoch(m)) AS BIGINT) AS minute_epoch,
+       CASE WHEN any_down = 1 THEN 'DOWN' ELSE status END AS status
+FROM r WHERE rn = 1
+""",
+)
+def minute_status_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W4: DOWN-dominant per-minute status rollup
+    (machine-detail.ts:31-45): latest status in the minute wins unless
+    any DOWN occurred. ``max_by`` alone is wrong - golden semantics
+    from machine-detail.spec.ts:271-276."""
+    ev = _events(spark, sf_dir).withColumn("status", _status_expr())
+    rolled = minute_status_rollup(
+        ev, id_col="user_id", ts_col="ts", status_col="status", order_col="event_id"
+    )
+    return rolled.select(
+        F.col("id").alias("user_id"),
+        F.col("minute_start").cast("long").alias("minute_epoch"),
+        "status",
+    )
+
+
+@register(
+    "latest_status_per_user",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, {_STATUS_SQL} AS status FROM events
+), r AS (
+  SELECT user_id, status, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM s
+)
+SELECT user_id, status, CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch
+FROM r WHERE rn = 1
+""",
+)
+def latest_status_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/T2: latest-status-per-machine materialized view
+    (index.ts:146-191). Order-insensitive ``max_by`` - no sort, one
+    hash agg with map-side partials (strictly better than the
+    reference's per-batch sort, SURVEY.md T5)."""
+    ev = _events(spark, sf_dir).withColumn("status", _status_expr())
+    latest = latest_by_key(
+        ev, ["user_id"], "ts", ["status"], order_col="event_id"
+    )
+    return latest.select(
+        "user_id", "status", F.col("ts").cast("long").alias("last_epoch")
+    )
+
+
+@register(
+    "rollover_production_totals",
+    oracle="""
+WITH pc AS (
+  SELECT user_id, ts, event_id, CAST(value AS DECIMAL(18,2)) AS cnt
+  FROM events WHERE event_type = 'purchase'
+), flagged AS (
+  SELECT user_id, cnt, ts, event_id,
+         CASE WHEN lag(cnt) OVER w IS NOT NULL AND cnt < lag(cnt) OVER w
+              THEN 1 ELSE 0 END AS is_reset
+  FROM pc WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, cnt,
+         sum(is_reset) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reset_session
+  FROM flagged
+), per_session AS (
+  SELECT user_id, reset_session, max(cnt) AS session_max
+  FROM sessions GROUP BY user_id, reset_session
+)
+SELECT user_id, CAST(sum(session_max) AS DECIMAL(28,2)) AS total_production
+FROM per_session GROUP BY user_id
+""",
+)
+def rollover_production_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/D4: counter-rollover-aware totals (MachineDetail.tsx:99-119)
+    as pure window composition (operators/rollover.py) - no stateful
+    UDAF, no driver loop. ``purchase`` events play the production
+    counter; DECIMAL casts make sums engine-exact."""
+    ev = _events(spark, sf_dir)
+    pc = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "cnt", F.col("value").cast("decimal(18,2)")
+    )
+    totals = rollover_total(pc, ["user_id"], ["ts", "event_id"], "cnt")
+    return totals.select(
+        "user_id",
+        F.col("total_production").cast("decimal(28,2)").alias("total_production"),
+    )
+
+
+@register(
+    "session_stats",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(min(floor(epoch(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(max(floor(epoch(ts))) AS BIGINT) AS session_end_epoch,
+       CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS session_duration_seconds,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+)
+def session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30 min) - extension operator
+    (operators/sessionize.py); lag + running-sum windows, one shuffle.
+    """
+    ev = _events(spark, sf_dir)
+    # session gap on whole-second epochs so the oracle matches exactly
+    ev = ev.withColumn("ts_sec", F.col("ts").cast("long").cast("timestamp"))
+    stats = session_stats(
+        ev, ["user_id"], "ts_sec", 1800, order_cols=["ts", "event_id"]
+    )
+    return stats.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start_epoch",
+        "session_end_epoch",
+        "session_duration_seconds",
+        "n_events",
+    )
+
+
+@register(
+    "top3_purchases_per_user",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, CAST(value AS DECIMAL(18,2)) AS amount,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id) AS rnk
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id, amount, CAST(rnk AS INT) AS rnk
+FROM p WHERE rnk <= 3
+""",
+)
+def top3_purchases_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (extension, SURVEY.md SS2.6 notes the reference
+    has none): window row_number + filter (operators/topk.py)."""
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").withColumn(
+        "amount", F.col("value").cast("decimal(18,2)")
+    )
+    top = top_k_per_group(
+        p, ["user_id"], [F.col("amount").desc(), F.col("event_id").asc()], 3
+    )
+    return top.select("user_id", "event_id", "amount", F.col("rnk").cast("int").alias("rnk"))
+
+
+@register(
+    "event_type_minute_counts",
+    oracle="""
+SELECT event_type, CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_epoch,
+       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+FROM events GROUP BY event_type, minute_epoch
+""",
+)
+def event_type_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (T8/W4) in batch form: per-type
+    per-minute counts and value sums."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).cast("long").alias("minute_epoch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(28,2)")
+            .alias("total_value"),
+        )
+    )

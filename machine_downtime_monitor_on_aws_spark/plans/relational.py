@@ -1,0 +1,269 @@
+"""Relational query surface over the TPC-H-ish star schema.
+
+The reference's query surface is narrow (hard-coded dataflows); a
+user switching to this engine gets the full Spark SQL relational
+surface. These queries pin the shapes that matter at 100 TB:
+map-side-combined aggregations, broadcast dimension joins, semi/anti
+joins, distinct aggs.
+
+Engine-exact arithmetic: every money column is a 2-decimal value
+stored as double, so ``CAST(x AS DECIMAL(18,2))`` is exact in both
+engines. Intermediate products are re-cast to fixed scales that the
+true values fit exactly (2dp x 2dp = 4dp, etc.), keeping both
+engines' decimal-propagation rules under precision 38 with zero
+rounding - results are bit-identical regardless of aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import pin_utc
+from ..tables import load_table
+from .catalog import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_utc(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def _m2(col: str) -> Column:
+    """Exact 2-dp money cast."""
+    return F.col(col).cast("decimal(18,2)")
+
+
+def _disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact at 4 dp."""
+    one_minus = (F.lit(1) - _m2("l_discount")).cast("decimal(18,2)")
+    return (_m2("l_extendedprice") * one_minus).cast("decimal(18,4)")
+
+
+_DISC_PRICE_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS DECIMAL(18,4))"
+)
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(sum({_DISC_PRICE_SQL}) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(sum(CAST({_DISC_PRICE_SQL} * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> 2-key
+    hash agg with map-side partials - a single shuffle of
+    pre-aggregated partials, the canonical 100 TB-safe aggregation.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    one_plus_tax = (F.lit(1) + _m2("l_tax")).cast("decimal(18,2)")
+    charge = (_disc_price() * one_plus_tax).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_m2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(_m2("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_unshipped_orders",
+    oracle=f"""
+SELECT l.l_orderkey,
+       CAST(sum({_DISC_PRICE_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DECIMAL(38,4)) AS revenue,
+       CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, orderdate_epoch, o.o_orderpriority
+""",
+)
+def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension (customer) broadcast into
+    the fact join; revenue as exact decimal."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(
+            o.join(F.broadcast(c), c.c_custkey == o.o_custkey, "inner"),
+            li.l_orderkey == o.o_orderkey,
+            "inner",
+        )
+        .groupBy(
+            li.l_orderkey.alias("l_orderkey"),
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate_epoch", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(sum({_DISC_PRICE_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DECIMAL(38,4)) AS revenue
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; all dimensions broadcast, the
+    fact table never shuffles until the final agg. The local-supplier
+    predicate (s_nationkey = c_nationkey) rides the supplier join."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(s),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 450000)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (the reference's new-machine detection J2 shape,
+    index.ts:53-56): LEFT ANTI - no NOT-IN null traps. The filter on
+    the right side (high-value orders) keeps the result non-trivial
+    at every scale factor."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "supplier_part_counts",
+    oracle="""
+SELECT s.s_name, n.n_name,
+       count(DISTINCT l.l_partkey) AS n_parts,
+       count(*) AS n_lineitems,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY s.s_name, n.n_name
+""",
+)
+def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-agg + broadcast dims (extension; reference has no
+    distinct aggregates, SURVEY.md SS2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(_m2("l_quantity")).cast("decimal(38,2)").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "order_priority_counts",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o.o_orderpriority
+""",
+)
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS as LEFT SEMI join + agg."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(
+            o.select(F.col("o_orderkey").alias("ok"), "o_orderdate"),
+            li.l_orderkey == F.col("ok"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("ok")
+        .distinct()
+    )
+    return (
+        o.join(late, o.o_orderkey == late.ok, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "part_type_stats",
+    oracle="""
+SELECT p_brand, p_type,
+       count(*) AS n_parts,
+       CAST(min(p_size) AS INT) AS min_size,
+       CAST(max(p_size) AS INT) AS max_size,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_retail
+FROM part GROUP BY p_brand, p_type
+""",
+)
+def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-agg rollup over the part dimension."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_size").cast("int").alias("min_size"),
+        F.max("p_size").cast("int").alias("max_size"),
+        F.sum(_m2("p_retailprice")).cast("decimal(38,2)").alias("total_retail"),
+    )

@@ -1,0 +1,281 @@
+"""Text-analysis and dedup queries over the ``documents`` table.
+
+Training-data-pipeline surface (BASELINE.json north star): exact
+dedup, MinHash+LSH near-dup candidates, n-gram Jaccard verification,
+token/quality/language statistics, fingerprinting. Each query's
+oracle reproduces the computation in DuckDB exactly: md5 hex and
+whitespace tokenization are engine-portable primitives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    distinct_token_count,
+    non_space_chars,
+    shingles,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from ..operators.dedup import (
+    candidate_pairs,
+    exact_dedup_groups,
+    jaccard_verified_pairs,
+    minhash_lsh_buckets,
+    simhash64,
+)
+from ..session import pin_utc
+from ..tables import load_table
+from .catalog import register
+
+_NUM_PERMS = 8
+_NUM_BANDS = 4
+_ROWS_PER_BAND = _NUM_PERMS // _NUM_BANDS
+_SHINGLE_N = 5
+
+# ---- shared DuckDB SQL fragments (kept in lockstep with functions/text.py)
+
+_TOKENS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+_SHINGLES_SQL = f"""
+CASE WHEN len({_TOKENS_SQL}) >= {_SHINGLE_N}
+     THEN list_transform(
+            generate_series(1, len({_TOKENS_SQL}) - {_SHINGLE_N - 1}),
+            i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + {_SHINGLE_N - 1}), ' '))
+     ELSE [trim(text)] END
+"""
+
+_SIG_ELEM_SQL = (
+    "list_aggregate(list_transform(sh, s -> md5('{k}:' || s)), 'min')"
+)
+
+_STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_utc(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the md5 digest (shuffles 32-byte
+    keys, not text bodies - the 100 TB-safe formulation)."""
+    return exact_dedup_groups(_docs(spark, sf_dir), "doc_id", "text").select(
+        "text_hash", "doc_id", "n_dups"
+    )
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
+       CAST(len(list_distinct({_TOKENS_SQL})) AS INT) AS n_distinct_tokens,
+       CAST(length(replace(text, ' ', '')) AS INT) AS n_non_space_chars,
+       CAST(length(text) AS INT) AS n_chars_text
+FROM documents
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): per-doc token /
+    distinct-token / char counts - all JVM built-ins, no UDF."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).cast("int").alias("n_tokens"),
+        distinct_token_count(t).cast("int").alias("n_distinct_tokens"),
+        non_space_chars(t).cast("int").alias("n_non_space_chars"),
+        F.length(t).cast("int").alias("n_chars_text"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens,
+       CAST(len(list_filter({_TOKENS_SQL}, x -> x IN {_STOPWORDS_SQL})) AS INT) AS n_stopwords,
+       CAST(len(list_filter({_TOKENS_SQL}, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+         / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS stopword_ratio,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS avg_token_len,
+       CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+         / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS distinct_ratio
+FROM documents WHERE len({_TOKENS_SQL}) > 0
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, average token length,
+    lexical-diversity ratio. Single-division doubles of identical
+    integer operands - engine-exact."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_tok = token_count(t)
+    n_stop = stopword_count(t)
+    return (
+        d.filter(n_tok > 0)
+        .select(
+            "doc_id",
+            n_tok.cast("int").alias("n_tokens"),
+            n_stop.cast("int").alias("n_stopwords"),
+            (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+            (non_space_chars(t).cast("double") / n_tok.cast("double")).alias(
+                "avg_token_len"
+            ),
+            (
+                distinct_token_count(t).cast("double") / n_tok.cast("double")
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
+@register(
+    "lang_source_stats",
+    oracle="""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang, source
+""",
+)
+def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by (lang, source)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+WITH sh_t AS (SELECT doc_id, text, {_SHINGLES_SQL} AS sh FROM documents)
+SELECT doc_id, md5(text) AS content_md5,
+       list_aggregate(list_transform(sh, s -> md5(s)), 'min') AS shingle_min_hash
+FROM sh_t
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content digest + min-hash over
+    5-gram shingles (a 1-permutation MinHash - the rolling-hash
+    fingerprint family)."""
+    d = _docs(spark, sf_dir)
+    sh = shingles(F.col("text"), _SHINGLE_N)
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_md5"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("shingle_min_hash"),
+    )
+
+
+def _bucket_sql() -> str:
+    sig_elems = ", ".join(
+        _SIG_ELEM_SQL.format(k=k) for k in range(_NUM_PERMS)
+    )
+    band_exprs = []
+    for b in range(_NUM_BANDS):
+        parts = " || '|' || ".join(
+            f"sig[{b * _ROWS_PER_BAND + r + 1}]" for r in range(_ROWS_PER_BAND)
+        )
+        band_exprs.append(f"STRUCT_PACK(band_id := {b}, band_hash := md5({parts}))")
+    return f"""
+WITH sh_t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+sig_t AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh_t),
+bands AS (SELECT doc_id, unnest([{", ".join(band_exprs)}]) AS b FROM sig_t)
+SELECT doc_id, CAST(b.band_id AS INT) AS band_id, b.band_hash AS band_hash FROM bands
+"""
+
+
+@register("minhash_lsh_buckets", oracle=_bucket_sql())
+def minhash_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH bucket assignment: shingle -> K-permutation minhash
+    signature -> banded bucket hashes. Permutations are
+    ``md5(k || ':' || shingle)`` string-mins - portable and
+    deterministic."""
+    d = _docs(spark, sf_dir)
+    b = minhash_lsh_buckets(
+        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N
+    )
+    return b.select("doc_id", F.col("band_id").cast("int").alias("band_id"), "band_hash")
+
+
+_PAIR_SQL = f"""
+WITH buckets AS ({_bucket_sql()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+"""
+
+
+@register("neardup_candidate_pairs", oracle=_PAIR_SQL)
+def neardup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: equi-join on (band_id, band_hash), doc_a <
+    doc_b, distinct. The O(n^2) all-pairs problem becomes a bucket
+    join - the scale path for near-dedup at 100 TB."""
+    d = _docs(spark, sf_dir)
+    buckets = minhash_lsh_buckets(
+        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N
+    )
+    return candidate_pairs(buckets)
+
+
+@register(
+    "neardup_jaccard_verified",
+    oracle=f"""
+WITH buckets AS ({_bucket_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+sh_t AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+           / CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+           AS jaccard
+  FROM cand c
+  JOIN sh_t sa ON sa.doc_id = c.doc_a
+  JOIN sh_t sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+""",
+)
+def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification of LSH candidates (candidates only
+    - the exact set ops never touch non-candidate pairs)."""
+    d = _docs(spark, sf_dir)
+    buckets = minhash_lsh_buckets(
+        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N
+    )
+    pairs = candidate_pairs(buckets)
+    return jaccard_verified_pairs(d, pairs, "doc_id", "text", 0.5, _SHINGLE_N)
+
+
+@register("simhash_fingerprints", oracle=None)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (xxhash64-based; Spark-native hash
+    so no SQL oracle - driver runs the rows-only check)."""
+    return simhash64(_docs(spark, sf_dir), "doc_id", "text")

@@ -1,0 +1,166 @@
+"""Similarity-search queries over the ``embeddings`` table.
+
+Dot products are left-to-right double folds - verified bit-identical
+between Spark and DuckDB - so cosine scores, thresholds, and ranks
+hash-match exactly. Sign-LSH hyperplanes are +/-1 literals derived
+from md5 in Python (functions/vectors.py) and embedded into BOTH the
+Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import hyperplanes
+from ..operators.similarity import brute_force_topk, lsh_neardup_pairs
+from ..session import pin_utc
+from ..tables import load_table
+from .catalog import register
+
+_DIM = 64
+_NUM_PLANES = 4
+_N_QUERIES = 10
+_TOPK = 5
+_NEARDUP_THRESHOLD = 0.3
+
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> x*x)))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"({_NORM_SQL.format(a=a)} * {_NORM_SQL.format(a=b)})"
+    )
+
+
+def _planes_sql() -> str:
+    """Hyperplane literals as a DuckDB list-of-lists."""
+    rows = hyperplanes(_NUM_PLANES, _DIM)
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{c}.0" for c in row) + "]" for row in rows
+        )
+        + "]"
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_utc(spark)
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec"), "label"
+    )
+
+
+@register(
+    "knn_bruteforce_top5",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'e.v')} AS cosine_sim
+  FROM q JOIN e ON e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT qid, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOPK}
+""",
+)
+def knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact ANN baseline. Queries
+    (vec_id < 10) broadcast against the corpus; per-query top-k via
+    window - no global sort, deterministic tie-breaks."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    return brute_force_topk(e, q, _TOPK)
+
+
+@register(
+    "lsh_neardup_embeddings",
+    oracle=f"""
+WITH planes AS (SELECT {_planes_sql()} AS ps),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+  SELECT vec_id, v,
+         array_to_string(
+           list_transform((SELECT ps FROM planes),
+                          p -> CASE WHEN {_DOT_SQL.format(a='v', b='p')} >= 0
+                               THEN '1' ELSE '0' END), '') AS bucket
+  FROM e
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       {_cos_sql('a.v', 'c.v')} AS cosine_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {_cos_sql('a.v', 'c.v')} >= {_NEARDUP_THRESHOLD}
+""",
+)
+def lsh_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-dup: hyperplane-sign buckets -> intra-bucket
+    exact cosine >= 0.3. The scale path: bucket equi-join instead of
+    the quadratic cross product (approximate recall by design)."""
+    e = _emb(spark, sf_dir)
+    return lsh_neardup_pairs(e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM)
+
+
+@register(
+    "label_centroid_sums",
+    oracle=f"""
+SELECT label, CAST(j AS INT) AS dim,
+       CAST(sum(CAST(v[j] AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS component_sum,
+       count(*) AS n_vectors
+FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     generate_series(1, {_DIM}) AS t(j)
+GROUP BY label, dim
+""",
+)
+def label_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators: component sums as exact
+    decimals (associative -> engine- and partition-order-independent)
+    plus counts; the centroid is sum/n downstream. posexplode turns
+    the vector into (dim, value) rows - one shuffle on (label, dim).
+    """
+    e = _emb(spark, sf_dir)
+    exploded = e.select(
+        "label", F.posexplode("vec").alias("pos", "component")
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("component").cast("decimal(18,9)").alias("comp_dec"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.sum("comp_dec").cast("decimal(38,9)").alias("component_sum"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT label, count(*) AS n_vectors,
+       CAST(sum(CAST({_NORM_SQL.format(a='v')} AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS norm_sum
+FROM e GROUP BY label
+""",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm accumulators (norm computed as the shared
+    fold, summed as exact decimal)."""
+    from ..functions.vectors import l2_norm
+
+    e = _emb(spark, sf_dir)
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(l2_norm(F.col("vec")).cast("decimal(18,9)"))
+        .cast("decimal(38,9)")
+        .alias("norm_sum"),
+    )

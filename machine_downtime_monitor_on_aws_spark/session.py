@@ -1,0 +1,49 @@
+"""SparkSession construction tuned for both local testing and scale.
+
+The defaults below are chosen for the 100 TB design point and scaled
+down by env vars for local runs:
+
+- AQE on (runtime coalescing, skew-join splitting) so plans self-tune
+  when stats are off at scale.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a real cluster this is overridden (2-3x total cores).
+- Session timezone pinned to UTC so event-time semantics are stable
+  and oracle (DuckDB, TZ-naive) comparisons are exact.
+- Arrow enabled for the Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "machine_downtime_monitor_on_aws_spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_utc(spark: SparkSession) -> SparkSession:
+    """Pin the session TZ to UTC (runtime-settable).
+
+    Every catalog query calls this so results are reproducible even
+    when the caller's session was built with a different TZ.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
