@@ -36,7 +36,11 @@ class MessageFormat:
     pattern syntax (the reference uses moment.js strict patterns; we
     translate the shipped default
     ``YYYY-MM-DD HH:mm:ss.SSSSSSZZ`` ->
-    ``yyyy-MM-dd HH:mm:ss.SSSSSSXX``).
+    ``yyyy-MM-dd HH:mm:ss.SSSSSSXXX``). moment's ZZ accepts both
+    ``+00:00`` and ``+0000``; Java patterns are one-or-the-other, and
+    the reference's own fixtures use the colon form
+    (machine-data-parser.spec.ts:140-147), so XXX is the faithful
+    translation.
     """
 
     id: str = "DEFAULT"
@@ -48,7 +52,7 @@ class MessageFormat:
     value_key: str = "value"
     # default per solution-helper-construct.ts:141-149, translated to
     # Java time pattern (XX = +0000-style offset).
-    timestamp_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSSXX"
+    timestamp_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSSXXX"
 
     def validate(self) -> "MessageFormat":
         # machine-data-parser.ts:151-170: all seven fields non-blank

@@ -1,0 +1,77 @@
+"""BI dimension export + downtime dataset (SURVEY.md SS3.3 steps 1+4).
+
+The reference's nightly ``configuration.py`` scans the config tables
+and hand-builds two CSVs; QuickSight then joins them with the Athena
+duration rows (``create-quicksight.ts:151-189``). Here both
+dimensions are DataFrames and the dataset is a pair of broadcast
+joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import UIReferenceMapping
+from ..functions.alias import id_tokens_at
+
+
+def machine_information(
+    ui_reference: DataFrame, mapping: UIReferenceMapping, delimiter: str = "/"
+) -> DataFrame:
+    """``machine_information(id, machine_name, location, line)``.
+
+    reference: glue-job-scripts/configuration.py:245-283 (header
+    :247); location/line derived from id tokens at configured
+    positions (D3, configuration.py:205-220); display name defaults
+    to the id (F12, configuration.py:259).
+    """
+    machines = ui_reference.filter(F.col("type") == "MACHINE")  # P6
+    return machines.select(
+        F.col("id"),
+        F.coalesce(F.col("name"), F.col("id")).alias("machine_name"),
+        id_tokens_at(F.col("id"), delimiter, mapping.location_indexes()).alias("location"),
+        id_tokens_at(F.col("id"), delimiter, mapping.line_indexes()).alias("line"),
+    )
+
+
+def machine_config_information(machine_config: DataFrame) -> DataFrame:
+    """``machine_config_information(id, status_tag, down_value)`` -
+    one row PER down value (CSV exploded, configuration.py:291-294).
+
+    The explosion is what lets the downtime join double as the
+    DOWN-filter (J5): durations join on value = down_value.
+    """
+    cfgs = machine_config.filter(
+        F.col("status_tag").isNotNull() & F.col("status_down_values").isNotNull()
+    )
+    down = F.explode(
+        F.filter(
+            F.transform(F.split(F.col("status_down_values"), ","), lambda v: F.trim(v)),
+            lambda v: v != "",
+        )
+    ).alias("down_value")
+    return cfgs.select(F.col("id"), F.col("status_tag"), down)
+
+
+def downtime_dataset(
+    durations: DataFrame,
+    config_info: DataFrame,
+    machine_info: DataFrame,
+) -> DataFrame:
+    """J5: durations ⋈ config (id, tag=status_tag, value=down_value) ⋈
+    machine_information (id). The first join IS the DOWN filter - a
+    duration row survives only if its value is one of the machine's
+    configured down values (create-quicksight.ts:151-189).
+
+    Dimensions are tiny -> both joins broadcast; the durations side
+    (the 100 TB fact) never shuffles.
+    """
+    j1 = durations.join(
+        F.broadcast(config_info),
+        (durations["id"] == config_info["id"])
+        & (durations["tag"] == config_info["status_tag"])
+        & (durations["value"] == config_info["down_value"]),
+        "inner",
+    ).drop(config_info["id"])
+    return j1.join(F.broadcast(machine_info), "id", "inner")

