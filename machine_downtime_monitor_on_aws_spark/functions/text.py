@@ -41,6 +41,38 @@ def non_space_chars(text: Column) -> Column:
     return F.length(F.replace(text, F.lit(" "), F.lit("")))
 
 
+# Marker-word tables for the n-gram/stopword language-ID heuristic.
+# Alphabetical language order = deterministic argmax tie-break.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def lang_marker_count(text: Column, lang: str) -> Column:
+    toks = tokens(text)
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: argmax of marker-word counts,
+    alphabetical tie-break, 'unknown' when no marker hits.
+
+    A real deployment swaps the marker table for character-n-gram
+    profiles; the *shape* (per-language score columns -> argmax) is
+    identical and stays a pure column expression.
+    """
+    counts = {lang: lang_marker_count(text, lang) for lang in LANG_MARKERS}
+    best = F.greatest(*counts.values())
+    expr = F.lit("unknown")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when((counts[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
 def shingles(text: Column, n: int = 5) -> Column:
     """Word n-gram shingles; docs with < n tokens get a single
     whole-text shingle (degenerate but well-defined, and identical in

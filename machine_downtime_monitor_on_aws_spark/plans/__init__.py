@@ -5,7 +5,7 @@ from . import catalog  # noqa: F401
 
 def _load_all() -> None:
     # import for registration side effects
-    from . import domain, relational, textops, vectorops  # noqa: F401
+    from . import domain, relational, relational2, textops, vectorops  # noqa: F401
 
 
 _load_all()

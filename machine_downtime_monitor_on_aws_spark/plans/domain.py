@@ -359,3 +359,56 @@ def event_type_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "minute_chart_grid",
+    oracle=f"""
+WITH in_range AS (
+  SELECT user_id, ts, event_id, {_STATUS_SQL} AS status
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-01 02:00:00'
+), ids AS (SELECT DISTINCT user_id FROM in_range),
+grid AS (
+  SELECT user_id, unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                         TIMESTAMP '2024-01-01 01:59:00',
+                                         INTERVAL 1 MINUTE)) AS m
+  FROM ids
+), r AS (
+  SELECT user_id, date_trunc('minute', ts) AS m, status,
+         row_number() OVER (PARTITION BY user_id, date_trunc('minute', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         max(CASE WHEN status = 'DOWN' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, date_trunc('minute', ts)) AS any_down
+  FROM in_range
+), rolled AS (
+  SELECT user_id, m, CASE WHEN any_down = 1 THEN 'DOWN' ELSE status END AS status
+  FROM r WHERE rn = 1
+)
+SELECT g.user_id, CAST(floor(epoch(g.m)) AS BIGINT) AS minute_epoch,
+       coalesce(rolled.status, 'UNKNOWN') AS status
+FROM grid g LEFT JOIN rolled ON rolled.user_id = g.user_id AND rolled.m = g.m
+""",
+)
+def minute_chart_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SS3.2 detail-chart query: minute grid materialized
+    with UNKNOWN-filled empty chunks (J6/W4 + machine-detail.ts:17-25
+    grid semantics) over a fixed 2-hour window."""
+    from ..operators.minute_rollup import minute_chart
+
+    ev = _events(spark, sf_dir).withColumn("status", _status_expr())
+    chart = minute_chart(
+        ev,
+        None,
+        "2024-01-01 00:00:00",
+        "2024-01-01 02:00:00",
+        id_col="user_id",
+        ts_col="ts",
+        status_col="status",
+        order_col="event_id",
+    )
+    return chart.select(
+        F.col("id").alias("user_id"),
+        F.col("minute_start").cast("long").alias("minute_epoch"),
+        "status",
+    )

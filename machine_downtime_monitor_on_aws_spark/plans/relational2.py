@@ -1,0 +1,254 @@
+"""Extended relational surface: pivot, cube, set ops, exact
+percentiles, moving-window frames, as-of and range joins, approximate
+aggregates.
+
+None of these exist in the reference (SURVEY.md notes the gaps in
+SS2.4/SS2.6/SS2.7); they complete the engine's general-purpose
+surface. Oracle-exactness tactics as elsewhere: decimal money,
+bigint epochs, identical interpolation formulas for percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from ..operators.range_join import range_join_window
+from ..session import pin_utc
+from ..tables import load_table
+from .catalog import register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    pin_utc(spark)
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "pivot_event_type_counts",
+    oracle="""
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS click,
+       count(*) FILTER (event_type = 'error') AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup') AS signup,
+       count(*) FILTER (event_type = 'view') AS view
+FROM events GROUP BY user_id
+""",
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (explicit = single pass, no
+    distinct-values pre-query - the scale-safe form)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@register(
+    "orders_status_priority_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping flags (reference has no grouping sets,
+    SURVEY.md SS2.4)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "customer_segment_setops",
+    oracle="""
+WITH building AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     machinery AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+SELECT 'both' AS which, c_nationkey FROM (SELECT * FROM building INTERSECT SELECT * FROM machinery)
+UNION ALL
+SELECT 'building_only' AS which, c_nationkey FROM (SELECT * FROM building EXCEPT SELECT * FROM machinery)
+""",
+)
+def customer_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL in one plan (SURVEY.md SS2.7:
+    absent from the reference, native here)."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    both = building.intersect(machinery).select(
+        F.lit("both").alias("which"), "c_nationkey"
+    )
+    # subtract = EXCEPT DISTINCT (exceptAll is multiset difference and
+    # would keep keys that appear more often in building than machinery)
+    only = building.subtract(machinery).select(
+        F.lit("building_only").alias("which"), "c_nationkey"
+    )
+    return both.unionAll(only)
+
+
+@register(
+    "price_percentiles_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.9) AS p90,
+       quantile_cont(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def price_percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation - Spark `percentile`
+    and DuckDB `quantile_cont` share the formula, so doubles match
+    bit-for-bit). The approximate variant for 100 TB is
+    approx_percentiles_by_flag (rows-only check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_extendedprice"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.9)).alias("p90"),
+        F.percentile(F.col("l_extendedprice"), F.lit(0.99)).alias("p99"),
+    )
+
+
+@register("approx_distinct_and_percentiles", oracle=None)
+def approx_distinct_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL++ / KLL): the 100 TB substitutes for
+    exact distinct/percentile. No SQL oracle (sketches are
+    implementation-defined) -> driver rows-only check; the exact
+    twins above are the correctness anchors."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx(F.col("l_extendedprice"), F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+    )
+
+
+@register(
+    "purchase_moving_sum",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2)))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS mv_sum_7,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mv_n
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def purchase_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME spec (rows between) - the reference never uses
+    frames (SURVEY.md SS2.5); exact decimal moving sums."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .alias("mv_sum_7"),
+        F.count(F.lit(1)).over(w).alias("mv_n"),
+    )
+
+
+@register(
+    "asof_last_purchase_before_error",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END AS pv,
+         CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+  FROM events WHERE event_type IN ('purchase', 'error')
+), carried AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(pv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, side, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_value
+  FROM tagged
+)
+SELECT user_id, event_id, asof_value
+FROM carried WHERE event_type = 'error'
+""",
+)
+def asof_last_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, non-strict on ts with purchase-first tie
+    order): for every error event, the user's most recent purchase
+    amount. Union + ignore-nulls-last window (operators/asof.py) -
+    one shuffle, no pandas."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("pv"),
+    )
+    joined = asof_join_backward(
+        errors, purchases, ["user_id"], "ts", ["pv"], strict=False,
+        tiebreak_col="event_id",
+    )
+    return joined.select(
+        "user_id", "event_id", F.col("asof_pv").alias("asof_value")
+    )
+
+
+@register(
+    "error_context_counts",
+    oracle="""
+SELECT e.user_id, e.event_id,
+       count(*) AS n_nearby,
+       CAST(min(o.event_id) AS BIGINT) AS first_nearby_event
+FROM events e
+JOIN events o
+  ON o.user_id = e.user_id
+ AND floor(epoch(o.ts)) BETWEEN floor(epoch(e.ts)) - 300 AND floor(epoch(e.ts)) + 300
+WHERE e.event_type = 'error'
+GROUP BY e.user_id, e.event_id
+""",
+)
+def error_context_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events within +-5 min of each error, same user.
+    Bucketed formulation (operators/range_join.py): quantize to 300 s
+    buckets, explode the probe to adjacent buckets, equi-join, exact
+    filter - a plain shuffled equi-join instead of a per-key
+    nested-loop."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    others = ev.select("user_id", "ts", F.col("event_id").alias("o_event_id"))
+    joined = range_join_window(errors, others, ["user_id"], "ts", "ts", 300)
+    return joined.groupBy("user_id", "event_id").agg(
+        F.count(F.lit(1)).alias("n_nearby"),
+        F.min("o_event_id").cast("long").alias("first_nearby_event"),
+    )

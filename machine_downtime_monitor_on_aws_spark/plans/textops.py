@@ -279,3 +279,44 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (xxhash64-based; Spark-native hash
     so no SQL oracle - driver runs the rows-only check)."""
     return simhash64(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _marker_count_sql(lang: str) -> str:
+    from ..functions.text import LANG_MARKERS
+
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({_TOKENS_SQL}, x -> x IN ({markers})))"
+
+
+def _langid_oracle() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    counts = ", ".join(f"{_marker_count_sql(l)} AS c_{l}" for l in langs)
+    best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    pred = "CASE "
+    for l in langs:
+        pred += f"WHEN c_{l} = {best} AND {best} > 0 THEN '{l}' "
+    pred += "ELSE 'unknown' END"
+    return f"""
+WITH scored AS (SELECT doc_id, {counts} FROM documents)
+SELECT doc_id, {', '.join('CAST(c_' + l + ' AS INT) AS c_' + l for l in langs)},
+       {pred} AS predicted_lang
+FROM scored
+"""
+
+
+@register("lang_id_predictions", oracle=_langid_oracle())
+def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (marker-word argmax, functions/text.py
+    lang_id): per-language score columns + prediction. Pure column
+    expressions - runs at scan speed, no UDF."""
+    from ..functions.text import LANG_MARKERS, lang_id, lang_marker_count
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    cols = [
+        lang_marker_count(t, lang).cast("int").alias(f"c_{lang}")
+        for lang in sorted(LANG_MARKERS)
+    ]
+    return d.select("doc_id", *cols, lang_id(t).alias("predicted_lang"))
