@@ -104,7 +104,17 @@ def minhash_lsh_buckets(
 
 def candidate_pairs(buckets: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any LSH bucket - the
-    equi-join that replaces the all-pairs cross product."""
+    equi-join that replaces the all-pairs cross product.
+
+    The bucket relation feeds both join sides; without persistence
+    Spark would recompute the full minhash pipeline twice. Persisted
+    (memory-and-disk) it's a small (doc_id, band, hash) relation -
+    32-byte hashes, not documents. The join stays a shuffled
+    equi-join so AQE's skew splitting covers pathological buckets
+    (boilerplate-duplicate corpora)."""
+    from pyspark import StorageLevel
+
+    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
     a = buckets.select(
         F.col("band_id"), F.col("band_hash"), F.col("doc_id").alias("doc_a")
     )

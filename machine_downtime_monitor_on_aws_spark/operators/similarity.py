@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, hyperplanes, sign_bucket
+from ..functions.vectors import cosine, dot, hyperplanes, l2_norm, sign_bucket
 
 
 def brute_force_topk(
@@ -33,10 +33,20 @@ def brute_force_topk(
     ``queries`` is broadcast; ranking is fully deterministic
     (cosine desc, neighbor id asc).
     """
+    # Precompute norms per side: higher-order folds are interpreted
+    # (not codegen'd), so computing |q| and |v| inside the pair loop
+    # triples the work. Same doubles - each norm is the same fold,
+    # just evaluated once per vector instead of once per pair.
+    corpus_n = corpus.withColumn("__vnorm", l2_norm(F.col(vec_col)))
+    queries_n = queries.withColumn("__qnorm", l2_norm(F.col(query_vec_col)))
     scored = (
-        corpus.crossJoin(F.broadcast(queries))
+        corpus_n.crossJoin(F.broadcast(queries_n))
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cosine_sim", cosine(F.col(query_vec_col), F.col(vec_col)))
+        .withColumn(
+            "cosine_sim",
+            dot(F.col(query_vec_col), F.col(vec_col))
+            / (F.col("__qnorm") * F.col("__vnorm")),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -80,16 +90,27 @@ def lsh_neardup_pairs(
     Approximate by construction: pairs split across buckets are
     missed - the standard LSH recall trade, tuned via num_planes.
     """
-    b = lsh_buckets(df, num_planes, dim, id_col, vec_col)
+    b = lsh_buckets(df, num_planes, dim, id_col, vec_col).withColumn(
+        "__norm", l2_norm(F.col(vec_col))
+    )
     a = b.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col("__norm").alias("n_a"),
     )
     c = b.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col("__norm").alias("n_b"),
     )
     pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine_sim", cosine(F.col("v_a"), F.col("v_b")))
+        pairs.withColumn(
+            "cosine_sim",
+            dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
+        )
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -1,0 +1,124 @@
+"""Physical-plan assertions: the scale properties claimed in
+docstrings must be visible in the explain output.
+
+These catch regressions like a broadcast join silently degrading to
+sort-merge, a filter failing to reach the parquet scan, or a window
+operator introducing a single-partition global sort (the reference's
+Athena ROW_NUMBER mistake we explicitly design out - BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+from conftest import SF_ORACLE
+
+
+import contextlib
+import io
+
+
+def explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan_of(spark, name: str) -> str:
+    return explain(catalog.REGISTRY[name].fn(spark, SF_ORACLE))
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # map-side combine: partial then final hash aggregate
+    # (codegen ids only appear in post-execution AQE plans, so the
+    # pre-execution formatted plan can't assert them)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2
+
+
+def test_q1_column_pruning(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: (.+)", plan)
+    assert m, "no ReadSchema in plan"
+    read = m.group(1)
+    # only the 7 needed columns reach the scan - never l_orderkey etc.
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q5_broadcasts_all_dimensions(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+
+
+def test_rle_no_global_sort(spark):
+    """Windows partition by user_id: every Sort node must be preceded
+    by a hash-partitioned exchange, never a single-partition one."""
+    plan = plan_of(spark, "rle_event_runs")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_anti_join_shape(spark):
+    plan = plan_of(spark, "customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_semi_join_shape(spark):
+    plan = plan_of(spark, "order_priority_counts")
+    assert "LeftSemi" in plan
+
+
+def test_minute_rollup_single_shuffle(spark):
+    """One hash agg pair (partial+final) on (user, minute): no extra
+    exchanges beyond the agg shuffle + AQE reads."""
+    plan = plan_of(spark, "minute_status_rollup")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning" in plan
+
+
+def test_classify_join_is_broadcast(spark):
+    """J1: config lookup must be a broadcast hash join (the hashmap
+    probe), never a shuffle of the stream side."""
+    from machine_downtime_monitor_on_aws_spark.config import MachineConfig
+    from machine_downtime_monitor_on_aws_spark.operators.classify import (
+        classify_messages,
+        machine_config_df,
+    )
+
+    msgs = spark.createDataFrame(
+        [("m1", "status", "u", "GOOD")],
+        "machine_id string, tag string, value string, quality string",
+    )
+    cfg = machine_config_df(
+        spark, [MachineConfig(id="m1", status_tag="status", status_up_values="u")]
+    )
+    plan = explain(classify_messages(msgs, cfg))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lake_day_read_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from machine_downtime_monitor_on_aws_spark.sources.lake import (
+        read_lake_day,
+        write_lake,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-06-01 10:00:00"), (2, "2024-06-02 10:00:00")],
+        "id long, ts_s string",
+    ).withColumn("event_ts", F.col("ts_s").cast("timestamp"))
+    write_lake(df, str(tmp_path / "lake"))
+    day = read_lake_day(spark, str(tmp_path / "lake"), 2024, 6, 1)
+    plan = explain(day)
+    assert "PartitionFilters" in plan
+    rows = day.collect()
+    assert [r.id for r in rows] == [1]
