@@ -75,3 +75,21 @@ def downtime_dataset(
         "inner",
     ).drop(config_info["id"])
     return j1.join(F.broadcast(machine_info), "id", "inner")
+
+
+def display_order(df: DataFrame, name_col: str = "name", id_col: str = "id") -> DataFrame:
+    """O2 (Overview.tsx:286-292): display sort by name-or-id.
+
+    The reference uses localeCompare; engine-side we sort by the
+    binary collation of coalesce(name, id) - deterministic and
+    locale-independent (UI layers may re-sort with ICU if needed).
+    """
+    return df.orderBy(F.coalesce(F.col(name_col), F.col(id_col)))
+
+
+def write_dimension_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """S10 (configuration.py:245-308): dimension export as a single
+    CSV part. coalesce(1) is correct ONLY for dimension-sized tables
+    (the reference writes these for QuickSight manifests); facts go
+    through the parquet lake."""
+    df.coalesce(1).write.mode("overwrite").option("header", header).csv(path)

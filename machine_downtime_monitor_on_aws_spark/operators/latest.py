@@ -66,3 +66,15 @@ def changed_rows(
         )
         .drop("__prior_value")
     )
+
+
+def with_status_age(
+    latest: DataFrame, now_epoch_col, ts_col: str = "status_epoch"
+) -> DataFrame:
+    """W5 ('DOWN for 24 minutes', MachineStatusCard.tsx:104-118):
+    seconds since the last status change. ``now_epoch_col`` is a
+    Column (pass ``F.unix_timestamp(F.current_timestamp())`` live, or
+    a literal in tests for determinism)."""
+    return latest.withColumn(
+        "status_age_seconds", now_epoch_col - F.col(ts_col)
+    )

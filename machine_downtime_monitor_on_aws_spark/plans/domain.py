@@ -412,3 +412,198 @@ def minute_chart_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("minute_start").cast("long").alias("minute_epoch"),
         "status",
     )
+
+
+@register(
+    "downtime_bi_dataset",
+    oracle=f"""
+WITH mapped AS (
+  SELECT user_id AS id, 'state' AS tag, ts, event_id, event_type AS value
+  FROM events
+), ordered AS (
+  SELECT id, tag, value, ts, event_id, lag(value) OVER w AS prev
+  FROM mapped WINDOW w AS (PARTITION BY id, tag ORDER BY ts, event_id)
+), cps AS (
+  SELECT id, tag, value, ts,
+         lead(ts) OVER (PARTITION BY id, tag ORDER BY ts, event_id) AS next_ts
+  FROM ordered WHERE prev IS NULL OR value <> prev
+), durations AS (
+  SELECT id, tag, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
+         CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS BIGINT) AS duration_seconds
+  FROM cps WHERE next_ts IS NOT NULL
+), config AS (
+  SELECT DISTINCT user_id AS id, 'state' AS status_tag, 'error' AS down_value FROM events
+), minfo AS (
+  SELECT DISTINCT user_id AS id,
+         'machine_' || CAST(user_id AS VARCHAR) AS machine_name,
+         'loc_' || CAST(user_id % 5 AS VARCHAR) AS location,
+         'line_' || CAST(user_id % 3 AS VARCHAR) AS line
+  FROM events
+)
+SELECT d.id, d.value, d.start_epoch, d.duration_seconds,
+       m.machine_name, m.location, m.line
+FROM durations d
+JOIN config c ON c.id = d.id AND c.status_tag = d.tag AND c.down_value = d.value
+JOIN minfo m ON m.id = d.id
+""",
+)
+def downtime_bi_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/A9 end-to-end: the QuickSight downtime dataset
+    (create-quicksight.ts:151-189) - RLE durations joined with the
+    per-down-value config (the join IS the DOWN filter) and machine
+    dimensions. Dims derived from the events id space the same way
+    both engines."""
+    from ..operators.dimensions import downtime_dataset
+
+    ev = _events(spark, sf_dir)
+    mapped = ev.select(
+        F.col("user_id").alias("id"),
+        F.lit("state").alias("tag"),
+        "ts",
+        "event_id",
+        F.col("event_type").alias("value"),
+    )
+    durations = run_durations(
+        mapped, ["id", "tag"], ["ts", "event_id"], "value", "ts"
+    ).select(
+        "id", "tag", "value",
+        F.col("ts").cast("long").alias("start_epoch"),
+        "duration_seconds",
+    )
+    ids = ev.select(F.col("user_id").alias("id")).distinct()
+    config = ids.select(
+        "id", F.lit("state").alias("status_tag"), F.lit("error").alias("down_value")
+    )
+    minfo = ids.select(
+        "id",
+        F.concat(F.lit("machine_"), F.col("id").cast("string")).alias("machine_name"),
+        F.concat(F.lit("loc_"), (F.col("id") % 5).cast("string")).alias("location"),
+        F.concat(F.lit("line_"), (F.col("id") % 3).cast("string")).alias("line"),
+    )
+    out = downtime_dataset(durations, config, minfo)
+    return out.select(
+        "id", "value", "start_epoch", "duration_seconds",
+        "machine_name", "location", "line",
+    )
+
+
+@register(
+    "line_availability",
+    oracle=f"""
+WITH latest AS (
+  SELECT user_id, status FROM (
+    SELECT user_id, {_STATUS_SQL} AS status,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT 'line_' || CAST(user_id % 3 AS VARCHAR) AS line,
+       count(*) FILTER (status IN ('UP','IDLE')) AS n_available,
+       count(*) AS n_machines
+FROM latest GROUP BY line
+""",
+)
+def line_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (LineRow.tsx:49-52): available (UP or IDLE) vs total machine
+    count per line, over the latest-status view."""
+    ev = _events(spark, sf_dir).withColumn("status", _status_expr())
+    latest = latest_by_key(ev, ["user_id"], "ts", ["status"], order_col="event_id")
+    return (
+        latest.withColumn(
+            "line", F.concat(F.lit("line_"), (F.col("user_id") % 3).cast("string"))
+        )
+        .groupBy("line")
+        .agg(
+            F.count(F.when(F.col("status").isin("UP", "IDLE"), 1)).alias("n_available"),
+            F.count(F.lit(1)).alias("n_machines"),
+        )
+    )
+
+
+@register(
+    "latest_event_per_user_type",
+    oracle="""
+SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+FROM (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+""",
+)
+def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 (upsert/replace-by-id, Overview.tsx:182-219): dedupe keeping
+    the newest row per key - dropDuplicates-keep-latest as an
+    order-insensitive max_by aggregation."""
+    ev = _events(spark, sf_dir)
+    latest = latest_by_key(
+        ev, ["user_id", "event_type"], "ts", ["value"], order_col="event_id"
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.col("ts").cast("long").alias("ts_epoch"),
+    )
+
+
+@register("ingest_normalize_classify", oracle=None)
+def ingest_normalize_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SS3.1 ingest hot path as a catalog entry: synthesize
+    base64 envelope records from events rows (Spark-side), then run
+    the full decode -> format-probe -> explode -> broadcast-config
+    join -> classify -> real-time-row chain. Rows-only check (the
+    envelope synthesis isn't portable SQL); the per-stage semantics
+    are oracle-/golden-covered by the parser and classifier tests."""
+    from ..config import MachineConfig, MessageFormat
+    from ..operators.classify import (
+        classify_messages,
+        machine_config_df,
+        reportable_messages,
+        to_real_time_rows,
+    )
+    from ..operators.normalize import normalize_stream
+
+    ev = _events(spark, sf_dir)
+    fmt = MessageFormat(timestamp_format="yyyy-MM-dd HH:mm:ss")
+    payload = F.to_json(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.lit("plant/area/cell/m"),
+                        F.col("user_id").cast("string"),
+                        F.lit("/state"),
+                    ).alias("name"),
+                    F.lit("GOOD").alias("quality"),
+                    F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+                    F.col("event_type").alias("value"),
+                )
+            ).alias("messages")
+        )
+    )
+    envelopes = ev.select(
+        F.col("event_id").cast("string").alias("record_id"),
+        F.base64(payload.cast("binary")).alias("data"),
+    )
+    messages = normalize_stream(envelopes, [fmt], keep_cols=["record_id"])
+    machines = (
+        ev.select(F.col("user_id")).distinct()
+        .select(
+            F.concat(F.lit("plant/area/cell/m"), F.col("user_id").cast("string")).alias("machine_id")
+        )
+        .collect()
+    )
+    configs = [
+        MachineConfig(
+            id=r.machine_id,
+            status_tag="state",
+            status_up_values="click, view, purchase",
+            status_down_values="error",
+            status_idle_values="signup",
+        )
+        for r in machines
+    ]
+    classified = classify_messages(messages, machine_config_df(spark, configs))
+    return to_real_time_rows(reportable_messages(classified))

@@ -175,3 +175,83 @@ def test_streaming_latest_status_update_mode(spark, tmp_path):
     out = {r.machine_id: r for r in spark.sql("SELECT * FROM ls_test").collect()}
     assert out["m1"].status == "UP" and out["m1"].status_epoch == 100
     assert out["m2"].status == "IDLE"
+
+
+def test_watermarked_window_agg(spark, tmp_path):
+    """T4: event-time tumbling window with watermark - late rows
+    beyond the watermark are dropped from finalized windows (the
+    reference has NO watermark and silently last-writer-wins, T5;
+    this is the bounded-state upgrade)."""
+    import os
+
+    src_dir = str(tmp_path / "wm")
+    os.makedirs(src_dir)
+    rows = [
+        {"machine_id": "m1", "ts": "2024-06-01 10:00:10", "value": 1.0},
+        {"machine_id": "m1", "ts": "2024-06-01 10:00:50", "value": 2.0},
+        {"machine_id": "m1", "ts": "2024-06-01 10:05:00", "value": 4.0},
+    ]
+    with open(os.path.join(src_dir, "a.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("machine_id string, ts timestamp, value double")
+        .json(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 minute"), F.col("machine_id"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT window.start AS s, n, total FROM wm_test ORDER BY s").collect()
+    # append mode emits only windows sealed by the watermark (10:05 - 2min
+    # = 10:03 > 10:01): the 10:00 window with both rows
+    assert len(out) == 1
+    assert out[0].n == 2 and out[0].total == 3.0
+
+
+def test_status_age_and_display_order(spark):
+    """W5 status age + O2 display ordering."""
+    from machine_downtime_monitor_on_aws_spark.operators.dimensions import display_order
+    from machine_downtime_monitor_on_aws_spark.operators.latest import with_status_age
+
+    latest = spark.createDataFrame(
+        [("m1", "DOWN", 1000), ("m2", "UP", 2400)],
+        "machine_id string, status string, status_epoch long",
+    )
+    aged = {r.machine_id: r for r in with_status_age(latest, F.lit(4000)).collect()}
+    assert aged["m1"].status_age_seconds == 3000
+    assert aged["m2"].status_age_seconds == 1600
+
+    items = spark.createDataFrame(
+        [("b-id", None), ("a-id", "zeta"), ("c-id", "alpha")],
+        "id string, name string",
+    )
+    assert [r.id for r in display_order(items).collect()] == ["c-id", "b-id", "a-id"]
+
+
+def test_dimension_csv_roundtrip(spark, tmp_path):
+    """S10: single-part CSV dimension export."""
+    import glob
+
+    from machine_downtime_monitor_on_aws_spark.operators.dimensions import (
+        write_dimension_csv,
+    )
+
+    dim = spark.createDataFrame(
+        [("m1", "Press", "loc", "line")],
+        "id string, machine_name string, location string, line string",
+    )
+    out = str(tmp_path / "dim")
+    write_dimension_csv(dim, out)
+    parts = glob.glob(out + "/part-*.csv")
+    assert len(parts) == 1
+    back = spark.read.option("header", True).csv(out).collect()
+    assert back[0].machine_name == "Press"
