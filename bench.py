@@ -22,7 +22,9 @@ HEADLINE = [
     # reference-parity dataflows
     "rle_event_runs",
     "status_downtime_totals",
+    "downtime_bi_dataset",
     "minute_status_rollup",
+    "minute_chart_grid",
     "latest_status_per_user",
     "rollover_production_totals",
     "session_stats",
@@ -31,9 +33,15 @@ HEADLINE = [
     "q3_unshipped_orders",
     "q5_region_revenue",
     "order_priority_counts",
+    "price_percentiles_by_flag",
+    "purchase_moving_sum",
+    "asof_last_purchase_before_error",
+    "error_context_counts",
     # training-data surface
     "dedup_exact_docs",
     "doc_token_stats",
+    "doc_quality_scores",
+    "lang_id_predictions",
     "minhash_lsh_buckets",
     "neardup_candidate_pairs",
     "knn_bruteforce_top5",

@@ -1,0 +1,167 @@
+"""Differential property tests: random inputs, pure-Python models.
+
+The reference ships no property/randomized tests (SURVEY.md SS5);
+these harden the semantics the goldens pin. One Spark job per case
+batch (hypothesis drives the generator seed; each example is a whole
+batch of records so Spark startup cost amortizes).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from machine_downtime_monitor_on_aws_spark.config import MachineConfig, MessageFormat
+from machine_downtime_monitor_on_aws_spark.operators.classify import (
+    classify_messages,
+    machine_config_df,
+    reportable_messages,
+)
+from machine_downtime_monitor_on_aws_spark.operators.normalize import normalize_stream
+from machine_downtime_monitor_on_aws_spark.operators.rollover import rollover_total
+from machine_downtime_monitor_on_aws_spark.operators.sessionize import sessionize
+
+FMT = MessageFormat(timestamp_format="yyyy-MM-dd HH:mm:ss")
+
+
+def _spark():
+    # pytest fixture injection doesn't mix with @given: reuse the
+    # process-wide session (same one the conftest fixture creates)
+    from machine_downtime_monitor_on_aws_spark.session import get_spark
+
+    return get_spark("tests")
+
+MACHINES = ["plant/a/m1", "plant/a/m2", "plant/b/m3"]
+TAGS = ["state", "count", "other"]
+VALUES = ["run", "stop", "idle", "7", "true", "junk"]
+
+CONFIGS = [
+    MachineConfig(
+        id="plant/a/m1",
+        status_tag="state",
+        production_count_tag="count",
+        status_up_values="run, true",
+        status_down_values="stop",
+        status_idle_values="idle",
+    ),
+    MachineConfig(id="plant/a/m2", status_tag="state", status_up_values="run"),
+    # m3 unconfigured
+]
+
+
+def model_classify(machine: str, tag: str, value: str):
+    """Pure-Python twin of J1/P3/P4/P5 (machine-data-parser.ts:70-97,
+    index.ts:61-76)."""
+    cfg = {c.id: c for c in CONFIGS}.get(machine)
+    if cfg is None:
+        return None
+    if cfg.production_count_tag and tag == cfg.production_count_tag:
+        return ("PRODUCTION_COUNT", value)
+    if cfg.status_tag and tag == cfg.status_tag:
+        v = value.strip()
+        if v in cfg.up_values:
+            return ("STATUS", "UP")
+        if v in cfg.down_values:
+            return ("STATUS", "DOWN")
+        if v in cfg.idle_values:
+            return ("STATUS", "IDLE")
+        return None  # unmapped status -> dropped
+    return None
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_classify_matches_model(seed):
+    spark = _spark()
+    rng = random.Random(seed)
+    records = []
+    expected = []
+    for i in range(60):
+        machine = rng.choice(MACHINES)
+        tag = rng.choice(TAGS)
+        value = rng.choice(VALUES)
+        msg = {
+            "name": f"{machine}/{tag}",
+            "quality": "GOOD",
+            "timestamp": "2024-06-01 10:00:00",
+            "value": value,
+        }
+        records.append(
+            (str(i), base64.b64encode(json.dumps({"messages": [msg]}).encode()).decode())
+        )
+        m = model_classify(machine, tag, value)
+        if m is not None:
+            expected.append((machine, m[0], m[1] if m[0] == "STATUS" else value))
+
+    df = spark.createDataFrame(records, "record_id string, data string")
+    messages = normalize_stream(df, [FMT])
+    classified = classify_messages(messages, machine_config_df(spark, CONFIGS))
+    rep = reportable_messages(classified).collect()
+    got = sorted(
+        (r.machine_id, r.msg_type, r.status if r.msg_type == "STATUS" else r.value)
+        for r in rep
+    )
+    assert got == sorted(expected)
+
+
+def model_rollover(counts: list[int]) -> int:
+    """MachineDetail.tsx:104-118 verbatim logic."""
+    total, run_max = 0, None
+    for c in counts:
+        if run_max is None or c >= run_max:
+            run_max = c
+        else:  # decrease -> bank the session max, restart
+            total += run_max
+            run_max = c
+    return total + (run_max or 0)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_rollover_matches_model(seed):
+    spark = _spark()
+    rng = random.Random(seed)
+    seqs = {
+        f"m{k}": [rng.randint(0, 50) for _ in range(rng.randint(1, 40))]
+        for k in range(5)
+    }
+    rows = [
+        (m, i, c) for m, counts in seqs.items() for i, c in enumerate(counts)
+    ]
+    df = spark.createDataFrame(rows, "id string, seq long, cnt long")
+    got = {
+        r.id: r.total_production
+        for r in rollover_total(df, ["id"], ["seq"], "cnt").collect()
+    }
+    assert got == {m: model_rollover(c) for m, c in seqs.items()}
+
+
+def model_sessions(epochs: list[int], gap: int) -> list[int]:
+    sid, out = 0, []
+    for i, e in enumerate(epochs):
+        if i > 0 and e - epochs[i - 1] > gap:
+            sid += 1
+        out.append(sid)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_sessionize_matches_model(seed):
+    spark = _spark()
+    rng = random.Random(seed)
+    epochs = sorted(rng.randint(0, 100_000) for _ in range(rng.randint(2, 60)))
+    rows = [("u", i, e) for i, e in enumerate(epochs)]
+    df = spark.createDataFrame(rows, "k string, seq long, ep long").selectExpr(
+        "k", "seq", "timestamp_seconds(ep) AS ts"
+    )
+    out = sessionize(df, ["k"], "ts", 600, order_cols=["ts", "seq"])
+    got = [r.session_id for r in out.orderBy("seq").collect()]
+    assert got == model_sessions(epochs, 600)
+
+
+
