@@ -267,3 +267,36 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p_size").cast("int").alias("max_size"),
         F.sum(_m2("p_retailprice")).cast("decimal(38,2)").alias("total_retail"),
     )
+
+
+@register(
+    "q1_pricing_summary_sql",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(sum({_DISC_PRICE_SQL}) AS DECIMAL(38,4)) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API twin of q1: temp views + ``spark.sql`` - Catalyst
+    produces the same plan either way (SURVEY.md: both APIs are
+    first-class surfaces of this engine)."""
+    pin_utc(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2))
+                    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )

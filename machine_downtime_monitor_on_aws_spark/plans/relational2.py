@@ -55,8 +55,8 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_status_priority_cube",
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
-       grouping(o_orderstatus) AS g_status,
-       grouping(o_orderpriority) AS g_priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
        count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
 FROM orders

@@ -164,3 +164,148 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,9)")
         .alias("norm_sum"),
     )
+
+
+_N_CENTROIDS = 16
+_N_PROBES = 4
+
+
+@register(
+    "ivf_knn_top5",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e, cents c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+qprobe AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, c.cid) AS rn
+    FROM q, cents c) WHERE rn <= {_N_PROBES}
+),
+scored AS (
+  SELECT p.qid, a.vec_id AS neighbor_id, {_cos_sql('p.qv', 'a.v')} AS cosine_sim
+  FROM qprobe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT qid, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOPK}
+""",
+)
+def ivf_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (first C vectors),
+    inverted lists by nearest centroid, queries probe their top-P
+    lists only. The 100 TB shape: centroid table broadcasts, the
+    corpus partitions by list id, a query touches P/C of the data.
+    Approximate by construction (recall < 1 vs brute force); the
+    oracle reproduces the same algorithm exactly."""
+    from ..functions.vectors import dot, l2_norm
+    from ..operators.topk import top_k_per_group
+
+    e = _emb(spark, sf_dir).select("vec_id", "vec")
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+    )
+    withn = e.withColumn("__n", l2_norm(F.col("vec")))
+    centsn = cents.withColumn("__cn", l2_norm(F.col("cv")))
+    sim_to_cent = dot(F.col("vec"), F.col("cv")) / (F.col("__n") * F.col("__cn"))
+
+    assign = top_k_per_group(
+        withn.crossJoin(F.broadcast(centsn)).withColumn("__sim", sim_to_cent),
+        ["vec_id"],
+        [F.col("__sim").desc(), F.col("cid").asc()],
+        1,
+    ).select("vec_id", "vec", F.col("__n"), "cid")
+
+    q = withn.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv"), F.col("__n").alias("__qn")
+    )
+    qsim = dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
+    qprobe = top_k_per_group(
+        q.crossJoin(F.broadcast(centsn)).withColumn("__sim", qsim),
+        ["qid"],
+        [F.col("__sim").desc(), F.col("cid").asc()],
+        _N_PROBES,
+    ).select("qid", "qv", F.col("__qn"), "cid")
+
+    pair_sim = dot(F.col("qv"), F.col("vec")) / (F.col("__qn") * F.col("__n"))
+    scored = (
+        qprobe.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cosine_sim", pair_sim)
+    )
+    ranked = top_k_per_group(
+        scored,
+        ["qid"],
+        [F.col("cosine_sim").desc(), F.col("vec_id").asc()],
+        _TOPK,
+    )
+    return ranked.select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        "cosine_sim",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+@register("knn_pandas_udf", oracle=None)
+def knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized ANN scoring: the same brute-force top-k with
+    the dot products computed by a numpy-backed ``mapInPandas`` over
+    the corpus (queries broadcast into the closure as a dense
+    matrix). This is the high-throughput path when exactness of the
+    float fold doesn't matter - BLAS-blocked summation differs from
+    the left-fold in final ulps, hence rows-only check (the exact
+    twin knn_bruteforce_top5 / ivf_knn_top5 carry the oracles)."""
+    import numpy as np
+    import pandas as pd
+
+    pin_utc(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in qrows])
+    qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ qmat.T) / np.outer(norms, qnorm)
+            n, nq = sims.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, n),
+                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), nq),
+                    "cosine_sim": sims.T.reshape(-1),
+                }
+            )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, "qid long, neighbor_id long, cosine_sim double"
+    )
+    from ..operators.topk import top_k_per_group
+
+    ranked = top_k_per_group(
+        scored.filter(F.col("neighbor_id") != F.col("qid")),
+        ["qid"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        _TOPK,
+    )
+    return ranked.select("qid", "neighbor_id", "cosine_sim", F.col("rnk").cast("int").alias("rnk"))
