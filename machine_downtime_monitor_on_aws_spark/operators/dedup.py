@@ -60,28 +60,49 @@ def minhash_lsh_buckets(
     num_perms: int = 8,
     num_bands: int = 4,
     shingle_n: int = 5,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """(doc_id, band_id, band_hash) LSH bucket assignments.
 
     num_perms/num_bands tune the Jaccard threshold curve
     (~ (1/bands)^(bands/perms)); defaults target ~0.5.
+
+    ``parallelism``: optional repartition width applied to the narrow
+    (doc_id, tokens) projection before the hash-heavy stages. The md5
+    work is CPU-bound, so a corpus that arrives in few input splits
+    (one small parquet file locally; a handful of giant files at
+    scale) would otherwise hash on a fraction of the cores. The
+    exchange moves only tokens, not documents, and doubles as a
+    projection barrier: tokenization is computed exactly once
+    map-side instead of being re-evaluated inside the per-element
+    shingle lambda.
     """
     if num_perms % num_bands != 0:
         raise ValueError("num_perms must be divisible by num_bands")
     rows = num_perms // num_bands
 
-    # Explode to (doc_id, shingle) rows first: adjacent projections
-    # collapse in Catalyst, so building the signature as one nested
-    # expression would re-tokenize the document once per permutation.
-    # The explode forces shingles to be computed exactly once; each
-    # shingle row then hashes K times, and an element-wise min
-    # aggregation (one shuffle on doc_id, map-side partials) builds
-    # the signature. This is also the 100 TB formulation: shingle rows
-    # parallelize across executors regardless of document sizes.
-    sh_rows = df.select(
+    toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+        tokens(F.col(text_col)).alias("__toks"),
+        F.trim(F.col(text_col)).alias("__t"),
     )
+    if parallelism:
+        toked = toked.repartition(parallelism)
+    # Shingles from the materialized token array (same semantics as
+    # functions.text.shingles: docs with < n tokens get one whole-text
+    # shingle). Explode to (doc_id, shingle) rows: each shingle row
+    # hashes K times, and an element-wise min aggregation (one shuffle
+    # on doc_id, map-side partials) builds the signature. Shingle rows
+    # parallelize across executors regardless of document sizes.
+    n_sh = F.size("__toks") - F.lit(shingle_n - 1)
+    sh = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i, shingle_n), " "),
+        ),
+    ).otherwise(F.array(F.col("__t")))
+    sh_rows = toked.select("doc_id", F.explode(sh).alias("s"))
     hashed = sh_rows.select(
         "doc_id",
         *[
@@ -104,27 +125,33 @@ def minhash_lsh_buckets(
 
 def candidate_pairs(buckets: DataFrame) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any LSH bucket - the
-    equi-join that replaces the all-pairs cross product.
+    shuffle-group formulation of the all-pairs problem.
 
-    The bucket relation feeds both join sides; without persistence
-    Spark would recompute the full minhash pipeline twice. Persisted
-    (memory-and-disk) it's a small (doc_id, band, hash) relation -
-    32-byte hashes, not documents. The join stays a shuffled
-    equi-join so AQE's skew splitting covers pathological buckets
-    (boilerplate-duplicate corpora)."""
-    from pyspark import StorageLevel
-
-    buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
-    a = buckets.select(
-        F.col("band_id"), F.col("band_hash"), F.col("doc_id").alias("doc_a")
+    One ``groupBy(band_id, band_hash)`` gathers each bucket's members
+    (shuffling 32-byte hashes, not documents), then pairs expand
+    *inside* each bucket row via array combinatorics - the minhash
+    pipeline is evaluated exactly once, with no self-join and no
+    persistence. Pair count is quadratic only in individual bucket
+    size, which LSH keeps small by construction; a truly pathological
+    bucket (boilerplate-duplicate corpora) should be capped or salted
+    upstream rather than joined through."""
+    grouped = (
+        buckets.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
     )
-    b = buckets.select(
-        F.col("band_id"), F.col("band_hash"), F.col("doc_id").alias("doc_b")
+    pairs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__ids"), i + F.lit(2), F.size(F.col("__ids"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -213,7 +213,8 @@ def minhash_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic."""
     d = _docs(spark, sf_dir)
     b = minhash_lsh_buckets(
-        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N
+        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
     return b.select("doc_id", F.col("band_id").cast("int").alias("band_id"), "band_hash")
 
@@ -234,7 +235,8 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join - the scale path for near-dedup at 100 TB."""
     d = _docs(spark, sf_dir)
     buckets = minhash_lsh_buckets(
-        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N
+        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
     return candidate_pairs(buckets)
 
@@ -268,7 +270,8 @@ def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the exact set ops never touch non-candidate pairs)."""
     d = _docs(spark, sf_dir)
     buckets = minhash_lsh_buckets(
-        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N
+        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
     pairs = candidate_pairs(buckets)
     return jaccard_verified_pairs(d, pairs, "doc_id", "text", 0.5, _SHINGLE_N)
