@@ -15,7 +15,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Left-fold dot product.
+
+    With ``dim`` known at plan-build time AND both operands given as
+    column *names*, the fold is unrolled into a flat
+    ``(((0.0 + a[0]*b[0]) + a[1]*b[1]) + ...)`` chain: bit-identical
+    addition order (SQL ``+`` is left-associative), but a plain
+    codegen-able expression instead of an interpreted higher-order
+    ``aggregate``. The chain is built as ONE ``F.expr`` string parsed
+    JVM-side - building it from Column objects would cost hundreds of
+    py4j round-trips per query construction, which dominates at this
+    expression size.
+    """
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        terms = " + ".join(f"`{a}`[{i}]*`{b}`[{i}]" for i in range(dim))
+        return F.expr(f"0.0D + {terms}")
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -23,14 +40,18 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str, dim: int | None = None) -> Column:
+    if dim is not None and isinstance(a, str):
+        terms = " + ".join(f"`{a}`[{i}]*`{a}`[{i}]" for i in range(dim))
+        return F.expr(f"sqrt(0.0D + {terms})")
+    a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def hyperplanes(num_planes: int, dim: int) -> list[list[int]]:
@@ -47,12 +68,30 @@ def hyperplanes(num_planes: int, dim: int) -> list[list[int]]:
     return planes
 
 
-def sign_bucket(vec: Column, planes: list[list[int]]) -> Column:
+def sign_bucket(vec: Column | str, planes: list[list[int]]) -> Column:
     """LSH bucket id: one bit per hyperplane (sign of the projection),
-    rendered as a bit-string so it stays engine-portable."""
+    rendered as a bit-string so it stays engine-portable.
+
+    With a column *name*, each projection unrolls into a single
+    ``F.expr`` chain (coefficients are +/-1.0 literals; ``x*1.0`` and
+    ``x*-1.0`` are exact, so the sign matches the oracle's
+    fold bit-for-bit)."""
+    if isinstance(vec, str):
+        bits = []
+        for plane in planes:
+            terms = " + ".join(
+                f"{float(c)}D*`{vec}`[{j}]" for j, c in enumerate(plane)
+            )
+            bits.append(
+                F.when(F.expr(f"0.0D + {terms}") >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+            )
+        return F.concat(*bits)
     bits = [
         F.when(
-            dot(vec, F.array(*[F.lit(float(c)) for c in plane])) >= 0, F.lit("1")
+            dot(vec, F.array(*[F.lit(float(c)) for c in plane])) >= 0,
+            F.lit("1"),
         ).otherwise(F.lit("0"))
         for plane in planes
     ]

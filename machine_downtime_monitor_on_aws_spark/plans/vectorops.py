@@ -82,7 +82,10 @@ def knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
     )
-    return brute_force_topk(e, q, _TOPK)
+    return brute_force_topk(
+        e, q, _TOPK, dim=_DIM,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -109,7 +112,10 @@ def lsh_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine >= 0.3. The scale path: bucket equi-join instead of
     the quadratic cross product (approximate recall by design)."""
     e = _emb(spark, sf_dir)
-    return lsh_neardup_pairs(e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM)
+    return lsh_neardup_pairs(
+        e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -160,7 +166,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.sum(l2_norm(F.col("vec")).cast("decimal(18,9)"))
+        F.sum(l2_norm("vec", _DIM).cast("decimal(18,9)"))
         .cast("decimal(38,9)")
         .alias("norm_sum"),
     )
@@ -218,9 +224,9 @@ def ivf_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
     )
-    withn = e.withColumn("__n", l2_norm(F.col("vec")))
-    centsn = cents.withColumn("__cn", l2_norm(F.col("cv")))
-    sim_to_cent = dot(F.col("vec"), F.col("cv")) / (F.col("__n") * F.col("__cn"))
+    withn = e.withColumn("__n", l2_norm("vec", _DIM))
+    centsn = cents.withColumn("__cn", l2_norm("cv", _DIM))
+    sim_to_cent = dot("vec", "cv", _DIM) / (F.col("__n") * F.col("__cn"))
 
     assign = top_k_per_group(
         withn.crossJoin(F.broadcast(centsn)).withColumn("__sim", sim_to_cent),
@@ -232,7 +238,7 @@ def ivf_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = withn.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qv"), F.col("__n").alias("__qn")
     )
-    qsim = dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__cn"))
+    qsim = dot("qv", "cv", _DIM) / (F.col("__qn") * F.col("__cn"))
     qprobe = top_k_per_group(
         q.crossJoin(F.broadcast(centsn)).withColumn("__sim", qsim),
         ["qid"],
@@ -240,7 +246,7 @@ def ivf_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         _N_PROBES,
     ).select("qid", "qv", F.col("__qn"), "cid")
 
-    pair_sim = dot(F.col("qv"), F.col("vec")) / (F.col("__qn") * F.col("__n"))
+    pair_sim = dot("qv", "vec", _DIM) / (F.col("__qn") * F.col("__n"))
     scored = (
         qprobe.join(assign, "cid")
         .filter(F.col("vec_id") != F.col("qid"))

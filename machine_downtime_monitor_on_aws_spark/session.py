@@ -30,7 +30,12 @@ def get_spark(app_name: str = "machine_downtime_monitor_on_aws_spark") -> SparkS
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # 12g, not "as much as the box has": an oversized heap lets
+        # garbage (broadcasts, codegen classes) pile up until one
+        # multi-second full GC; periodic GC keeps the context cleaner
+        # draining those eagerly. Observed: 30-90s stalls at 48g.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
