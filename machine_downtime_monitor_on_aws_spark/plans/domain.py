@@ -144,9 +144,9 @@ WITH ordered AS (
 )
 SELECT user_id, event_type,
        CAST(floor(epoch(ts)) AS BIGINT) AS start_epoch,
-       CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS DECIMAL(18,6)) AS duration_seconds_d,
-       CAST(CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS DECIMAL(18,6)) / 60 AS DECIMAL(18,6)) AS duration_minutes,
-       CAST(CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS DECIMAL(18,6)) / 3600 AS DECIMAL(18,6)) AS duration_hours
+       CAST(CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS DECIMAL(18,6)) AS DOUBLE) AS duration_seconds_d,
+       CAST(CAST(CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS DECIMAL(18,6)) / 60 AS DECIMAL(18,6)) AS DOUBLE) AS duration_minutes,
+       CAST(CAST(CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS DECIMAL(18,6)) / 3600 AS DECIMAL(18,6)) AS DOUBLE) AS duration_hours
 FROM cps WHERE next_ts IS NOT NULL
 """,
 )
@@ -159,9 +159,9 @@ def state_durations_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.col("ts").cast("long").alias("start_epoch"),
-        F.col("duration_seconds").cast("decimal(18,6)").alias("duration_seconds_d"),
-        "duration_minutes",
-        "duration_hours",
+        F.col("duration_seconds").cast("decimal(18,6)").cast("double").alias("duration_seconds_d"),
+        F.col("duration_minutes").cast("double").alias("duration_minutes"),
+        F.col("duration_hours").cast("double").alias("duration_hours"),
     )
 
 
@@ -247,7 +247,7 @@ WITH pc AS (
   SELECT user_id, reset_session, max(cnt) AS session_max
   FROM sessions GROUP BY user_id, reset_session
 )
-SELECT user_id, CAST(sum(session_max) AS DECIMAL(28,2)) AS total_production
+SELECT user_id, CAST(sum(session_max) AS DOUBLE) AS total_production
 FROM per_session GROUP BY user_id
 """,
 )
@@ -263,7 +263,7 @@ def rollover_production_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = rollover_total(pc, ["user_id"], ["ts", "event_id"], "cnt")
     return totals.select(
         "user_id",
-        F.col("total_production").cast("decimal(28,2)").alias("total_production"),
+        F.col("total_production").cast("decimal(28,2)").cast("double").alias("total_production"),
     )
 
 
@@ -318,7 +318,7 @@ WITH p AS (
                             ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id) AS rnk
   FROM events WHERE event_type = 'purchase'
 )
-SELECT user_id, event_id, amount, CAST(rnk AS INT) AS rnk
+SELECT user_id, event_id, CAST(amount AS DOUBLE) AS amount, CAST(rnk AS INT) AS rnk
 FROM p WHERE rnk <= 3
 """,
 )
@@ -332,14 +332,19 @@ def top3_purchases_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = top_k_per_group(
         p, ["user_id"], [F.col("amount").desc(), F.col("event_id").asc()], 3
     )
-    return top.select("user_id", "event_id", "amount", F.col("rnk").cast("int").alias("rnk"))
+    return top.select(
+        "user_id",
+        "event_id",
+        F.col("amount").cast("double").alias("amount"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
 
 
 @register(
     "event_type_minute_counts",
     oracle="""
 SELECT event_type, CAST(floor(epoch(date_trunc('minute', ts))) AS BIGINT) AS minute_epoch,
-       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total_value
+       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY event_type, minute_epoch
 """,
 )
@@ -355,7 +360,7 @@ def event_type_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("decimal(28,2)")
+            .cast("double")
             .alias("total_value"),
         )
     )
@@ -523,7 +528,7 @@ def line_availability(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "latest_event_per_user_type",
     oracle="""
-SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS value,
+SELECT user_id, event_type, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value,
        CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
 FROM (
   SELECT user_id, event_type, value, ts,
@@ -543,7 +548,7 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.select(
         "user_id",
         "event_type",
-        F.col("value").cast("decimal(18,2)").alias("value"),
+        F.col("value").cast("decimal(18,2)").cast("double").alias("value"),
         F.col("ts").cast("long").alias("ts_epoch"),
     )
 

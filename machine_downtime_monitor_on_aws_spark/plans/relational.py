@@ -12,6 +12,13 @@ engines. Intermediate products are re-cast to fixed scales that the
 true values fit exactly (2dp x 2dp = 4dp, etc.), keeping both
 engines' decimal-propagation rules under precision 38 with zero
 rounding - results are bit-identical regardless of aggregation order.
+
+Output representation: final decimal aggregates are cast to DOUBLE in
+BOTH the Spark plan and the oracle SQL. The exact decimal value's
+nearest-double is deterministic and engine-identical (unscaled values
+stay < 2^53 at test scales), while decimal *rendering* differs between
+engines (trailing zeros, client float coercion) and broke the driver's
+value hash in round 1 (VERDICT.md "What's wrong" #1).
 """
 
 from __future__ import annotations
@@ -50,10 +57,10 @@ _DISC_PRICE_SQL = (
     "q1_pricing_summary",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(sum({_DISC_PRICE_SQL}) AS DECIMAL(38,4)) AS sum_disc_price,
-       CAST(sum(CAST({_DISC_PRICE_SQL} * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST({_DISC_PRICE_SQL} * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(18,2)) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -72,10 +79,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_m2("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(_m2("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(_m2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_m2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -85,7 +92,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_unshipped_orders",
     oracle=f"""
 SELECT l.l_orderkey,
-       CAST(sum({_DISC_PRICE_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DECIMAL(38,4)) AS revenue,
+       CAST(sum({_DISC_PRICE_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
        CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch,
        o.o_orderpriority
 FROM customer c
@@ -118,7 +125,7 @@ def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("timestamp").cast("long").alias("orderdate_epoch"),
             "o_orderpriority",
         )
-        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "orderdate_epoch", "o_orderpriority")
     )
 
@@ -127,7 +134,7 @@ def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle=f"""
 SELECT n.n_name,
-       CAST(sum({_DISC_PRICE_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DECIMAL(38,4)) AS revenue
+       CAST(sum({_DISC_PRICE_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -139,26 +146,33 @@ GROUP BY n.n_name
 """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join; all dimensions broadcast, the
-    fact table never shuffles until the final agg. The local-supplier
-    predicate (s_nationkey = c_nationkey) rides the supplier join."""
+    """TPC-H Q5 shape: 6-way star join. Only the genuinely small
+    dimensions (region, nation, supplier) are broadcast; customer and
+    orders are fact-sized (2nd/3rd largest tables) and broadcasting
+    them OOMs executors at 100x scale (VERDICT.md r1 "What's wrong"
+    #2). orders<->customer and lineitem<->orders run as shuffle joins;
+    AQE converts them to broadcast at runtime only if they actually
+    fit. The region filter is applied before the nation join, so the
+    nation broadcast prunes customers to the ASIA region early."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = _t(spark, sf_dir, "nation")
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
+    # nation pruned to the region first: a 25-row broadcast that cuts
+    # customer to ~1/5 before any fact-table shuffle.
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    c_asia = c.join(F.broadcast(n_asia), c.c_nationkey == n.n_nationkey)
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c_asia, o.o_custkey == c_asia.c_custkey)
         .join(
             F.broadcast(s),
-            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c.c_nationkey),
+            (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == c_asia.c_nationkey),
         )
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
     )
 
 
@@ -190,7 +204,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT s.s_name, n.n_name,
        count(DISTINCT l.l_partkey) AS n_parts,
        count(*) AS n_lineitems,
-       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
 FROM lineitem l
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
 JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -210,7 +224,7 @@ def supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("l_partkey").alias("n_parts"),
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.sum(_m2("l_quantity")).cast("decimal(38,2)").alias("total_qty"),
+            F.sum(_m2("l_quantity")).cast("double").alias("total_qty"),
         )
     )
 
@@ -254,7 +268,7 @@ SELECT p_brand, p_type,
        count(*) AS n_parts,
        CAST(min(p_size) AS INT) AS min_size,
        CAST(max(p_size) AS INT) AS max_size,
-       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_retail
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_retail
 FROM part GROUP BY p_brand, p_type
 """,
 )
@@ -265,7 +279,7 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.min("p_size").cast("int").alias("min_size"),
         F.max("p_size").cast("int").alias("max_size"),
-        F.sum(_m2("p_retailprice")).cast("decimal(38,2)").alias("total_retail"),
+        F.sum(_m2("p_retailprice")).cast("double").alias("total_retail"),
     )
 
 
@@ -273,8 +287,8 @@ def part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q1_pricing_summary_sql",
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(sum({_DISC_PRICE_SQL}) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -290,10 +304,10 @@ def q1_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                     CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2))
-                    AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+                    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
                count(*) AS count_order
         FROM lineitem_v
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

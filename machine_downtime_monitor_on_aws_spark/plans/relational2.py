@@ -58,7 +58,7 @@ SELECT o_orderstatus, o_orderpriority,
        CAST(grouping(o_orderstatus) AS INT) AS g_status,
        CAST(grouping(o_orderpriority) AS INT) AS g_priority,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -74,7 +74,7 @@ def orders_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderpriority").cast("int").alias("g_priority"),
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("total_price"),
         )
     )
@@ -151,7 +151,7 @@ def approx_distinct_and_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
 SELECT user_id, event_id,
        CAST(sum(CAST(value AS DECIMAL(18,2)))
               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS mv_sum_7,
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv_sum_7,
        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mv_n
 FROM events WHERE event_type = 'purchase'
@@ -173,7 +173,7 @@ def purchase_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum(F.col("value").cast("decimal(18,2)"))
         .over(w)
-        .cast("decimal(38,2)")
+        .cast("double")
         .alias("mv_sum_7"),
         F.count(F.lit(1)).over(w).alias("mv_n"),
     )
@@ -194,7 +194,7 @@ WITH tagged AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_value
   FROM tagged
 )
-SELECT user_id, event_id, asof_value
+SELECT user_id, event_id, CAST(asof_value AS DOUBLE) AS asof_value
 FROM carried WHERE event_type = 'error'
 """,
 )
@@ -218,7 +218,7 @@ def asof_last_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFra
         tiebreak_col="event_id",
     )
     return joined.select(
-        "user_id", "event_id", F.col("asof_pv").alias("asof_value")
+        "user_id", "event_id", F.col("asof_pv").cast("double").alias("asof_value")
     )
 
 

@@ -122,7 +122,7 @@ def lsh_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroid_sums",
     oracle=f"""
 SELECT label, CAST(j AS INT) AS dim,
-       CAST(sum(CAST(v[j] AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS component_sum,
+       CAST(sum(CAST(v[j] AS DECIMAL(18,9))) AS DOUBLE) AS component_sum,
        count(*) AS n_vectors
 FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
      generate_series(1, {_DIM}) AS t(j)
@@ -144,7 +144,7 @@ def label_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("decimal(18,9)").alias("comp_dec"),
     )
     return exploded.groupBy("label", "dim").agg(
-        F.sum("comp_dec").cast("decimal(38,9)").alias("component_sum"),
+        F.sum("comp_dec").cast("double").alias("component_sum"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
 
@@ -154,7 +154,7 @@ def label_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT label, count(*) AS n_vectors,
-       CAST(sum(CAST({_NORM_SQL.format(a='v')} AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS norm_sum
+       CAST(sum(CAST({_NORM_SQL.format(a='v')} AS DECIMAL(18,9))) AS DOUBLE) AS norm_sum
 FROM e GROUP BY label
 """,
 )
@@ -167,7 +167,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(l2_norm("vec", _DIM).cast("decimal(18,9)"))
-        .cast("decimal(38,9)")
+        .cast("double")
         .alias("norm_sum"),
     )
 

@@ -51,10 +51,19 @@ def test_q1_column_pruning(spark):
     assert "l_orderkey" not in read and "l_partkey" not in read
 
 
-def test_q5_broadcasts_all_dimensions(spark):
-    plan = plan_of(spark, "q5_region_revenue")
-    assert plan.count("BroadcastHashJoin") >= 5
-    assert "SortMergeJoin" not in plan
+def test_q5_broadcasts_only_true_dimensions(spark):
+    """r1 verdict "What's wrong" #2: q5 used to broadcast orders and
+    customer — fact-sized tables that OOM executors at 100x. Only
+    region/nation/supplier may be broadcast-hinted; the fact joins
+    stay shuffle joins (AQE upgrades them at runtime if they fit)."""
+    df = catalog.REGISTRY["q5_region_revenue"].fn(spark, SF_ORACLE)
+    plan = explain(df)
+    # supplier + pruned-nation broadcasts exist...
+    assert plan.count("BroadcastHashJoin") >= 2
+    # ...but the big joins (lineitem-orders, orders-customer) are NOT
+    # statically broadcast: at least one shuffle join survives in the
+    # static plan (AQE may still upgrade it at runtime).
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
 def test_rle_no_global_sort(spark):
