@@ -11,8 +11,32 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _qident(name: str) -> str:
+    """Backtick-quote a column name for interpolation into ``F.expr``
+    strings (escaping embedded backticks - an unescaped one is at best
+    a parse error and at worst expression injection)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _check_dim(dim: int) -> None:
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+
+
+def validate_vec_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """Eagerly assert every vector in ``vec_col`` has exactly ``dim``
+    elements. The unrolled expression paths below index ``a[i]`` for
+    i < dim, which under ANSI mode (default in Spark 4) throws
+    INVALID_ARRAY_INDEX on shorter vectors and silently *truncates*
+    the product on longer ones - run this in debug/ingest paths before
+    trusting a declared dim. One cheap aggregate, no data movement."""
+    bad = df.filter(F.size(F.col(vec_col)) != dim).limit(1).count()
+    if bad:
+        raise ValueError(f"{vec_col}: found vectors whose length != dim={dim}")
 
 
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
@@ -27,9 +51,16 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     JVM-side - building it from Column objects would cost hundreds of
     py4j round-trips per query construction, which dominates at this
     expression size.
+
+    Contract: ``dim`` must equal the exact array length of BOTH
+    operands. Under ANSI mode a shorter vector throws
+    INVALID_ARRAY_INDEX; a longer one is silently truncated. Use
+    :func:`validate_vec_dim` to check a column eagerly.
     """
     if dim is not None and isinstance(a, str) and isinstance(b, str):
-        terms = " + ".join(f"`{a}`[{i}]*`{b}`[{i}]" for i in range(dim))
+        _check_dim(dim)
+        qa, qb = _qident(a), _qident(b)
+        terms = " + ".join(f"{qa}[{i}]*{qb}[{i}]" for i in range(dim))
         return F.expr(f"0.0D + {terms}")
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
@@ -41,8 +72,11 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
 
 
 def l2_norm(a: Column | str, dim: int | None = None) -> Column:
+    """L2 norm; same unrolling + exact-``dim`` contract as :func:`dot`."""
     if dim is not None and isinstance(a, str):
-        terms = " + ".join(f"`{a}`[{i}]*`{a}`[{i}]" for i in range(dim))
+        _check_dim(dim)
+        qa = _qident(a)
+        terms = " + ".join(f"{qa}[{i}]*{qa}[{i}]" for i in range(dim))
         return F.expr(f"sqrt(0.0D + {terms})")
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
@@ -77,10 +111,11 @@ def sign_bucket(vec: Column | str, planes: list[list[int]]) -> Column:
     ``x*-1.0`` are exact, so the sign matches the oracle's
     fold bit-for-bit)."""
     if isinstance(vec, str):
+        qv = _qident(vec)
         bits = []
         for plane in planes:
             terms = " + ".join(
-                f"{float(c)}D*`{vec}`[{j}]" for j, c in enumerate(plane)
+                f"{float(c)}D*{qv}[{j}]" for j, c in enumerate(plane)
             )
             bits.append(
                 F.when(F.expr(f"0.0D + {terms}") >= 0, F.lit("1")).otherwise(

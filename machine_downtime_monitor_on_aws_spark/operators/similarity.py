@@ -70,6 +70,28 @@ def brute_force_topk(
     )
 
 
+def recommended_num_planes(
+    n_rows: int,
+    target_bucket_size: int = 64,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Scale num_planes with corpus size: 2^planes buckets sized to
+    ~``target_bucket_size`` expected members, clamped to a sane range.
+
+    r1's verdict flagged the fixed 4-plane default as the scale
+    limiter: 16 buckets means O(n^2/16) candidate pairs regardless of
+    n. With planes = log2(n / target), in-bucket pair work stays
+    ~n * target regardless of corpus size (recall drops as planes
+    grow - the standard LSH trade; band across multiple plane-sets if
+    higher recall is needed)."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return min_planes
+    return max(min_planes, min(max_planes, math.ceil(math.log2(n_rows / target_bucket_size))))
+
+
 def lsh_buckets(
     df: DataFrame,
     num_planes: int,
@@ -87,16 +109,28 @@ def lsh_buckets(
 def lsh_neardup_pairs(
     df: DataFrame,
     threshold: float,
-    num_planes: int,
+    num_planes: int | None,
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "vec",
     parallelism: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Intra-bucket pairs with exact cosine >= threshold.
 
     Approximate by construction: pairs split across buckets are
     missed - the standard LSH recall trade, tuned via num_planes.
+    ``num_planes=None`` derives it from the corpus size via
+    :func:`recommended_num_planes` (one count() - parquet-metadata
+    cheap; pass an explicit value when the plan must be static, e.g.
+    for a pre-registered oracle).
+
+    ``max_bucket_size``: buckets whose membership exceeds the cap
+    contribute O(B^2) join output even with AQE skew-splitting (the
+    work is quadratic regardless of how it's spread). Oversized
+    buckets degrade to "star" scoring against the bucket's min-id
+    member only - O(B) pairs keeping near-identical clusters
+    connected (same rationale as dedup.candidate_pairs).
 
     ``parallelism`` repartitions the probe side before the pair
     expansion: the build side broadcasts, so the probe side's
@@ -104,9 +138,18 @@ def lsh_neardup_pairs(
     across cores (a corpus in one input split would otherwise rescore
     every candidate pair in a single task).
     """
+    if num_planes is None:
+        num_planes = recommended_num_planes(df.count())
     b = lsh_buckets(df, num_planes, dim, id_col, vec_col).withColumn(
         "__norm", l2_norm(vec_col, dim)
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        b = b.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
+            "__rep", F.min(id_col).over(w)
+        )
+        big = b.filter(F.col("__bn") > max_bucket_size)
+        b = b.filter(F.col("__bn") <= max_bucket_size)
     a = b.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),
@@ -122,7 +165,7 @@ def lsh_neardup_pairs(
         F.col("__norm").alias("n_b"),
     )
     pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    return (
+    out = (
         pairs.withColumn(
             "cosine_sim",
             dot("v_a", "v_b", dim) / (F.col("n_a") * F.col("n_b")),
@@ -130,3 +173,27 @@ def lsh_neardup_pairs(
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine_sim")
     )
+    if max_bucket_size is not None:
+        reps = big.filter(F.col(id_col) == F.col("__rep")).select(
+            "bucket",
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("v_a"),
+            F.col("__norm").alias("n_a"),
+        )
+        members = big.filter(F.col(id_col) != F.col("__rep")).select(
+            "bucket",
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("v_b"),
+            F.col("__norm").alias("n_b"),
+        )
+        star = (
+            members.join(reps, "bucket")
+            .withColumn(
+                "cosine_sim",
+                dot("v_a", "v_b", dim) / (F.col("n_a") * F.col("n_b")),
+            )
+            .filter(F.col("cosine_sim") >= F.lit(threshold))
+            .select("id_a", "id_b", "cosine_sim")
+        )
+        out = out.unionByName(star).distinct()
+    return out

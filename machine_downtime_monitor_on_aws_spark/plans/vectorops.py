@@ -110,7 +110,13 @@ WHERE {_cos_sql('a.v', 'c.v')} >= {_NEARDUP_THRESHOLD}
 def lsh_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH near-dup: hyperplane-sign buckets -> intra-bucket
     exact cosine >= 0.3. The scale path: bucket equi-join instead of
-    the quadratic cross product (approximate recall by design)."""
+    the quadratic cross product (approximate recall by design).
+
+    num_planes is pinned here (not derived from the corpus) because
+    the DuckDB oracle embeds the plane literals at registration time;
+    production callers pass ``num_planes=None`` to scale buckets with
+    corpus size, plus ``max_bucket_size`` to bound in-bucket quadratic
+    work (operators/similarity.py:recommended_num_planes)."""
     e = _emb(spark, sf_dir)
     return lsh_neardup_pairs(
         e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM,

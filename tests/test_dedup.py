@@ -1,0 +1,65 @@
+"""Dedup operator tests: LSH bucket-cap behavior under degenerate
+(boilerplate-duplicate) corpora — the 100 TB pathology from r1's
+verdict: an uncapped bucket holds O(B^2) pairs in one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+    candidate_pairs,
+    minhash_lsh_buckets,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, body string")
+
+
+def test_degenerate_bucket_capped_star(spark):
+    """1000 identical docs land in one bucket per band. With the cap,
+    the job must not build a half-million-struct row: each oversized
+    bucket emits O(B) star pairs keeping all docs in one component."""
+    n = 1000
+    docs = _corpus(
+        spark,
+        [(i, "the same boilerplate text repeated for every document") for i in range(n)],
+    )
+    buckets = minhash_lsh_buckets(docs, "doc_id", "body", parallelism=8)
+    pairs = candidate_pairs(buckets, max_bucket_size=64)
+    rows = pairs.collect()
+    # star shape: every doc pairs with the min-id representative once
+    assert len(rows) == n - 1
+    assert all(r.doc_a == 0 and r.doc_b != 0 for r in rows)
+    # connected component covers the whole corpus
+    members = {r.doc_b for r in rows} | {0}
+    assert members == set(range(n))
+
+
+def test_cap_no_effect_below_threshold(spark):
+    """For corpora whose buckets stay under the cap, capped and
+    uncapped results are identical (the oracle-checked path)."""
+    docs = _corpus(
+        spark,
+        [(i, f"unique document number {i} with shared tail words here") for i in range(40)]
+        + [(100 + i, "a duplicated body shared by a handful of docs") for i in range(5)],
+    )
+    buckets = minhash_lsh_buckets(docs, "doc_id", "body", parallelism=4)
+    capped = {tuple(r) for r in candidate_pairs(buckets, max_bucket_size=256).collect()}
+    uncapped = {tuple(r) for r in candidate_pairs(buckets, max_bucket_size=1 << 30).collect()}
+    assert capped == uncapped
+    assert capped  # non-trivial
+
+
+def test_minhash_shuffle_drops_fallback_text(spark):
+    """Docs with >= shingle_n tokens must carry NULL fallback text
+    through the exchange (the shuffle moves tokens, not bodies)."""
+    docs = _corpus(
+        spark,
+        [(1, "one two three four five six seven"), (2, "short doc")],
+    )
+    buckets = minhash_lsh_buckets(docs, "doc_id", "body", shingle_n=5)
+    # both docs produce bucket rows (short doc via whole-text fallback)
+    ids = {r.doc_id for r in buckets.select("doc_id").distinct().collect()}
+    assert ids == {1, 2}

@@ -1,0 +1,78 @@
+"""Vector-similarity operator tests: scale parameterization, bucket
+caps, and the expression-building safety fixes from r1 advice.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_downtime_monitor_on_aws_spark.functions.vectors import (
+    dot,
+    l2_norm,
+    validate_vec_dim,
+)
+from machine_downtime_monitor_on_aws_spark.operators.similarity import (
+    lsh_neardup_pairs,
+    recommended_num_planes,
+)
+
+
+def test_recommended_num_planes_scales_with_corpus():
+    assert recommended_num_planes(50) == 4          # tiny: floor
+    assert recommended_num_planes(64 * 16) == 4     # 2^4 buckets of ~64
+    assert recommended_num_planes(64 * 1024) == 10
+    assert recommended_num_planes(10**12) == 24     # clamped ceiling
+
+
+def test_lsh_cap_degrades_giant_bucket_to_star(spark):
+    """A cluster of identical vectors all lands in one bucket; with a
+    cap the pair count is O(B) (star), not O(B^2)."""
+    n = 200
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    pairs = lsh_neardup_pairs(
+        df, 0.9, 4, 4, max_bucket_size=50, parallelism=4
+    ).collect()
+    assert len(pairs) == n - 1
+    assert all(p.id_a == 0 for p in pairs)
+    assert all(p.cosine_sim == pytest.approx(1.0) for p in pairs)
+
+
+def test_lsh_cap_noop_for_small_buckets(spark):
+    rows = [(i, [float(i % 7 + 1), float(i % 3), 1.0, 0.5]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    capped = {tuple(r) for r in lsh_neardup_pairs(df, 0.5, 4, 4, max_bucket_size=256).collect()}
+    uncapped = {tuple(r) for r in lsh_neardup_pairs(df, 0.5, 4, 4).collect()}
+    assert capped == uncapped and capped
+
+
+def test_num_planes_none_derives_from_count(spark):
+    rows = [(i, [float(i), 1.0, 0.0, 0.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    out = lsh_neardup_pairs(df, 0.99, None, 4)
+    assert out.columns == ["id_a", "id_b", "cosine_sim"]
+    out.count()  # executes
+
+
+def test_backtick_column_names_escaped(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], "`a``b` array<double>, c array<double>"
+    )
+    got = df.select(dot("a`b", "c", dim=2).alias("d")).collect()[0].d
+    assert got == pytest.approx(11.0)
+
+
+def test_dim_zero_rejected():
+    with pytest.raises(ValueError):
+        dot("a", "b", dim=0)
+    with pytest.raises(ValueError):
+        l2_norm("a", dim=-1)
+
+
+def test_validate_vec_dim(spark):
+    ok = spark.createDataFrame([(1, [1.0, 2.0])], "id long, v array<double>")
+    validate_vec_dim(ok, "v", 2)
+    bad = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, v array<double>")
+    with pytest.raises(ValueError):
+        validate_vec_dim(bad, "v", 2)
