@@ -26,7 +26,6 @@ source - only `read_envelope_stream` changes.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -41,9 +40,10 @@ from ..operators.classify import (
     reportable_messages,
     to_real_time_rows,
 )
-from ..operators.latest import changed_rows, latest_by_key
+from ..operators.latest import latest_by_key
 from ..operators.normalize import normalize_stream, parse_envelopes
 from ..sources.lake import with_day_partitions
+from .store import KeyedParquetStore
 
 ENVELOPE_SCHEMA = "record_id STRING, partition_key STRING, arrival_ts DOUBLE, data STRING"
 
@@ -61,6 +61,46 @@ def read_envelope_stream(
     )
 
 
+def envelope_from_kafka_records(raw: DataFrame) -> DataFrame:
+    """Kafka wire records -> envelope rows.
+
+    ``raw`` carries Kafka's fixed source schema (key/value binary,
+    topic, partition, offset, timestamp); the JSON envelope rides in
+    ``value`` exactly as the reference's payload rides a Kinesis
+    record's ``data`` (filter-kinesis-stream/index.ts:39-52). Kept
+    separate from the source binding so the decode chain is testable
+    against the wire shape without a broker."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), ENVELOPE_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+def read_envelope_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int = 100_000,
+) -> DataFrame:
+    """Kafka envelope source (S1's cluster binding; Kinesis itself is
+    AWS-only - on a cluster the reference's stream maps to a Kafka
+    topic or a Kinesis-connector source with identical downstream
+    plumbing; real-time-processing-construct.ts:48-52).
+
+    T1 micro-batching: maxOffsetsPerTrigger bounds batch size the way
+    the reference caps its event-source-mapping batchSize. Requires
+    the spark-sql-kafka package on the cluster classpath."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .load()
+    )
+    return envelope_from_kafka_records(raw)
+
+
 @dataclass
 class IngestSinks:
     """Where the fan-out lands (local-dir realization; swap paths for
@@ -68,11 +108,17 @@ class IngestSinks:
 
     realtime_path: str
     archive_path: str | None = None
-    snapshot_path: str | None = None  # latest-status store
+    snapshot_path: str | None = None  # latest-status keyed upsert store
+    snapshot_buckets: int = 64  # key-hash partitions of the store; size
+    # so one bucket's contents fit an executor (store.py docstring)
     rejects_path: str | None = None  # quarantine (strictly better than
     # the reference, which only logs rejects - index.ts:86-90)
-    change_feed: list = field(default_factory=list)  # collected deltas (test sink;
-    # deltas are one row per changed machine, driver-safe by construction)
+    change_feed_path: str | None = None  # durable delta sink (parquet
+    # append): the S11/T3 change feed a downstream subscriber tails
+    change_feed: list | None = field(default_factory=list)  # TEST
+    # observability sink: per-batch deltas (changed machines only, so
+    # driver-safe) collected to a list; pass None in production and
+    # tail change_feed_path instead
 
 
 def run_ingest_stream(
@@ -120,39 +166,30 @@ def run_ingest_stream(
             sinks.realtime_path
         )
 
-        # (b) latest-status + change-only emission (A1/T3): compare to
-        # the prior snapshot, emit deltas, persist the new snapshot
+        # (b) latest-status + change-only emission (A1/T3): keyed
+        # upsert store - merge touches ONLY the key-hash buckets the
+        # batch hits (partition-pruned; O(batch), never O(snapshot)) -
+        # and the returned deltas ARE the change feed.
         status_msgs = reportable.filter(F.col("msg_type") == "STATUS")
         latest = latest_by_key(
             status_msgs, ["machine_id"], "event_epoch", ["status"]
         ).select("machine_id", "status", F.col("event_epoch").alias("status_epoch"))
         if sinks.snapshot_path:
-            sess = batch_df.sparkSession
-            if os.path.isdir(sinks.snapshot_path) and any(
-                f.endswith(".parquet")
-                for _, _, fs in os.walk(sinks.snapshot_path)
-                for f in fs
-            ):
-                prior = sess.read.parquet(sinks.snapshot_path)
-                deltas = changed_rows(latest, prior, ["machine_id"], "status")
-                merged = (
-                    prior.join(latest.select("machine_id"), "machine_id", "left_anti")
-                    .unionByName(latest)
-                )
-            else:
-                deltas = latest
-                merged = latest
-            delta_rows = [r.asDict() for r in deltas.collect()]
-            sinks.change_feed.extend(
-                sorted(delta_rows, key=lambda r: r["machine_id"])
+            store = KeyedParquetStore(
+                sinks.snapshot_path, "machine_id", sinks.snapshot_buckets
             )
-            tmp = sinks.snapshot_path.rstrip("/") + "__next"
-            merged.write.mode("overwrite").parquet(tmp)
-            import shutil
-
-            if os.path.isdir(sinks.snapshot_path):
-                shutil.rmtree(sinks.snapshot_path)
-            shutil.move(tmp, sinks.snapshot_path)
+            deltas = store.upsert(latest, compare_col="status")
+            if sinks.change_feed_path:
+                deltas.withColumn("__epoch_id", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(sinks.change_feed_path)
+            if sinks.change_feed is not None:
+                # test-only observability: deltas are one row per
+                # *changed* machine, driver-safe by construction
+                delta_rows = [r.asDict() for r in deltas.collect()]
+                sinks.change_feed.extend(
+                    sorted(delta_rows, key=lambda r: r["machine_id"])
+                )
 
     return (
         source.writeStream.foreachBatch(process_batch)
@@ -170,7 +207,10 @@ def streaming_latest_status(
     row per machine; update-mode output IS the change feed (a row is
     emitted only when its aggregate changes). This is the
     order-insensitive upgrade over the reference's per-batch sort
-    (T5): late rows can never regress the status."""
+    (T5): late rows can never regress the status.
+
+    Memory sink = inspection/tests; the durable twin is
+    :func:`streaming_latest_status_durable`."""
     agg = source_messages.groupBy("machine_id").agg(
         F.max_by("status", F.col("event_epoch")).alias("status"),
         F.max("event_epoch").alias("status_epoch"),
@@ -179,6 +219,44 @@ def streaming_latest_status(
         agg.writeStream.outputMode("update")
         .format("memory")
         .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def streaming_latest_status_durable(
+    source_messages: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    num_buckets: int = 64,
+    change_feed_path: str | None = None,
+) -> StreamingQuery:
+    """The durable realization of T2/T3: the update-mode aggregate's
+    changed rows land in a :class:`KeyedParquetStore` every batch
+    (partition-pruned upsert), optionally appending deltas to a
+    change-feed parquet a subscriber can tail.
+
+    update-mode + foreachBatch hands each batch exactly the aggregate
+    rows that changed - the store merge then costs O(changed keys),
+    and the state store (one row per machine) guards event-time
+    ordering across batches."""
+    store = KeyedParquetStore(store_path, "machine_id", num_buckets)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        deltas = store.upsert(batch_df, compare_col="status")
+        if change_feed_path:
+            deltas.withColumn("__epoch_id", F.lit(epoch_id)).write.mode(
+                "append"
+            ).parquet(change_feed_path)
+
+    agg = source_messages.groupBy("machine_id").agg(
+        F.max_by("status", F.col("event_epoch")).alias("status"),
+        F.max("event_epoch").alias("status_epoch"),
+    )
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,110 @@
+"""Keyed upsert store: bucket-partitioned parquet with
+partition-pruned merge.
+
+Replaces r1's read-everything / rewrite-everything latest-status
+snapshot (VERDICT.md "What's wrong" #4): the reference's equivalent is
+a per-key DynamoDB upsert (filter-kinesis-stream/index.ts:146-191),
+which must not cost O(snapshot) per micro-batch.
+
+Layout: parquet partitioned by ``__kb = pmod(xxhash64(key), N)``. An
+upsert batch touches only the buckets its keys hash into:
+
+1. the batch's distinct bucket ids are collected (bounded by N, never
+   by data size);
+2. ONLY those bucket partitions are read back (partition pruning -
+   the scan lists just the touched directories);
+3. merge = prior \\ batch-keys + batch (anti-join + union), written
+   with dynamic partition overwrite, so untouched buckets are never
+   read or rewritten.
+
+Per-batch cost is O(batch + touched-bucket contents) regardless of
+total store size. Choose N so a bucket's contents fit an executor
+comfortably: N=4096 at 10^9 keys is ~250k rows/bucket.
+
+On a cluster with a transactional table format available, the same
+plan shape is Delta/Iceberg ``MERGE INTO`` with the table bucketed on
+the key; this class is the dependency-free realization. Crash safety:
+dynamic partition overwrite stages files and commits per partition -
+a crash can leave *a touched bucket* stale/partial, never the whole
+store gone (r1's rmtree+move had a whole-store window); the streaming
+checkpoint replays the offending batch, and replaying an upsert is
+idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.latest import changed_rows
+
+_BUCKET_COL = "__kb"
+
+
+@dataclass
+class KeyedParquetStore:
+    path: str
+    key_col: str
+    num_buckets: int = 64
+
+    def _bucket(self) -> Column:
+        return F.pmod(
+            F.xxhash64(F.col(self.key_col).cast("string")), F.lit(self.num_buckets)
+        ).cast("int")
+
+    def exists(self) -> bool:
+        if not os.path.isdir(self.path):
+            return False
+        for _, _, files in os.walk(self.path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Full store contents (no bucket column)."""
+        return spark.read.parquet(self.path).drop(_BUCKET_COL)
+
+    def upsert(self, updates: DataFrame, compare_col: str | None = None) -> DataFrame:
+        """Merge ``updates`` (one row per key) into the store; returns
+        the delta rows (keys that are new or whose ``compare_col``
+        changed; all update rows when ``compare_col`` is None).
+
+        The returned deltas are materialized (localCheckpoint) BEFORE
+        the overwrite - both so their lineage doesn't re-read
+        post-write state and so the merge plan may legally write to
+        the path it read from. The checkpoint holds only batch-sized
+        and touched-bucket-sized data.
+        """
+        spark = updates.sparkSession
+        u = updates.withColumn(_BUCKET_COL, self._bucket())
+        if self.exists():
+            touched = [
+                r[0] for r in u.select(_BUCKET_COL).distinct().collect()
+            ]  # bounded by num_buckets, not by data
+            prior = spark.read.parquet(self.path).filter(
+                F.col(_BUCKET_COL).isin(touched)
+            )  # partition-pruned scan: only touched bucket dirs are listed
+            if compare_col is not None:
+                deltas = changed_rows(
+                    updates, prior.drop(_BUCKET_COL), [self.key_col], compare_col
+                )
+            else:
+                deltas = updates
+            merged = prior.join(
+                u.select(self.key_col), self.key_col, "left_anti"
+            ).unionByName(u)
+        else:
+            deltas = updates
+            merged = u
+        deltas = deltas.localCheckpoint(eager=True)
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(_BUCKET_COL)
+            .parquet(self.path)
+        )
+        return deltas

@@ -1,0 +1,94 @@
+"""KeyedParquetStore: partition-pruned upsert semantics and the
+O(batch)-not-O(snapshot) merge property (r1 verdict item #4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from machine_downtime_monitor_on_aws_spark.streaming.store import KeyedParquetStore
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "machine_id string, status string, status_epoch long"
+    )
+
+
+def test_upsert_merge_and_deltas(spark, tmp_path):
+    store = KeyedParquetStore(str(tmp_path / "st"), "machine_id", num_buckets=8)
+
+    d1 = store.upsert(
+        _df(spark, [("m1", "UP", 10), ("m2", "DOWN", 10)]), compare_col="status"
+    )
+    assert {(r.machine_id, r.status) for r in d1.collect()} == {
+        ("m1", "UP"),
+        ("m2", "DOWN"),
+    }
+
+    # m1 changes, m2 unchanged (newer epoch), m3 new
+    d2 = store.upsert(
+        _df(spark, [("m1", "DOWN", 20), ("m2", "DOWN", 20), ("m3", "UP", 20)]),
+        compare_col="status",
+    )
+    assert {(r.machine_id, r.status) for r in d2.collect()} == {
+        ("m1", "DOWN"),
+        ("m3", "UP"),
+    }
+
+    snap = {r.machine_id: (r.status, r.status_epoch) for r in store.read(spark).collect()}
+    assert snap == {"m1": ("DOWN", 20), "m2": ("DOWN", 20), "m3": ("UP", 20)}
+
+
+def test_upsert_touches_only_affected_buckets(spark, tmp_path):
+    """The scale property: upserting one key must not read or rewrite
+    buckets it doesn't hash into. Proven at the filesystem level -
+    untouched bucket partitions keep their exact files (names, sizes,
+    mtimes)."""
+    path = str(tmp_path / "st")
+    store = KeyedParquetStore(path, "machine_id", num_buckets=16)
+    seed = _df(spark, [(f"m{i}", "UP", 1) for i in range(200)])
+    store.upsert(seed, compare_col="status")
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if not d.startswith("__kb="):
+                continue
+            full = os.path.join(path, d)
+            out[d] = {
+                (f, os.path.getmtime(os.path.join(full, f)), os.path.getsize(os.path.join(full, f)))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            }
+        return out
+
+    before = bucket_files()
+    assert len(before) > 4  # keys spread over several buckets
+
+    store.upsert(_df(spark, [("m7", "DOWN", 2)]), compare_col="status")
+    after = bucket_files()
+
+    target = store._bucket()
+    [kb] = [
+        r[0]
+        for r in spark.createDataFrame([("m7",)], "machine_id string")
+        .select(target)
+        .collect()
+    ]
+    touched = f"__kb={kb}"
+    changed = {d for d in before if before[d] != after.get(d)}
+    assert changed == {touched}, f"buckets rewritten: {changed}, expected only {touched}"
+    # and the merge preserved the touched bucket's other keys
+    snap = {r.machine_id: r.status for r in store.read(spark).collect()}
+    assert snap["m7"] == "DOWN" and len(snap) == 200
+
+
+def test_upsert_without_compare_col_returns_all(spark, tmp_path):
+    store = KeyedParquetStore(str(tmp_path / "st"), "machine_id", num_buckets=4)
+    store.upsert(_df(spark, [("a", "UP", 1)]))
+    d = store.upsert(_df(spark, [("a", "UP", 2)]))
+    assert [r.machine_id for r in d.collect()] == ["a"]
+    assert store.read(spark).collect()[0].status_epoch == 2

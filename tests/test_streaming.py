@@ -31,6 +31,7 @@ from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
     read_envelope_stream,
     run_ingest_stream,
     streaming_latest_status,
+    streaming_latest_status_durable,
 )
 
 FMT = MessageFormat(
@@ -175,6 +176,123 @@ def test_streaming_latest_status_update_mode(spark, tmp_path):
     out = {r.machine_id: r for r in spark.sql("SELECT * FROM ls_test").collect()}
     assert out["m1"].status == "UP" and out["m1"].status_epoch == 100
     assert out["m2"].status == "IDLE"
+
+
+def test_kafka_wire_decode_chain(spark, tmp_path):
+    """S1 Kafka binding: the envelope decode runs against Kafka's wire
+    schema (binary value) end-to-end through normalize. The broker
+    binding itself can't run in-sandbox; this pins the record-shape
+    contract the binding feeds."""
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        envelope_from_kafka_records,
+    )
+
+    inner = {"machineId": "site/a/p/m9", "timestamp": 1717240000000, "value": "UP"}
+    envelope = {
+        "record_id": "r1",
+        "partition_key": "site/a/p/m9",
+        "arrival_ts": 1717240000.5,
+        "data": base64.b64encode(json.dumps(inner).encode()).decode(),
+    }
+    src_dir = str(tmp_path / "kafka_wire")
+    os.makedirs(src_dir)
+    # kafka's fixed source schema, value carrying the envelope JSON as
+    # bytes (the JSON file source materializes binary from base64 -
+    # conveniently exactly "bytes on the wire")
+    wire = {
+        "key": None,
+        "value": base64.b64encode(json.dumps(envelope).encode()).decode(),
+        "topic": "machine-events",
+        "partition": 0,
+        "offset": 0,
+    }
+    with open(os.path.join(src_dir, "a.jsonl"), "w") as f:
+        f.write(json.dumps(wire))
+    raw = spark.readStream.schema(
+        "key binary, value binary, topic string, partition int, offset long"
+    ).json(src_dir)
+    envelopes = envelope_from_kafka_records(raw)
+    assert envelopes.isStreaming
+    assert [f.name for f in envelopes.schema.fields] == [
+        "record_id", "partition_key", "arrival_ts", "data",
+    ]
+    q = (
+        envelopes.writeStream.format("memory")
+        .queryName("kafka_wire_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kafka_wire_test").collect()
+    assert len(rows) == 1 and rows[0].record_id == "r1"
+    assert json.loads(base64.b64decode(rows[0].data))["machineId"] == "site/a/p/m9"
+
+
+def test_kafka_source_construction_reaches_resolution(spark):
+    """read_envelope_stream_kafka builds a kafka-format streaming
+    plan. In-sandbox the connector jar is absent, so resolution must
+    fail ON THE KAFKA SOURCE (proving the format path is wired);
+    with the package present the same call yields a streaming DF."""
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        read_envelope_stream_kafka,
+    )
+
+    try:
+        df = read_envelope_stream_kafka(spark, "localhost:9092", "machine-events")
+    except Exception as e:  # connector not on classpath
+        msg = str(e).lower()
+        assert "kafka" in msg, f"failure unrelated to kafka source: {e}"
+    else:
+        assert df.isStreaming
+
+
+def test_streaming_latest_status_durable_store(spark, tmp_path):
+    """The durable T2/T3 realization: update-mode changes land in the
+    keyed parquet store; the change-feed parquet receives only deltas."""
+    src_dir = str(tmp_path / "msgs")
+    os.makedirs(src_dir)
+    rows = [
+        {"machine_id": "m1", "status": "UP", "event_epoch": 100},
+        {"machine_id": "m2", "status": "IDLE", "event_epoch": 10},
+    ]
+    with open(os.path.join(src_dir, "a.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("machine_id string, status string, event_epoch long")
+        .json(src_dir)
+    )
+    store_path = str(tmp_path / "store")
+    feed_path = str(tmp_path / "feed")
+    q = streaming_latest_status_durable(
+        stream, store_path, str(tmp_path / "ckpt"), num_buckets=8,
+        change_feed_path=feed_path,
+    )
+    q.awaitTermination(120)
+
+    from machine_downtime_monitor_on_aws_spark.streaming.store import KeyedParquetStore
+
+    snap = {
+        r.machine_id: r.status
+        for r in KeyedParquetStore(store_path, "machine_id", 8).read(spark).collect()
+    }
+    assert snap == {"m1": "UP", "m2": "IDLE"}
+
+    # second run: one machine changes - feed gains exactly one delta row
+    with open(os.path.join(src_dir, "b.jsonl"), "w") as f:
+        f.write(json.dumps({"machine_id": "m1", "status": "DOWN", "event_epoch": 200}))
+    q2 = streaming_latest_status_durable(
+        stream, store_path, str(tmp_path / "ckpt"), num_buckets=8,
+        change_feed_path=feed_path,
+    )
+    q2.awaitTermination(120)
+    feed = spark.read.parquet(feed_path)
+    deltas2 = feed.filter(F.col("machine_id") == "m1").collect()
+    assert {r.status for r in deltas2} == {"UP", "DOWN"}  # initial + change
+    snap = {
+        r.machine_id: r.status
+        for r in KeyedParquetStore(store_path, "machine_id", 8).read(spark).collect()
+    }
+    assert snap["m1"] == "DOWN"
 
 
 def test_watermarked_window_agg(spark, tmp_path):
