@@ -67,11 +67,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in HEADLINE:
+
+    def time_query(name: str, n_runs: int) -> float:
         fn = qs[name]
         best = float("inf")
         n = 0
-        for _ in range(runs):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -79,9 +80,18 @@ def main() -> None:
             # drop per-query persisted relations (LSH buckets) so
             # cached state never bleeds into the next measurement
             spark.catalog.clearCache()
+        print(f"# {name}: {n} rows in {best:.2f}s (best of {n_runs})", file=sys.stderr)
+        return best
+
+    for name in HEADLINE:
+        best = time_query(name, runs)
         timings[name] = round(best, 3)
         total += best
-        print(f"# {name}: {n} rows in {best:.2f}s (best of {runs})", file=sys.stderr)
+
+    # every non-headline catalog query once: regressions outside the
+    # headline set stay visible round-over-round (r1 item #10)
+    for name in sorted(set(qs) - set(HEADLINE)):
+        timings[name] = round(time_query(name, 1), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -91,6 +101,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "total_all_queries": round(sum(timings.values()), 3),
+                "n_queries": len(timings),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -60,6 +60,36 @@ def machine_config_df(spark: SparkSession, configs: list[MachineConfig]) -> Data
     return spark.createDataFrame(rows, CONFIG_SCHEMA)
 
 
+def machine_config_from_ids(
+    ids: DataFrame,
+    id_col: str = "machine_id",
+    status_tag: str | None = None,
+    production_count_tag: str | None = None,
+    up_values: tuple[str, ...] = (),
+    down_values: tuple[str, ...] = (),
+    idle_values: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distributed config synthesis: one config row per id in ``ids``
+    with shared (literal) settings - for config universes keyed by the
+    machine-id set itself. No driver collect: the id set stays a
+    DataFrame however many machines exist (r1 "What's wrong" #5
+    flagged the collect-based synthesis in the catalog)."""
+
+    def arr(vals: tuple[str, ...]):
+        if not vals:
+            return F.lit(None).cast("array<string>")
+        return F.array(*[F.lit(v.strip()) for v in vals])
+
+    return ids.select(
+        F.col(id_col).cast("string").alias("machine_id"),
+        F.lit(status_tag).cast("string").alias("status_tag"),
+        F.lit(production_count_tag).cast("string").alias("production_count_tag"),
+        arr(up_values).alias("up_values"),
+        arr(down_values).alias("down_values"),
+        arr(idle_values).alias("idle_values"),
+    )
+
+
 def classify_messages(messages: DataFrame, config: DataFrame) -> DataFrame:
     """LEFT-join config and add ``is_status_msg`` / ``is_production_msg``
     / ``status`` / ``msg_type`` columns.

@@ -220,10 +220,92 @@ def jaccard_verified_pairs(
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash rendered as a 16-char hex string, built from the
+    first 16 hex digits of each token's md5 - every primitive (md5,
+    split, integer arithmetic) is engine-portable, so this variant
+    carries an exact DuckDB oracle (r1 next-round item #7; the
+    xxhash64 variant below stays as the cheaper Spark-native path).
+
+    bit b (b = 4*j + k, hex digit j, intra-digit weight 2^k) votes
+    +1/-1 per token by digit arithmetic ((d // 2^k) % 2); votes > 0
+    set the bit; each output hex char re-encodes 4 decided bits. A
+    string fingerprint sidesteps signed-64 overflow on bit 63 in
+    engines without unsigned bigints.
+    """
+    hexmap = F.array(*[F.lit(c) for c in _HEX])
+    digs = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.transform(
+            F.slice(F.split(F.md5(t), ""), 1, 16),
+            lambda c: F.array_position(hexmap, c) - 1,
+        ),
+    )
+    d = df.select(F.col(id_col).alias("doc_id"), digs.alias("__digs"))
+
+    def vote(b: int):
+        j, k = b // 4, b % 4
+        weight = 2**k
+
+        def step(acc, dd):
+            bit = F.floor(F.element_at(dd, j + 1) / F.lit(weight)) % 2
+            return acc + (F.lit(2) * bit - F.lit(1))
+
+        return F.aggregate(F.col("__digs"), F.lit(0).cast("long"), step)
+
+    voted = d.select(
+        "doc_id", *[vote(b).alias(f"__v{b}") for b in range(64)]
+    )
+    chars = []
+    for j in range(16):
+        val = F.lit(0)
+        for k in range(4):
+            val = val + F.when(F.col(f"__v{4 * j + k}") > 0, 2**k).otherwise(0)
+        chars.append(F.element_at(hexmap, (val + 1).cast("int")))
+    return voted.select("doc_id", F.concat(*chars).alias("simhash"))
+
+
+def simhash_md5_oracle_sql(tokens_sql: str, table: str = "documents") -> str:
+    """The DuckDB twin of :func:`simhash_md5`, generated from the same
+    bit layout so the two can never drift independently.
+    ``tokens_sql`` must be the oracle fragment matching
+    functions.text.tokens (plans/textops.py keeps them in lockstep).
+    coalesce(.,0) mirrors Spark's fold-over-empty-array = 0 (DuckDB's
+    list_sum([]) is NULL)."""
+    digs = (
+        f"list_transform({tokens_sql}, t -> list_transform(range(1, 17), "
+        "j -> instr('0123456789abcdef', substring(md5(t), CAST(j AS INT), 1)) - 1))"
+    )
+    votes = []
+    for b in range(64):
+        j, k = b // 4, b % 4
+        votes.append(
+            f"coalesce(list_sum(list_transform(digs, d -> "
+            f"2*((d[{j + 1}] // {2**k}) % 2) - 1)), 0) AS v{b}"
+        )
+    chars = []
+    for j in range(16):
+        val = " + ".join(
+            f"(CASE WHEN v{4 * j + k} > 0 THEN {2**k} ELSE 0 END)" for k in range(4)
+        )
+        chars.append(f"substring('0123456789abcdef', 1 + ({val}), 1)")
+    concat = " || ".join(chars)
+    return f"""
+WITH d0 AS (SELECT doc_id, {digs} AS digs FROM {table}),
+v AS (SELECT doc_id, {", ".join(votes)} FROM d0)
+SELECT doc_id, {concat} AS simhash FROM v
+"""
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens using xxhash64
     (Spark-native; rows-only correctness check - xxhash64 isn't
-    portable to the oracle).
+    portable to the oracle). :func:`simhash_md5` is the
+    oracle-portable twin; this one skips the md5 string round-trip
+    and is the cheaper choice when cross-engine parity isn't needed.
 
     bit b of the fingerprint = sign of sum over tokens of
     (+1 if token_hash bit b else -1).

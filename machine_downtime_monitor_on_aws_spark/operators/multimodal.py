@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from dataclasses import dataclass
+from typing import Protocol
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -43,31 +45,85 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    """Codec stub. Real decode needs PIL/ffmpeg (not in container).
+class MediaCodec(Protocol):
+    """The codec seam: what a real decoder must implement to plug into
+    :func:`extract_features`.
 
-    ``fake=True`` yields a deterministic 8-dim pseudo-feature from the
-    payload digest so the full pipeline is testable end-to-end.
+    Contract:
+    - ``feature_dim``: fixed output dimension; every decode returns
+      exactly this many doubles (enforced by the pipeline's tests);
+    - ``decode(payload, mime)``: pure function of its inputs (same
+      payload -> same feature; the pipeline may retry tasks), must
+      accept ``payload=None`` (missing media), must not hold
+      references across calls (one Arrow batch of payloads is in
+      memory at a time - the per-task memory bound is
+      max_batch_rows x max_payload_bytes plus the codec's own
+      working set).
+
+    Instances are pickled to executors: keep them stateless or
+    cheaply serializable.
     """
-    if not fake:
+
+    feature_dim: int
+
+    def decode(self, payload: bytes | None, mime: str | None) -> list[float]: ...
+
+
+@dataclass(frozen=True)
+class FakeDigestCodec:
+    """Deterministic stand-in codec: feature = first ``feature_dim``
+    md5 digest bytes / 255. Lets the full Spark-side pipeline (schema,
+    batching, partitioning) run and be golden-tested in environments
+    without image/audio libraries."""
+
+    feature_dim: int = 8
+
+    def decode(self, payload: bytes | None, mime: str | None = None) -> list[float]:
+        d = hashlib.md5(payload or b"").digest()
+        return [b / 255.0 for b in d[: self.feature_dim]]
+
+
+@dataclass(frozen=True)
+class UnavailableCodec:
+    """Explicit stub for the real decode path: the image/audio
+    libraries (PIL/ffmpeg) are not in this container. A real
+    deployment drops in any MediaCodec implementation; the Spark
+    plumbing does not change."""
+
+    feature_dim: int = 0
+
+    def decode(self, payload: bytes | None, mime: str | None = None) -> list[float]:
         raise NotImplementedError(
             "image/audio codecs not available in this environment; "
-            "pass fake=True for the deterministic test feature"
+            "plug in a MediaCodec implementation (or FakeDigestCodec for tests)"
         )
-    d = hashlib.md5(payload or b"").digest()
-    return [b / 255.0 for b in d[:8]]
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads.
+def decode_image(payload: bytes, fake: bool = False) -> list[float]:
+    """Back-compat shim over the codec seam (r1 API)."""
+    codec = FakeDigestCodec() if fake else UnavailableCodec()
+    return codec.decode(payload)
+
+
+def extract_features(
+    df: DataFrame, fake: bool = True, codec: MediaCodec | None = None
+) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads through a
+    pluggable :class:`MediaCodec`.
 
     Iterator-of-batches signature: each Arrow batch becomes a pandas
-    DataFrame; output rows stream back batch-by-batch.
+    DataFrame; output rows stream back batch-by-batch, so peak task
+    memory is one batch of payloads (bound it upstream with
+    :func:`repartition_by_payload` + arrow maxRecordsPerBatch), never
+    the whole partition.
     """
+    if codec is None:
+        codec = FakeDigestCodec() if fake else UnavailableCodec()
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            mimes = pdf["mime"] if "mime" in pdf else pd.Series([None] * len(pdf))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -76,7 +132,9 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                     "digest": payloads.map(
                         lambda p: hashlib.md5(p or b"").hexdigest()
                     ),
-                    "feature": payloads.map(lambda p: decode_image(p, fake=fake)),
+                    "feature": [
+                        codec.decode(p, m) for p, m in zip(payloads, mimes)
+                    ],
                 }
             )
 

@@ -553,18 +553,40 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ingest_normalize_classify", oracle=None)
+@register(
+    "ingest_normalize_classify",
+    oracle="""
+SELECT 'STATUS_plant/area/cell/m' || CAST(user_id AS VARCHAR) AS id,
+       'plant/area/cell/m' || CAST(user_id AS VARCHAR) AS machine_id,
+       'STATUS' AS msg_type,
+       CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS message_timestamp,
+       CAST(floor(epoch(date_trunc('second', ts))) + 86400 AS BIGINT) AS ttl_expiration_ts,
+       CASE event_type WHEN 'error' THEN 'DOWN'
+                       WHEN 'signup' THEN 'IDLE'
+                       ELSE 'UP' END AS value
+FROM events
+""",
+)
 def ingest_normalize_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SS3.1 ingest hot path as a catalog entry: synthesize
     base64 envelope records from events rows (Spark-side), then run
     the full decode -> format-probe -> explode -> broadcast-config
-    join -> classify -> real-time-row chain. Rows-only check (the
-    envelope synthesis isn't portable SQL); the per-stage semantics
-    are oracle-/golden-covered by the parser and classifier tests."""
-    from ..config import MachineConfig, MessageFormat
+    join -> classify -> real-time-row chain.
+
+    The oracle states the END state directly from events (the
+    synthesize->encode->decode->parse round-trip must be the
+    identity): every event becomes one reportable STATUS row whose
+    epoch is the second-truncated ts (the envelope's timestamp string
+    has second precision) and whose status maps through the up/down/
+    idle lists - so a parse, classify, or TTL bug anywhere in the
+    chain breaks the hash.
+
+    Machine configs are synthesized distributively from the distinct
+    machine-id set (machine_config_from_ids) - no driver collect."""
+    from ..config import MessageFormat
     from ..operators.classify import (
         classify_messages,
-        machine_config_df,
+        machine_config_from_ids,
         reportable_messages,
         to_real_time_rows,
     )
@@ -593,22 +615,17 @@ def ingest_normalize_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(payload.cast("binary")).alias("data"),
     )
     messages = normalize_stream(envelopes, [fmt], keep_cols=["record_id"])
-    machines = (
-        ev.select(F.col("user_id")).distinct()
-        .select(
-            F.concat(F.lit("plant/area/cell/m"), F.col("user_id").cast("string")).alias("machine_id")
-        )
-        .collect()
+    machine_ids = ev.select(
+        F.concat(
+            F.lit("plant/area/cell/m"), F.col("user_id").cast("string")
+        ).alias("machine_id")
+    ).distinct()
+    config = machine_config_from_ids(
+        machine_ids,
+        status_tag="state",
+        up_values=("click", "view", "purchase"),
+        down_values=("error",),
+        idle_values=("signup",),
     )
-    configs = [
-        MachineConfig(
-            id=r.machine_id,
-            status_tag="state",
-            status_up_values="click, view, purchase",
-            status_down_values="error",
-            status_idle_values="signup",
-        )
-        for r in machines
-    ]
-    classified = classify_messages(messages, machine_config_df(spark, configs))
+    classified = classify_messages(messages, config)
     return to_real_time_rows(reportable_messages(classified))

@@ -26,7 +26,8 @@ from ..operators.dedup import (
     exact_dedup_groups,
     jaccard_verified_pairs,
     minhash_lsh_buckets,
-    simhash64,
+    simhash_md5,
+    simhash_md5_oracle_sql,
 )
 from ..session import pin_utc
 from ..tables import load_table
@@ -277,11 +278,16 @@ def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verified_pairs(d, pairs, "doc_id", "text", 0.5, _SHINGLE_N)
 
 
-@register("simhash_fingerprints", oracle=None)
+@register(
+    "simhash_fingerprints",
+    oracle=simhash_md5_oracle_sql(_TOKENS_SQL),
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (xxhash64-based; Spark-native hash
-    so no SQL oracle - driver runs the rows-only check)."""
-    return simhash64(_docs(spark, sf_dir), "doc_id", "text")
+    """64-bit SimHash fingerprints via the md5-based portable scheme
+    (hex-string output) - oracle-exact in DuckDB; r1's xxhash64
+    variant remains in operators/dedup.py as the Spark-native fast
+    path for parity-free use."""
+    return simhash_md5(_docs(spark, sf_dir), "doc_id", "text")
 
 
 def _marker_count_sql(lang: str) -> str:

@@ -1,0 +1,87 @@
+"""Multimodal codec-seam contract and skew-bounded partitioning
+(r1 next-round item #9).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_downtime_monitor_on_aws_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    FakeDigestCodec,
+    UnavailableCodec,
+    extract_features,
+    repartition_by_payload,
+)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_custom_codec_pluggable(spark):
+    class _MimeAwareCodec:
+        """Custom MediaCodec implementation: proves the seam accepts
+        any conforming object and that mime reaches decode. Defined
+        in-function so cloudpickle ships it by value (a test-module
+        class would be pickled by reference the executor can't
+        import - real codecs live in installed packages)."""
+
+        feature_dim = 2
+
+        def decode(self, payload, mime=None):
+            return [float(len(payload or b"")), float(1 if mime == "image/png" else 0)]
+
+    df = _media(
+        spark,
+        [
+            (1, "image", "image/png", bytearray(b"abcd"), 2, 2, None),
+            (2, "image", "image/jpeg", bytearray(b"xy"), 2, 2, None),
+        ],
+    )
+    feats = {r.media_id: r.feature for r in extract_features(df, codec=_MimeAwareCodec()).collect()}
+    assert feats[1] == [4.0, 1.0]
+    assert feats[2] == [2.0, 0.0]
+
+
+def test_codec_determinism_and_dim(spark):
+    codec = FakeDigestCodec(feature_dim=6)
+    df = _media(spark, [(1, "image", None, bytearray(b"payload"), None, None, None)])
+    out1 = extract_features(df, codec=codec).collect()[0]
+    out2 = extract_features(df, codec=codec).collect()[0]
+    assert out1.feature == out2.feature and len(out1.feature) == 6
+    # pure-python contract check, no Spark: None payload OK
+    assert len(codec.decode(None)) == 6
+
+
+def test_unavailable_codec_raises_through_pipeline(spark):
+    df = _media(spark, [(1, "image", None, bytearray(b"x"), None, None, None)])
+    with pytest.raises(Exception, match="codecs not available"):
+        extract_features(df, codec=UnavailableCodec()).collect()
+
+
+def test_repartition_bounds_skewed_payloads(spark):
+    """100:1 payload skew: partition count must follow total bytes and
+    no partition may hold more than target + one max-size payload (a
+    single row is unsplittable - that's the floor)."""
+    big = bytearray(b"B" * 1_000_000)  # 1 MB
+    small = bytearray(b"s" * 10_000)  # 10 KB
+    rows = [(0, "video", "video/mp4", big, None, None, 1000)] + [
+        (i, "image", "image/png", small, 2, 2, None) for i in range(1, 101)
+    ]
+    df = _media(spark, rows)
+    target = 256 * 1024
+    out = repartition_by_payload(df, target_bytes=target)
+    total = 1_000_000 + 100 * 10_000
+    assert out.rdd.getNumPartitions() == max(1, total // target)
+
+    sizes = (
+        out.withColumn("__sz", F.coalesce(F.octet_length("payload"), F.lit(0)))
+        .withColumn("__p", F.spark_partition_id())
+        .groupBy("__p")
+        .agg(F.sum("__sz").alias("bytes"))
+        .collect()
+    )
+    bound = target + 1_000_000
+    assert all(r.bytes <= bound for r in sizes), sorted(r.bytes for r in sizes)
