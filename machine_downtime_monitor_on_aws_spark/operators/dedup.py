@@ -202,11 +202,21 @@ def jaccard_verified_pairs(
     shingle_n: int = 5,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs; keeps pairs with
-    similarity >= threshold. Joins shingle sets (arrays) only for
-    candidates - the expensive set ops never touch non-candidates."""
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    similarity >= threshold. Shingle sets are computed only for docs
+    that appear in some candidate pair (semi-join first): at 100 TB
+    the candidate set is a sliver of the corpus, and shingling is the
+    expensive projection - don't run it on non-candidates."""
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("__cid"))
+        .unionByName(pairs.select(F.col("doc_b").alias("__cid")))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, F.col(id_col) == F.col("__cid"), "left_semi")
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        )
     )
     pa = pairs.join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sh", "sh_a"), "doc_a")
     pab = pa.join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sh", "sh_b"), "doc_b")

@@ -91,38 +91,42 @@ def _json_path_escape(key: str) -> str:
 
 
 def _format_candidate(v: Column, fmt: MessageFormat) -> tuple[Column, Column]:
-    """(valid?, extracted messages array) for one format config."""
+    """(valid?, raw extracted messages array) for one format config.
+
+    Extraction pulls only the raw STRINGS (alias/value/quality/raw
+    timestamp) out of the variant; everything derivable from them
+    (machine_id, tag, parsed timestamp, epoch) moves to
+    :func:`explode_messages`, where the Generate node is a
+    CollapseProject barrier. Before this split, validity + extraction
+    + post-explode field projection collapsed into ONE projection with
+    ~255 try_variant_get and 30 try_to_timestamp evaluations per
+    record (measured, r2); now a record costs ~2x4 gets and ~2 parses
+    pre-explode plus 2 parses post-explode.
+    """
     msgs = F.try_variant_get(v, f"$.{_json_path_escape(fmt.messages_key)}", "array<variant>")
 
-    def msg_valid(m: Column) -> Column:
-        alias = _msg_field(m, fmt.alias_key)
-        ts = F.try_to_timestamp(_msg_field(m, fmt.timestamp_key), F.lit(fmt.timestamp_format))
-        return (
-            _non_blank(alias)
-            & _non_blank(_msg_field(m, fmt.quality_key))
-            & _non_blank(_msg_field(m, fmt.value_key))
-            & _non_blank(_msg_field(m, fmt.timestamp_key))
-            & ts.isNotNull()
-            & (alias_token_count(alias, fmt.alias_delimiter) >= 2)
-        )
-
-    valid = msgs.isNotNull() & (F.size(msgs) >= 0) & F.forall(msgs, msg_valid)
-
-    def msg_extract(m: Column) -> Column:
-        alias = _msg_field(m, fmt.alias_key)
-        ts = F.try_to_timestamp(_msg_field(m, fmt.timestamp_key), F.lit(fmt.timestamp_format))
+    def raw_extract(m: Column) -> Column:
         return F.struct(
-            alias_machine_id(alias, fmt.alias_delimiter).alias("machine_id"),
-            alias_tag(alias, fmt.alias_delimiter).alias("tag"),
-            alias.alias("alias"),
+            _msg_field(m, fmt.alias_key).alias("alias"),
             _msg_field(m, fmt.value_key).alias("value"),
             _msg_field(m, fmt.quality_key).alias("quality"),
-            ts.alias("event_ts"),
-            # epoch seconds, floor - moment .unix() (machine-data-parser.ts:78)
-            ts.cast("long").alias("event_epoch"),
+            _msg_field(m, fmt.timestamp_key).alias("ts_raw"),
         )
 
-    return valid, F.transform(msgs, msg_extract)
+    raw = F.transform(msgs, raw_extract)
+
+    def msg_valid(e: Column) -> Column:
+        return (
+            _non_blank(e["alias"])
+            & _non_blank(e["quality"])
+            & _non_blank(e["value"])
+            & _non_blank(e["ts_raw"])
+            & F.try_to_timestamp(e["ts_raw"], F.lit(fmt.timestamp_format)).isNotNull()
+            & (alias_token_count(e["alias"], fmt.alias_delimiter) >= 2)
+        )
+
+    valid = msgs.isNotNull() & (F.size(msgs) >= 0) & F.forall(raw, msg_valid)
+    return valid, raw
 
 
 def parse_envelopes(
@@ -164,21 +168,56 @@ def split_rejects(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
 
-def explode_messages(parsed: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
+def explode_messages(
+    parsed: DataFrame,
+    formats: list[MessageFormat],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Matched records -> one row per tag message (D2,
-    convert_parquet.py:187), normalized long schema."""
+    convert_parquet.py:187), normalized long schema.
+
+    Alias decomposition and timestamp parsing happen HERE, after the
+    explode: the Generate node stops CollapseProject from re-inlining
+    them into the variant-probe projection (see _format_candidate).
+    Format-specific parameters (timestamp pattern, alias delimiter)
+    dispatch on format_id - one cheap CASE branch per configured
+    format.
+
+    No ``format_id IS NOT NULL`` pre-filter, and ``explode_outer``
+    rather than ``explode``: both record-level filters (an explicit
+    one, or the ``size(messages) > 0`` that InferFiltersFromGenerate
+    derives for inner explode) contain the full variant probe and get
+    predicate-pushed through any upstream repartition into the file
+    scan - serializing the whole parse onto the scan's input splits
+    (measured: the entire chain ran in a 1-task stage, 6.5 s at sf0.1
+    vs 0.9 s distributed). explode_outer is exempt from filter
+    inference; the ``m IS NOT NULL`` filter on the *generator output*
+    drops unmatched/empty records identically and cannot cross the
+    Generate."""
     keep = [F.col(c) for c in (keep_cols or [])]
-    matched = parsed.filter(F.col("format_id").isNotNull())
-    ex = matched.select(*keep, F.col("format_id"), F.explode("messages").alias("m"))
+    ex = parsed.select(
+        *keep, F.col("format_id"), F.explode_outer("messages").alias("m")
+    ).filter(F.col("m").isNotNull())
+    alias = F.col("m.alias")
+
+    def per_fmt(build):
+        return F.coalesce(
+            *[F.when(F.col("format_id") == F.lit(f.id), build(f)) for f in formats]
+        )
+
+    ts = per_fmt(
+        lambda f: F.try_to_timestamp(F.col("m.ts_raw"), F.lit(f.timestamp_format))
+    )
     return ex.select(
         *keep,
-        F.col("m.machine_id").alias("machine_id"),
-        F.col("m.tag").alias("tag"),
-        F.col("m.alias").alias("alias"),
+        per_fmt(lambda f: alias_machine_id(alias, f.alias_delimiter)).alias("machine_id"),
+        per_fmt(lambda f: alias_tag(alias, f.alias_delimiter)).alias("tag"),
+        alias.alias("alias"),
         F.col("m.value").alias("value"),
         F.col("m.quality").alias("quality"),
-        F.col("m.event_ts").alias("event_ts"),
-        F.col("m.event_epoch").alias("event_epoch"),
+        ts.alias("event_ts"),
+        # epoch seconds, floor - moment .unix() (machine-data-parser.ts:78)
+        ts.cast("long").alias("event_epoch"),
         F.col("format_id"),
     )
 
@@ -192,5 +231,5 @@ def normalize_stream(
 ) -> DataFrame:
     """decode -> probe formats -> explode: the full S2/P1/P2/D2 chain."""
     return explode_messages(
-        parse_envelopes(df, formats, data_col, base64_encoded), keep_cols
+        parse_envelopes(df, formats, data_col, base64_encoded), formats, keep_cols
     )

@@ -613,7 +613,11 @@ def ingest_normalize_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelopes = ev.select(
         F.col("event_id").cast("string").alias("record_id"),
         F.base64(payload.cast("binary")).alias("data"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # ^ the variant-probe parse is the CPU-heavy stage; a corpus that
+    # arrives in one input split (small local parquet, giant files at
+    # scale) would otherwise parse on one core (9.5 s -> ~0.6 s on
+    # local[32] at sf0.1). The exchange moves pre-parse envelopes once.
     messages = normalize_stream(envelopes, [fmt], keep_cols=["record_id"])
     machine_ids = ev.select(
         F.concat(
