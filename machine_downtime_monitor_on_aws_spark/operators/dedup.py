@@ -193,6 +193,88 @@ def candidate_pairs(
     return small.unionByName(big).distinct()
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """``(doc_id, component)`` for every node appearing in ``pairs``;
+    ``component`` is the minimum id reachable through shared-bucket
+    edges - the canonical duplicate-cluster label.
+
+    Min-label propagation on DataFrames: each round every node takes
+    the min of its own label and its neighbors' labels (one shuffle
+    join + map-side-combined min agg per round), and
+    ``localCheckpoint`` truncates lineage so round N never recomputes
+    rounds 1..N-1 (an iterative-DataFrame loop without truncation
+    grows the plan exponentially). Terminates after a round with zero
+    label changes.
+
+    Scale: converges in graph-diameter rounds; LSH duplicate clusters
+    are near-cliques (diameter ~2), so 2-4 rounds in practice. The
+    node set is only docs appearing in some candidate pair - a sliver
+    of the corpus at 100 TB - and labels shuffle as (id, id) pairs,
+    never documents. For adversarial long-chain graphs a
+    large-star/small-star variant would bound rounds at O(log^2 n);
+    duplicate graphs don't have that shape, so the simpler propagation
+    wins on constant factors.
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["node"] == nbr["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def drop_neardup_docs(
+    df: DataFrame, components: DataFrame, id_col: str
+) -> DataFrame:
+    """Deduplicated corpus: drop every non-canonical member of a
+    duplicate cluster (keep the min-id representative; docs in no
+    cluster pass through). Anti-join on ids only - the 100 TB fact
+    never carries cluster state."""
+    non_canonical = components.filter(
+        F.col("component") != F.col("doc_id")
+    ).select(F.col("doc_id").alias("__drop_id"))
+    return df.join(
+        non_canonical, df[id_col] == F.col("__drop_id"), "left_anti"
+    )
+
+
 def jaccard_verified_pairs(
     df: DataFrame,
     pairs: DataFrame,

@@ -93,3 +93,49 @@ def write_dimension_csv(df: DataFrame, path: str, header: bool = True) -> None:
     (the reference writes these for QuickSight manifests); facts go
     through the parquet lake."""
     df.coalesce(1).write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_dimension_manifest(
+    spark,
+    csv_path: str,
+    manifest_path: str,
+    delimiter: str = ",",
+    text_qualifier: str = "'",
+    contains_header: bool = True,
+) -> dict:
+    """S10 tail (configuration.py:184-202, 296-308): BI-tool manifest
+    JSON naming the exported CSV part files.
+
+    The reference hardcodes one s3:// URI per export; here the part
+    files are enumerated through the Hadoop FileSystem API so the
+    manifest is correct on any supported filesystem (file://, s3a://,
+    hdfs://) and stays correct if an export ever has >1 part. Returns
+    the manifest dict (also written as JSON to ``manifest_path``).
+    """
+    import json
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(csv_path)
+    fs = src.getFileSystem(hconf)
+    uris = []
+    for st in fs.listStatus(src):
+        name = st.getPath().getName()
+        if name.startswith("part-"):
+            uris.append(st.getPath().toUri().toString())
+    manifest = {
+        "fileLocations": [{"URIs": sorted(uris)}],
+        "globalUploadSettings": {
+            "format": "CSV",
+            "delimiter": delimiter,
+            "textqualifier": text_qualifier,
+            "containsHeader": "true" if contains_header else "false",
+        },
+    }
+    dst = jvm.org.apache.hadoop.fs.Path(manifest_path)
+    out = dst.getFileSystem(hconf).create(dst, True)
+    try:
+        out.write(bytearray(json.dumps(manifest, indent=2).encode("utf-8")))
+    finally:
+        out.close()
+    return manifest

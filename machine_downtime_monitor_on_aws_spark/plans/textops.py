@@ -23,6 +23,8 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     candidate_pairs,
+    connected_components,
+    drop_neardup_docs,
     exact_dedup_groups,
     jaccard_verified_pairs,
     minhash_lsh_buckets,
@@ -276,6 +278,75 @@ def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = candidate_pairs(buckets)
     return jaccard_verified_pairs(d, pairs, "doc_id", "text", 0.5, _SHINGLE_N)
+
+
+# Duplicate-cluster labels via transitive closure of the candidate-pair
+# graph. The oracle's recursive CTE enumerates (node, reachable-id)
+# pairs to a fixpoint; min(reach) per node is exactly the min-label
+# component the Spark-side propagation converges to.
+_CC_SQL = f"""
+WITH RECURSIVE cand AS ({_PAIR_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+walk(node, reach) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, w.reach FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node
+"""
+
+
+@register("neardup_duplicate_clusters", oracle=_CC_SQL)
+def neardup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the LSH
+    candidate-pair graph (min-label propagation,
+    operators/dedup.connected_components). The step a real dedup
+    pipeline needs between "pairs" and "drop": A~B and B~C must
+    collapse to ONE surviving doc even when (A,C) was never a
+    candidate pair."""
+    d = _docs(spark, sf_dir)
+    buckets = minhash_lsh_buckets(
+        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return connected_components(candidate_pairs(buckets))
+
+
+@register(
+    "neardup_canonical_docs",
+    oracle=f"""
+WITH RECURSIVE cand AS ({_PAIR_SQL}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+walk(node, reach) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, w.reach FROM edges e JOIN walk w ON w.node = e.v
+),
+cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
+WHERE cc.node IS NULL OR cc.component = d.doc_id
+""",
+)
+def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup'd corpus: drop every non-canonical duplicate-cluster
+    member (keep min-id representative); an id-only anti-join against
+    the tiny non-canonical set - the corpus fact never shuffles."""
+    d = _docs(spark, sf_dir)
+    buckets = minhash_lsh_buckets(
+        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    cc = connected_components(candidate_pairs(buckets))
+    return drop_neardup_docs(d, cc, "doc_id").select("doc_id", "lang", "source")
 
 
 @register(

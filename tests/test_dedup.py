@@ -63,3 +63,36 @@ def test_minhash_shuffle_drops_fallback_text(spark):
     # both docs produce bucket rows (short doc via whole-text fallback)
     ids = {r.doc_id for r in buckets.select("doc_id").distinct().collect()}
     assert ids == {1, 2}
+
+
+def test_connected_components_chain(spark):
+    """A-B, B-C, plus an isolated pair D-E: min-label propagation must
+    collapse the 3-chain into one component (transitivity that raw
+    LSH pairs don't give you)."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11)], "doc_a int, doc_b int"
+    )
+    cc = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_drop_neardup_docs_keeps_canonical(spark):
+    """Dedup'd corpus keeps min-id per cluster + all unclustered docs."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        connected_components,
+        drop_neardup_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(1, 7)], "doc_id int, body string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "doc_a int, doc_b int")
+    cc = connected_components(pairs)
+    kept = sorted(
+        r.doc_id for r in drop_neardup_docs(docs, cc, "doc_id").collect()
+    )
+    assert kept == [1, 4, 6]

@@ -373,3 +373,31 @@ def test_dimension_csv_roundtrip(spark, tmp_path):
     assert len(parts) == 1
     back = spark.read.option("header", True).csv(out).collect()
     assert back[0].machine_name == "Press"
+
+
+def test_dimension_manifest(spark, tmp_path):
+    """S10 tail (configuration.py:184-202): manifest JSON lists the
+    actual part files of the CSV export with upload settings."""
+    import json
+    import os
+
+    from machine_downtime_monitor_on_aws_spark.operators.dimensions import (
+        write_dimension_csv,
+        write_dimension_manifest,
+    )
+
+    dim = spark.createDataFrame(
+        [("m1", "Press", "loc", "line")],
+        "id string, machine_name string, location string, line string",
+    )
+    out = str(tmp_path / "dim")
+    mpath = str(tmp_path / "dim-manifest.json")
+    write_dimension_csv(dim, out)
+    manifest = write_dimension_manifest(spark, out, mpath)
+
+    on_disk = json.loads(open(mpath).read())
+    assert on_disk == manifest
+    uris = manifest["fileLocations"][0]["URIs"]
+    assert len(uris) == 1 and uris[0].startswith("file:")
+    assert os.path.exists(uris[0][len("file:") :])
+    assert manifest["globalUploadSettings"]["containsHeader"] == "true"
