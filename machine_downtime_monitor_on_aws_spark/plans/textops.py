@@ -276,7 +276,12 @@ def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    pairs = candidate_pairs(buckets)
+    # The pairs subtree feeds BOTH the candidate-id semi-join and the
+    # scored join; a lazy localCheckpoint materializes the whole
+    # minhash pipeline once instead of twice (measured 2.1s -> 1.45s
+    # at sf0.1; plain .cache() did not help - lazy caching still
+    # evaluates both branches before the first materialization wins).
+    pairs = candidate_pairs(buckets).localCheckpoint(eager=False)
     return jaccard_verified_pairs(d, pairs, "doc_id", "text", 0.5, _SHINGLE_N)
 
 
@@ -358,7 +363,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hex-string output) - oracle-exact in DuckDB; r1's xxhash64
     variant remains in operators/dedup.py as the Spark-native fast
     path for parity-free use."""
-    return simhash_md5(_docs(spark, sf_dir), "doc_id", "text")
+    return simhash_md5(
+        _docs(spark, sf_dir), "doc_id", "text",
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _marker_count_sql(lang: str) -> str:
