@@ -5,7 +5,14 @@ from . import catalog  # noqa: F401
 
 def _load_all() -> None:
     # import for registration side effects
-    from . import domain, relational, relational2, textops, vectorops  # noqa: F401
+    from . import (  # noqa: F401
+        domain,
+        pipelineops,
+        relational,
+        relational2,
+        textops,
+        vectorops,
+    )
 
 
 _load_all()

@@ -1,0 +1,113 @@
+"""Dataset-assembly queries: sampling, corpus mixing, sequence
+packing over the ``documents`` table.
+
+The steps a training-data pipeline runs AFTER dedup + quality
+filtering: draw a reproducible subsample, mix sources at configured
+rates, and pack documents into ~fixed-token-budget sequences. All
+hash-deterministic (md5 arithmetic), so every query carries an exact
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from ..operators.sampling import (
+    deterministic_sample,
+    pack_sequences,
+    sample_hash_sql,
+    stratified_rate_sql,
+    stratified_sample,
+)
+from ..session import pin_utc
+from ..tables import load_table
+from .catalog import register
+from .textops import _TOKENS_SQL
+
+# Mixing config: rates keyed by source, generated from one dict so
+# the Spark plan and the oracle can never drift. srcN keeps
+# 100/75/50/25% by N mod 4 - a stand-in for "wiki pinned, web
+# downsampled" style mixes.
+_MIX_RATES = {f"src{i}": (100, 75, 50, 25)[i % 4] for i in range(20)}
+_SAMPLE_PCT = 40
+_PACK_MAX_TOKENS = 512
+_PACK_BUCKETS = 8
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pin_utc(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "corpus_deterministic_sample",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {sample_hash_sql('doc_id', 'sample')} < {_SAMPLE_PCT * 100}
+""",
+)
+def corpus_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~40% reproducible subsample by id hash: unlike df.sample, the
+    kept set is independent of partition layout / run, and the
+    predicate is a scan-level filter (no shuffle)."""
+    return deterministic_sample(
+        _docs(spark, sf_dir), "doc_id", _SAMPLE_PCT, salt="sample"
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+SELECT doc_id, source,
+       CAST({stratified_rate_sql('source', _MIX_RATES)} AS INT) AS rate_pct_x100
+FROM documents
+WHERE {sample_hash_sql('doc_id', 'mix')} < {stratified_rate_sql('source', _MIX_RATES)}
+""",
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-source keep rates (100/75/50/25%) applied as
+    one hash-threshold filter - zero joins, zero shuffles; the mix
+    config is plan literals (config-sized CASE)."""
+    d = stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "source", _MIX_RATES, salt="mix"
+    )
+    rate = F.lit(0)
+    for value, pct in sorted(_MIX_RATES.items()):
+        rate = F.when(F.col("source") == value, pct * 100).otherwise(rate)
+    return d.select(
+        "doc_id", "source", rate.cast("int").alias("rate_pct_x100")
+    )
+
+
+@register(
+    "token_packing_assignments",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         {sample_hash_sql('doc_id', 'pack')} % {_PACK_BUCKETS} AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(floor((sum(n_tokens) OVER w - n_tokens) / {_PACK_MAX_TOKENS}) AS INT)
+         AS pack_id
+FROM t
+WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def token_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: docs hash into 8 independent streams; each
+    stream orders by id and cuts packs at 512-token cumulative
+    boundaries. Per-bucket windows - no global sort; bucket count
+    scales parallelism independently of corpus size."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        d, "doc_id", "n_tokens", _PACK_MAX_TOKENS, _PACK_BUCKETS, salt="pack"
+    )

@@ -88,9 +88,7 @@ def knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lsh_neardup_embeddings",
-    oracle=f"""
+_LSH_PAIR_SQL = f"""
 WITH planes AS (SELECT {_planes_sql()} AS ps),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 b AS (
@@ -105,8 +103,10 @@ SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        {_cos_sql('a.v', 'c.v')} AS cosine_sim
 FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 WHERE {_cos_sql('a.v', 'c.v')} >= {_NEARDUP_THRESHOLD}
-""",
-)
+"""
+
+
+@register("lsh_neardup_embeddings", oracle=_LSH_PAIR_SQL)
 def lsh_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH near-dup: hyperplane-sign buckets -> intra-bucket
     exact cosine >= 0.3. The scale path: bucket equi-join instead of
@@ -121,6 +121,41 @@ def lsh_neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(
         e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM,
         parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+@register(
+    "embedding_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE cand AS ({_LSH_PAIR_SQL}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM cand
+),
+walk(node, reach) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, w.reach FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS vec_id, min(reach) AS component FROM walk GROUP BY node
+""",
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clusters: connected components over
+    the sign-LSH pair graph (the same operators/dedup
+    connected_components that clusters text near-dups - pair source
+    swapped for the vector path). A~B~C chains collapse to one
+    cluster even when cosine(A,C) fell below threshold."""
+    from ..operators.dedup import connected_components
+
+    e = _emb(spark, sf_dir)
+    pairs = lsh_neardup_pairs(
+        e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("doc_id").alias("vec_id"), "component"
     )
 
 

@@ -96,3 +96,22 @@ def test_drop_neardup_docs_keeps_canonical(spark):
         r.doc_id for r in drop_neardup_docs(docs, cc, "doc_id").collect()
     )
     assert kept == [1, 4, 6]
+
+
+def test_pack_sequences_boundaries(spark):
+    """Pack cuts at cumulative boundaries; an oversized doc spills into
+    its own pack; single bucket keeps the stream ordered by id."""
+    from machine_downtime_monitor_on_aws_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 2000), (4, 100)], "doc_id int, n_tokens int"
+    )
+    out = pack_sequences(docs, "doc_id", "n_tokens", 512, 1).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].pack_id == 0            # cum 300, starts at 0
+    assert by_id[2].pack_id == 0            # starts at 300 < 512
+    assert by_id[3].pack_id == 1            # starts at 600
+    assert by_id[4].pack_id == 5            # starts at 2600
+    assert all(r.bucket == 0 for r in out)

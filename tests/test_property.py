@@ -165,3 +165,42 @@ def test_sessionize_matches_model(seed):
 
 
 
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(0, 10_000))
+def test_connected_components_matches_union_find(seed):
+    """connected_components vs a pure-Python union-find on random
+    graphs (including chains/cliques/isolated pairs)."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(2, 40)
+    m = rng.randint(1, 60)
+    edges = [
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(m)
+    ]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    expected = {x: find(x) for x in touched}
+
+    spark = _spark()
+    pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    got = {
+        r.doc_id: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == expected
