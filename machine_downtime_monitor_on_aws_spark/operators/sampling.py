@@ -101,14 +101,16 @@ def pack_sequences(
     Scale: per-bucket windows, never a global sort; bucket count
     scales parallelism independently of corpus size, and each pack
     is built from one bucket's ordered slice, so the only shuffle is
-    the window's hash partition on bucket."""
-    b = (sample_hash(F.col(id_col), salt) % num_buckets).alias("bucket")
+    the window's hash partition on bucket. Non-id/token columns pass
+    through untouched."""
+    base = df.withColumn(
+        "bucket", sample_hash(F.col(id_col), salt) % num_buckets
+    )
     w = Window.partitionBy("bucket").orderBy(id_col)
     cum = F.sum(token_count_col).over(w)
-    return df.select(F.col(id_col), F.col(token_count_col), b).select(
-        id_col,
+    return base.select(
+        *df.columns,
         "bucket",
-        token_count_col,
         cum.alias("cum_tokens"),
         F.floor((cum - F.col(token_count_col)) / max_tokens)
         .cast("int")

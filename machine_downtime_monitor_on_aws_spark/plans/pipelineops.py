@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
+from ..functions.text import non_space_chars, token_count
 from ..operators.sampling import (
     deterministic_sample,
     pack_sequences,
@@ -24,7 +24,7 @@ from ..operators.sampling import (
 from ..session import pin_utc
 from ..tables import load_table
 from .catalog import register
-from .textops import _TOKENS_SQL
+from .textops import _TOKENS_SQL, _cc_clauses
 
 # Mixing config: rates keyed by source, generated from one dict so
 # the Spark plan and the oracle can never drift. srcN keeps
@@ -110,4 +110,88 @@ def token_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack_sequences(
         d, "doc_id", "n_tokens", _PACK_MAX_TOKENS, _PACK_BUCKETS, salt="pack"
+    )
+
+
+# Quality gate for the end-to-end pipeline: token band + average token
+# length (single divisions of identical integers - engine-exact).
+_Q_MIN_TOK, _Q_MAX_TOK = 20, 90
+_Q_MAX_AVG_TOKLEN = 15.0
+
+_Q_FILTER_SQL = f"""
+len({_TOKENS_SQL}) BETWEEN {_Q_MIN_TOK} AND {_Q_MAX_TOK}
+AND CAST(length(replace(text, ' ', '')) AS DOUBLE)
+    / CAST(len({_TOKENS_SQL}) AS DOUBLE) <= {_Q_MAX_AVG_TOKLEN}
+"""
+
+
+@register(
+    "training_corpus_pipeline",
+    oracle=f"""
+WITH RECURSIVE q AS (
+  SELECT * FROM documents WHERE {_Q_FILTER_SQL}
+),
+{_cc_clauses("q")},
+cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+kept AS (
+  SELECT d.* FROM q d LEFT JOIN cc ON d.doc_id = cc.node
+  WHERE cc.node IS NULL OR cc.component = d.doc_id
+),
+mixed AS (
+  SELECT doc_id, source, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM kept
+  WHERE {sample_hash_sql('doc_id', 'mix')} < {stratified_rate_sql('source', _MIX_RATES)}
+),
+t AS (
+  SELECT doc_id, source, n_tokens,
+         {sample_hash_sql('doc_id', 'pack')} % {_PACK_BUCKETS} AS bucket
+  FROM mixed
+)
+SELECT doc_id, source, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+       CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(floor((sum(n_tokens) OVER w - n_tokens) / {_PACK_MAX_TOKENS}) AS INT)
+         AS pack_id
+FROM t
+WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dataset-assembly flagship: quality filter ->
+    MinHash/LSH near-dedup (connected-component canonical keep) ->
+    per-source mixture sampling -> token packing, composed from the
+    same operators each stage's standalone query uses - and verified
+    as ONE oracle, so a bug anywhere in the chain breaks the hash.
+
+    Scale shape: filter+sample are scan-level predicates; dedup
+    shuffles digests/ids only; packing is one hash-partitioned
+    window. The corpus text never shuffles at all."""
+    from ..operators.dedup import (
+        candidate_pairs,
+        connected_components,
+        drop_neardup_docs,
+        minhash_lsh_buckets,
+    )
+
+    d = _docs(spark, sf_dir)
+    n_tok = token_count(F.col("text"))
+    quality = d.filter(
+        n_tok.between(_Q_MIN_TOK, _Q_MAX_TOK)
+        & (
+            non_space_chars(F.col("text")).cast("double")
+            / n_tok.cast("double")
+            <= _Q_MAX_AVG_TOKLEN
+        )
+    )
+    buckets = minhash_lsh_buckets(
+        quality, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
+    )
+    cc = connected_components(candidate_pairs(buckets))
+    kept = drop_neardup_docs(quality, cc, "doc_id")
+    mixed = stratified_sample(kept, "doc_id", "source", _MIX_RATES, salt="mix")
+    slim = mixed.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        slim, "doc_id", "n_tokens", _PACK_MAX_TOKENS, _PACK_BUCKETS, salt="pack"
     )

@@ -190,7 +190,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_sql() -> str:
+def _bucket_sql(src: str = "documents") -> str:
     sig_elems = ", ".join(
         _SIG_ELEM_SQL.format(k=k) for k in range(_NUM_PERMS)
     )
@@ -201,7 +201,7 @@ def _bucket_sql() -> str:
         )
         band_exprs.append(f"STRUCT_PACK(band_id := {b}, band_hash := md5({parts}))")
     return f"""
-WITH sh_t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+WITH sh_t AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM {src}),
 sig_t AS (SELECT doc_id, [{sig_elems}] AS sig FROM sh_t),
 bands AS (SELECT doc_id, unnest([{", ".join(band_exprs)}]) AS b FROM sig_t)
 SELECT doc_id, CAST(b.band_id AS INT) AS band_id, b.band_hash AS band_hash FROM bands
@@ -222,13 +222,17 @@ def minhash_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select("doc_id", F.col("band_id").cast("int").alias("band_id"), "band_hash")
 
 
-_PAIR_SQL = f"""
-WITH buckets AS ({_bucket_sql()})
+def _pair_sql(src: str = "documents") -> str:
+    return f"""
+WITH buckets AS ({_bucket_sql(src)})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM buckets a JOIN buckets b
   ON a.band_id = b.band_id AND a.band_hash = b.band_hash
 WHERE a.doc_id < b.doc_id
 """
+
+
+_PAIR_SQL = _pair_sql()
 
 
 @register("neardup_candidate_pairs", oracle=_PAIR_SQL)
@@ -289,8 +293,9 @@ def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 # graph. The oracle's recursive CTE enumerates (node, reachable-id)
 # pairs to a fixpoint; min(reach) per node is exactly the min-label
 # component the Spark-side propagation converges to.
-_CC_SQL = f"""
-WITH RECURSIVE cand AS ({_PAIR_SQL}),
+def _cc_clauses(src: str = "documents") -> str:
+    """cand/edges/walk CTE bodies - splice after ``WITH RECURSIVE``."""
+    return f"""cand AS ({_pair_sql(src)}),
 edges AS (
   SELECT doc_a AS u, doc_b AS v FROM cand
   UNION ALL
@@ -300,7 +305,11 @@ walk(node, reach) AS (
   SELECT DISTINCT u, u FROM edges
   UNION
   SELECT e.u, w.reach FROM edges e JOIN walk w ON w.node = e.v
-)
+)"""
+
+
+_CC_SQL = f"""
+WITH RECURSIVE {_cc_clauses()}
 SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY node
 """
 
@@ -324,17 +333,7 @@ def neardup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "neardup_canonical_docs",
     oracle=f"""
-WITH RECURSIVE cand AS ({_PAIR_SQL}),
-edges AS (
-  SELECT doc_a AS u, doc_b AS v FROM cand
-  UNION ALL
-  SELECT doc_b AS u, doc_a AS v FROM cand
-),
-walk(node, reach) AS (
-  SELECT DISTINCT u, u FROM edges
-  UNION
-  SELECT e.u, w.reach FROM edges e JOIN walk w ON w.node = e.v
-),
+WITH RECURSIVE {_cc_clauses()},
 cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
 SELECT d.doc_id, d.lang, d.source
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.node

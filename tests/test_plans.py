@@ -131,3 +131,20 @@ def test_lake_day_read_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan
     rows = day.collect()
     assert [r.id for r in rows] == [1]
+
+
+def test_sampling_queries_have_no_shuffle(spark):
+    """Sampling/mixing are scan-level filters: zero exchanges."""
+    for name in ("corpus_deterministic_sample", "corpus_mixture_sample"):
+        plan = plan_of(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_token_packing_single_shuffle(spark):
+    """Packing = one hash partition on bucket (window), nothing else."""
+    import re
+
+    plan = plan_of(spark, "token_packing_assignments")
+    # formatted explain prints each node in the tree AND the detail
+    # section; count node headers "(N) Exchange" once
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
