@@ -75,6 +75,29 @@ def envelope_from_kafka_records(raw: DataFrame) -> DataFrame:
     ).select("e.*")
 
 
+def envelope_from_kinesis_records(raw: DataFrame) -> DataFrame:
+    """Kinesis-connector wire records -> envelope rows.
+
+    Kinesis connectors (spark-sql-kinesis and compatibles) expose
+    ``data`` (binary payload, ALREADY base64-decoded by the
+    connector), ``partitionKey``, ``sequenceNumber``, and
+    ``approximateArrivalTimestamp``. The reference's Lambda reads the
+    same four fields off each record (filter-kinesis-stream/
+    index.ts:39-52, where ``kinesis.data`` is the base64 form). The
+    envelope contract carries ``data`` base64-encoded (what
+    decode_payload expects), so the binary payload is re-encoded
+    here; sequenceNumber becomes the stable record id the reject
+    quarantine keys on."""
+    return raw.select(
+        F.col("sequenceNumber").cast("string").alias("record_id"),
+        F.col("partitionKey").cast("string").alias("partition_key"),
+        F.col("approximateArrivalTimestamp")
+        .cast("double")
+        .alias("arrival_ts"),
+        F.base64(F.col("data")).alias("data"),
+    )
+
+
 def read_envelope_stream_kafka(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -401,3 +401,46 @@ def test_dimension_manifest(spark, tmp_path):
     assert len(uris) == 1 and uris[0].startswith("file:")
     assert os.path.exists(uris[0][len("file:") :])
     assert manifest["globalUploadSettings"]["containsHeader"] == "true"
+
+
+def test_kinesis_wire_decode_chain(spark, tmp_path):
+    """S1 Kinesis binding: connector record shape (binary data,
+    partitionKey, sequenceNumber, approximateArrivalTimestamp) ->
+    envelope contract. The connector delivers data base64-DECODED;
+    the adapter re-encodes to the envelope's base64 field."""
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        envelope_from_kinesis_records,
+    )
+
+    inner = {"machineId": "site/a/p/m9", "timestamp": 1717240000000, "value": "UP"}
+    wire = {
+        "data": base64.b64encode(json.dumps(inner).encode()).decode(),
+        "streamName": "machine-events",
+        "partitionKey": "site/a/p/m9",
+        "sequenceNumber": "49600000000000000000001",
+        "approximateArrivalTimestamp": 1717240000.5,
+    }
+    src_dir = str(tmp_path / "kinesis_wire")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "a.jsonl"), "w") as f:
+        f.write(json.dumps(wire))
+    raw = spark.readStream.schema(
+        "data binary, streamName string, partitionKey string, "
+        "sequenceNumber string, approximateArrivalTimestamp double"
+    ).json(src_dir)
+    envelopes = envelope_from_kinesis_records(raw)
+    assert envelopes.isStreaming
+    assert [f.name for f in envelopes.schema.fields] == [
+        "record_id", "partition_key", "arrival_ts", "data",
+    ]
+    q = (
+        envelopes.writeStream.format("memory")
+        .queryName("kinesis_wire_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kinesis_wire_test").collect()
+    assert len(rows) == 1
+    assert rows[0].record_id == "49600000000000000000001"
+    assert json.loads(base64.b64decode(rows[0].data))["machineId"] == "site/a/p/m9"
