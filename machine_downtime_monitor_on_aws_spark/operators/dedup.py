@@ -262,6 +262,13 @@ def connected_components(
         labels = comp.select("node", "component")
         if changed == 0:
             break
+    else:
+        # Partially-propagated labels are silently WRONG (two nodes of
+        # one component can carry different labels) - fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds; raise max_iterations (graph diameter exceeds it)"
+        )
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 

@@ -50,6 +50,8 @@ def deterministic_sample(
     runs, partitionings, and engines (unlike ``df.sample``, whose
     output depends on partition layout). Pure filter - pushes to the
     scan, no shuffle, trivially 100 TB-safe."""
+    if not 0 <= rate_pct <= 100:
+        raise ValueError(f"rate_pct must be in [0, 100], got {rate_pct}")
     return df.filter(sample_hash(F.col(id_col), salt) < int(rate_pct * 100))
 
 
@@ -65,6 +67,9 @@ def stratified_sample(
     applied as one hash-threshold filter. The rate lookup is a CASE
     expression (strata sets are config-sized), so the whole mix is a
     scan-level filter with zero joins and zero shuffles."""
+    for value, pct in rates_pct.items():
+        if not 0 <= pct <= 100:
+            raise ValueError(f"rate for {value!r} must be in [0, 100], got {pct}")
     rate = F.lit(int(default_pct * 100))
     for value, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(strata_col) == value, int(pct * 100)).otherwise(rate)
@@ -77,7 +82,9 @@ def stratified_rate_sql(
     """DuckDB CASE expression matching :func:`stratified_sample`'s
     rate lookup, generated from the same dict so they cannot drift."""
     whens = " ".join(
-        f"WHEN {strata_sql} = '{v}' THEN {int(p * 100)}"
+        "WHEN {} = '{}' THEN {}".format(
+            strata_sql, str(v).replace("'", "''"), int(p * 100)
+        )
         for v, p in sorted(rates_pct.items(), reverse=True)
     )
     return f"(CASE {whens} ELSE {int(default_pct * 100)} END)"
@@ -103,6 +110,10 @@ def pack_sequences(
     is built from one bucket's ordered slice, so the only shuffle is
     the window's hash partition on bucket. Non-id/token columns pass
     through untouched."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
     base = df.withColumn(
         "bucket", sample_hash(F.col(id_col), salt) % num_buckets
     )
