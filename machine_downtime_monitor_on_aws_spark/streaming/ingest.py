@@ -144,6 +144,28 @@ class IngestSinks:
     # tail change_feed_path instead
 
 
+def dedup_within_watermark(
+    stream: DataFrame,
+    id_cols: list[str],
+    event_time_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once source -> effectively-once rows: drop redelivered
+    records by id within the watermark horizon.
+
+    The reference gets this implicitly from DynamoDB's keyed upsert
+    (a redelivered Kinesis record overwrites itself,
+    filter-kinesis-stream/index.ts:146-191); an append-mode lake sink
+    has no such keyed overwrite, so redelivery must be dropped
+    in-stream. ``dropDuplicatesWithinWatermark`` keys the state store
+    on ``id_cols`` and - unlike plain ``dropDuplicates`` on a stream -
+    evicts state once the watermark passes, so state is bounded by the
+    redelivery window, not the stream's lifetime."""
+    return stream.withWatermark(
+        event_time_col, watermark
+    ).dropDuplicatesWithinWatermark(id_cols)
+
+
 def run_ingest_stream(
     spark: SparkSession,
     source: DataFrame,

@@ -444,3 +444,37 @@ def test_kinesis_wire_decode_chain(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].record_id == "49600000000000000000001"
     assert json.loads(base64.b64decode(rows[0].data))["machineId"] == "site/a/p/m9"
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Redelivered record ids are dropped inside the watermark window;
+    state is keyed on record_id and watermark-evicted (bounded)."""
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        dedup_within_watermark,
+    )
+
+    src_dir = str(tmp_path / "redelivery")
+    os.makedirs(src_dir)
+    rows = [
+        {"record_id": "r1", "payload": "a", "ts": "2021-03-05 18:00:00"},
+        {"record_id": "r1", "payload": "a", "ts": "2021-03-05 18:00:01"},  # redelivery
+        {"record_id": "r2", "payload": "b", "ts": "2021-03-05 18:00:02"},
+    ]
+    with open(os.path.join(src_dir, "a.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("record_id string, payload string, ts string")
+        .json(src_dir)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    deduped = dedup_within_watermark(stream, ["record_id"], "ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT record_id FROM dedup_wm_test").collect()
+    assert sorted(r.record_id for r in out) == ["r1", "r2"]
