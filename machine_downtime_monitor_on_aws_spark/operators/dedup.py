@@ -221,6 +221,10 @@ def connected_components(
     wins on constant factors.
     """
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # EAGER here: edges caps the (expensive) upstream pair pipeline
+    # and every round consumes it from two branches - a lazy
+    # checkpoint lets those branches recompute the pipeline before
+    # the first materialization completes (measured 20% slower).
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
