@@ -204,3 +204,60 @@ def test_connected_components_matches_union_find(seed):
         r.doc_id: r.component for r in connected_components(pairs).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 10_000))
+def test_pack_sequences_matches_python_model(seed):
+    """pack_sequences vs a pure-Python per-bucket cumsum model."""
+    from machine_downtime_monitor_on_aws_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    rng = random.Random(seed)
+    n = rng.randint(1, 60)
+    max_tokens = rng.choice([64, 128, 512])
+    buckets = rng.choice([1, 2, 8])
+    rows = [(i, rng.randint(1, 200)) for i in range(n)]
+
+    spark = _spark()
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    out = pack_sequences(df, "doc_id", "n_tokens", max_tokens, buckets).collect()
+
+    got_bucket = {r.doc_id: r.bucket for r in out}
+    # model: group by the engine-reported bucket (bucket hashing is
+    # oracle-verified elsewhere), order by id, cumsum -> pack
+    by_bucket: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, toks in rows:
+        by_bucket.setdefault(got_bucket[doc_id], []).append((doc_id, toks))
+    expected = {}
+    for b, docs in by_bucket.items():
+        cum = 0
+        for doc_id, toks in sorted(docs):
+            expected[doc_id] = (cum + toks, (cum) // max_tokens)
+            cum += toks
+    for r in out:
+        assert (r.cum_tokens, r.pack_id) == expected[r.doc_id], r
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(0, 10_000))
+def test_deterministic_sample_partition_independent(seed):
+    """The kept set must be identical under different partition
+    layouts (the property df.sample does NOT have)."""
+    from machine_downtime_monitor_on_aws_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    rng = random.Random(seed)
+    ids = rng.sample(range(100_000), 300)
+    spark = _spark()
+    df1 = spark.createDataFrame([(i,) for i in ids], "doc_id int")
+    df2 = df1.repartition(17)
+    df3 = df1.coalesce(1)
+    kept = [
+        {r.doc_id for r in deterministic_sample(d, "doc_id", 35).collect()}
+        for d in (df1, df2, df3)
+    ]
+    assert kept[0] == kept[1] == kept[2]
+    assert 0 < len(kept[0]) < 300
