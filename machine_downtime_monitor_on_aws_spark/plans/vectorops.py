@@ -19,7 +19,11 @@ from ..tables import load_table
 from .catalog import register
 
 _DIM = 64
-_NUM_PLANES = 4
+# = recommended_num_planes(n) at the bench corpus size (2000 vectors,
+# ~64-member target buckets). Pinned - not derived at runtime -
+# because the oracle embeds the plane literals at registration; the
+# production path passes num_planes=None to derive it per corpus.
+_NUM_PLANES = 5
 _N_QUERIES = 10
 _TOPK = 5
 _NEARDUP_THRESHOLD = 0.3
