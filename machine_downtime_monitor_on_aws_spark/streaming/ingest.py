@@ -144,6 +144,43 @@ class IngestSinks:
     # tail change_feed_path instead
 
 
+def streaming_minute_rollup(
+    messages: DataFrame,
+    watermark: str = "2 minutes",
+    id_col: str = "machine_id",
+    ts_col: str = "event_ts",
+    status_col: str = "status",
+) -> DataFrame:
+    """W4/T8 as a true event-time streaming aggregation: tumbling
+    1-minute window + watermark, DOWN-dominant like the batch twin
+    (operators/minute_rollup.minute_status_rollup - one DOWN reading
+    poisons its minute even if a later in-minute reading is UP;
+    machine-detail.ts:17-24 chunking).
+
+    The watermark (T4) bounds both state and lateness: rows later
+    than the horizon are dropped, finalized windows emit exactly once
+    in append mode. The reference has no equivalent - its Lambda
+    applies last-writer-wins with no lateness bound (SURVEY.md T5).
+    """
+    w = F.window(F.col(ts_col), "1 minute")
+    any_down = F.max(
+        F.when(F.col(status_col) == F.lit("DOWN"), 1).otherwise(0)
+    )
+    latest = F.max_by(F.col(status_col), F.col(ts_col))
+    return (
+        messages.withWatermark(ts_col, watermark)
+        .groupBy(F.col(id_col).alias("id"), w)
+        .agg(
+            F.when(any_down == 1, F.lit("DOWN")).otherwise(latest).alias("status")
+        )
+        .select(
+            "id",
+            F.col("window.start").alias("minute_start"),
+            "status",
+        )
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     id_cols: list[str],

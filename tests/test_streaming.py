@@ -478,3 +478,52 @@ def test_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.sql("SELECT record_id FROM dedup_wm_test").collect()
     assert sorted(r.record_id for r in out) == ["r1", "r2"]
+
+
+def test_streaming_minute_rollup(spark, tmp_path):
+    """W4/T8 streaming twin: tumbling-minute DOWN-dominance over an
+    event-time stream with watermark; append mode emits finalized
+    windows once."""
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        streaming_minute_rollup,
+    )
+
+    src_dir = str(tmp_path / "minute_src")
+    os.makedirs(src_dir)
+    rows = [
+        # minute 18:00 - DOWN mid-minute poisons it despite later UP
+        {"machine_id": "m1", "status": "UP", "event_ts": "2021-03-05 18:00:05"},
+        {"machine_id": "m1", "status": "DOWN", "event_ts": "2021-03-05 18:00:20"},
+        {"machine_id": "m1", "status": "UP", "event_ts": "2021-03-05 18:00:50"},
+        # minute 18:01 - plain latest wins
+        {"machine_id": "m1", "status": "IDLE", "event_ts": "2021-03-05 18:01:10"},
+        {"machine_id": "m1", "status": "UP", "event_ts": "2021-03-05 18:01:40"},
+        # a second machine, single reading
+        {"machine_id": "m2", "status": "UP", "event_ts": "2021-03-05 18:00:30"},
+        # advance the watermark far enough to finalize the above
+        {"machine_id": "m9", "status": "UP", "event_ts": "2021-03-05 18:30:00"},
+    ]
+    with open(os.path.join(src_dir, "a.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("machine_id string, status string, event_ts string")
+        .json(src_dir)
+        .withColumn("event_ts", F.to_timestamp("event_ts"))
+    )
+    out = streaming_minute_rollup(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("minute_rollup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.id, str(r.minute_start)): r.status
+        for r in spark.sql("SELECT * FROM minute_rollup_stream").collect()
+    }
+    assert got[("m1", "2021-03-05 18:00:00")] == "DOWN"
+    assert got[("m1", "2021-03-05 18:01:00")] == "UP"
+    assert got[("m2", "2021-03-05 18:00:00")] == "UP"
