@@ -1,0 +1,119 @@
+"""Persisted IVF (inverted-file) ANN index.
+
+The catalog's ``ivf_knn_top5`` builds its inverted lists inline per
+query (oracle-checked); a production corpus builds the index ONCE and
+serves many queries from it. This module is that lifecycle:
+
+- :func:`build_ivf_index` writes ``<path>/centroids`` (tiny parquet)
+  and ``<path>/corpus`` parquet **partitioned by list_id**;
+- :func:`search_ivf_index` broadcasts the centroid table, picks each
+  query's top-P lists, and reads ONLY those partitions - the probe
+  predicate is a partition filter, so a search over a 100 TB corpus
+  scans P/C of it (verified by a plan test on PartitionFilters).
+
+Centroids are the deterministic first-C vectors by id (same scheme as
+the oracle-checked inline query; swap in ML KMeans centroids by
+passing ``centroids=`` without changing the read path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot, l2_norm
+from .topk import top_k_per_group
+
+
+def _nearest(
+    side: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    norm_col: str,
+    key_cols: list[str],
+    dim: int,
+    top: int,
+) -> DataFrame:
+    sim = dot(vec_col, "cv", dim) / (F.col(norm_col) * F.col("__cn"))
+    return top_k_per_group(
+        side.crossJoin(F.broadcast(cents)).withColumn("__sim", sim),
+        key_cols,
+        [F.col("__sim").desc(), F.col("cid").asc()],
+        top,
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Write the index: ``centroids`` (cid, cv) + ``corpus`` rows
+    (id, vec, norm) partitioned by their nearest centroid's list_id.
+
+    One broadcast join + one partitioned write; the corpus shuffles
+    once (into list partitions). Norms are precomputed - queries never
+    recompute corpus-side norms."""
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("__n", l2_norm("vec", dim))
+    cents = centroids or e.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+    )
+    cents = cents.withColumn("__cn", l2_norm("cv", dim))
+    cents.select("cid", "cv").write.mode("overwrite").parquet(f"{path}/centroids")
+    assign = _nearest(e, cents, "vec", "__n", ["vec_id"], dim, 1).select(
+        "vec_id", "vec", F.col("__n").alias("norm"), F.col("cid").alias("list_id")
+    )
+    assign.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probes: int,
+    dim: int,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Top-k cosine neighbors per query, probing each query's top-P
+    inverted lists.
+
+    The probed list ids land in an ``isin``-style join predicate on
+    the corpus' ``list_id`` PARTITION column, so the parquet scan
+    prunes to P lists per query batch - the I/O story that makes IVF
+    an index rather than a re-bucketing."""
+    cents = spark.read.parquet(f"{path}/centroids").withColumn(
+        "__cn", l2_norm("cv", dim)
+    )
+    corpus = spark.read.parquet(f"{path}/corpus")
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    ).withColumn("__qn", l2_norm("qv", dim))
+    probe = _nearest(q, cents, "qv", "__qn", ["qid"], dim, n_probes).select(
+        "qid", "qv", "__qn", F.col("cid").alias("list_id")
+    )
+    # Partition pruning: the probed-list set is tiny (queries x P) ->
+    # broadcast side of the join; DPP/AQE prunes corpus partitions to
+    # exactly the probed lists.
+    pair_sim = dot("qv", "vec", dim) / (F.col("__qn") * F.col("norm"))
+    scored = (
+        corpus.join(F.broadcast(probe), "list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("cosine_sim", pair_sim)
+    )
+    ranked = top_k_per_group(
+        scored, ["qid"], [F.col("cosine_sim").desc(), F.col("vec_id").asc()], k
+    )
+    return ranked.select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        "cosine_sim",
+        F.col("rnk").cast("int").alias("rnk"),
+    )

@@ -76,3 +76,46 @@ def test_validate_vec_dim(spark):
     bad = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, v array<double>")
     with pytest.raises(ValueError):
         validate_vec_dim(bad, "v", 2)
+
+
+def test_ivf_index_build_search_roundtrip(spark, tmp_path):
+    """Persisted IVF index: build once, search matches the inline
+    oracle-checked ivf_knn_top5 algorithm (same centroid scheme), and
+    the corpus scan carries a dynamic partition-pruning filter on
+    list_id - the P/C I/O story."""
+    import contextlib
+    import io
+
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from machine_downtime_monitor_on_aws_spark.plans.catalog import REGISTRY
+    from machine_downtime_monitor_on_aws_spark.plans.vectorops import (
+        _DIM,
+        _N_CENTROIDS,
+        _N_PROBES,
+        _N_QUERIES,
+        _TOPK,
+        _emb,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _emb(spark, sf)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(e, path, _N_CENTROIDS, _DIM)
+
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    got = search_ivf_index(spark, path, q, _TOPK, _N_PROBES, _DIM)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue()
+
+    inline = REGISTRY["ivf_knn_top5"].fn(spark, sf)
+    a = {(r.qid, r.neighbor_id, r.rnk) for r in got.collect()}
+    b = {(r.qid, r.neighbor_id, r.rnk) for r in inline.collect()}
+    assert a == b and a
