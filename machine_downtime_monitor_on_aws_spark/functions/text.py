@@ -121,3 +121,49 @@ def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column
             for b in range(num_bands)
         ]
     )
+
+
+# Character-trigram profiles for the n-gram language-ID variant:
+# high-frequency trigrams (space-padded word boundaries as '_') per
+# language. A production profile is learned from a corpus; the scoring
+# shape - count profile hits over the text's trigram multiset - is
+# what matters and is identical.
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "ein", "ich", "sch", "und", "en_", "er_", "ch_"),
+    "en": ("the", "ing", "and", "ion", "ent", "he_", "ed_", "th_"),
+    "es": ("que", "ión", "los", "ent", "ado", "os_", "as_", "la_"),
+    "fr": ("les", "ent", "que", "ion", "eur", "es_", "le_", "nt_"),
+}
+
+
+def char_trigrams(text: Column) -> Column:
+    """All character trigrams of the text with spaces normalized to
+    '_' (so word boundaries participate in the profile). Pure column
+    expression: sequence + substring, no UDF."""
+    norm = F.regexp_replace(F.trim(text), r"\s+", "_")
+    n = F.length(norm)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: norm.substr(i, F.lit(3)),
+        ),
+    ).otherwise(F.array())
+
+
+def lang_trigram_count(text: Column, lang: str) -> Column:
+    """How many of the text's trigrams hit the language's profile."""
+    markers = LANG_TRIGRAMS[lang]
+    return F.size(F.filter(char_trigrams(text), lambda g: g.isin(*markers)))
+
+
+def lang_id_ngram(text: Column) -> Column:
+    """Language ID over character-trigram profiles: same argmax /
+    alphabetical-tie-break / unknown-on-zero shape as the marker-word
+    variant, scored on trigram hits (the 'n-gram heuristic' proper)."""
+    counts = {lang: lang_trigram_count(text, lang) for lang in LANG_TRIGRAMS}
+    best = F.greatest(*counts.values())
+    expr = F.lit("unknown")
+    for lang in sorted(LANG_TRIGRAMS, reverse=True):
+        expr = F.when((counts[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr

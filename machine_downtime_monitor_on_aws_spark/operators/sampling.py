@@ -127,3 +127,50 @@ def pack_sequences(
         .cast("int")
         .alias("pack_id"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into overlapping token windows (the chunking
+    step before embedding in a retrieval/training pipeline):
+    ``(doc_id, chunk_id, chunk_text, n_chunk_tokens)`` with stride
+    ``chunk_size - overlap``.
+
+    Chunk boundaries are pure integer arithmetic over the token
+    array (sequence + slice + explode - no UDF), so chunk counts and
+    contents are engine-exact. Each input row expands independently:
+    no shuffle at all; output parallelism follows the scan."""
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(f"overlap must be in [0, chunk_size), got {overlap}")
+    from ..functions.text import tokens
+
+    stride = chunk_size - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # ceil((n - chunk)/stride) + 1; double-division floor is exact for
+    # token counts (integers far below 2^53)
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.floor((n - chunk_size + stride - 1) / F.lit(stride)).cast("int") + 1
+    )
+    piece = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda k: F.struct(
+                k.cast("int").alias("chunk_id"),
+                F.slice(toks, (k - 1) * stride + 1, chunk_size).alias("ctoks"),
+            ),
+        )
+    ).alias("c")
+    return df.select(F.col(id_col).alias("doc_id"), piece).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.array_join(F.col("c.ctoks"), " ").alias("chunk_text"),
+        F.size(F.col("c.ctoks")).cast("int").alias("n_chunk_tokens"),
+    )

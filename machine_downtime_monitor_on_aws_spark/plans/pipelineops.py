@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import non_space_chars, token_count
 from ..operators.sampling import (
+    chunk_documents,
     deterministic_sample,
     pack_sequences,
     sample_hash_sql,
@@ -110,6 +111,45 @@ def token_packing_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack_sequences(
         d, "doc_id", "n_tokens", _PACK_MAX_TOKENS, _PACK_BUCKETS, salt="pack"
+    )
+
+
+_CHUNK_SIZE = 32
+_CHUNK_OVERLAP = 8
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+k AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= {_CHUNK_SIZE} THEN 1
+              ELSE CAST((len(toks) - {_CHUNK_SIZE} + {_CHUNK_SIZE - _CHUNK_OVERLAP} - 1)
+                        // {_CHUNK_SIZE - _CHUNK_OVERLAP} AS INT) + 1 END AS n_chunks
+  FROM t
+),
+j_t AS (
+  SELECT doc_id, toks, unnest(range(1, n_chunks + 1)) AS j FROM k
+),
+c AS (
+  SELECT doc_id, CAST(j AS INT) AS chunk_id,
+         list_slice(toks, CAST((j - 1) * {_CHUNK_SIZE - _CHUNK_OVERLAP} + 1 AS INT),
+                    CAST((j - 1) * {_CHUNK_SIZE - _CHUNK_OVERLAP} + {_CHUNK_SIZE} AS INT)) AS ctoks
+  FROM j_t
+)
+SELECT doc_id, chunk_id, array_to_string(ctoks, ' ') AS chunk_text,
+       CAST(len(ctoks) AS INT) AS n_chunk_tokens
+FROM c
+""",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking: overlapping 32-token windows (stride 24) per
+    doc - the pre-embedding step of a retrieval/training pipeline.
+    sequence + slice + explode over the token array: each row expands
+    independently, no shuffle, engine-exact boundaries."""
+    return chunk_documents(
+        _docs(spark, sf_dir), "doc_id", "text", _CHUNK_SIZE, _CHUNK_OVERLAP
     )
 
 

@@ -393,6 +393,53 @@ FROM scored
 """
 
 
+_TRIGRAMS_SQL = (
+    "list_transform(range(1, length(regexp_replace(trim(text), '\\s+', '_', 'g')) - 1), "
+    "i -> substring(regexp_replace(trim(text), '\\s+', '_', 'g'), CAST(i AS INT), 3))"
+)
+
+
+def _ngram_langid_oracle() -> str:
+    from ..functions.text import LANG_TRIGRAMS
+
+    langs = sorted(LANG_TRIGRAMS)
+    counts = []
+    for lang in langs:
+        markers = ", ".join(f"'{g}'" for g in LANG_TRIGRAMS[lang])
+        counts.append(
+            f"len(list_filter({_TRIGRAMS_SQL}, g -> g IN ({markers}))) AS g_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"g_{l}" for l in langs) + ")"
+    pred = "CASE "
+    for lang in langs:
+        pred += f"WHEN g_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    pred += "ELSE 'unknown' END"
+    return f"""
+WITH scored AS (SELECT doc_id, {", ".join(counts)} FROM documents)
+SELECT doc_id, {", ".join("CAST(g_" + l + " AS INT) AS g_" + l for l in langs)},
+       {pred} AS predicted_lang
+FROM scored
+"""
+
+
+@register("lang_id_ngram_predictions", oracle=_ngram_langid_oracle())
+def lang_id_ngram_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via character-trigram profiles (the n-gram
+    heuristic proper; functions/text.lang_id_ngram): space-normalized
+    trigram hits per language profile -> argmax. Pure column
+    expressions - scan speed, no UDF; the marker-word variant
+    (lang_id_predictions) stays as the cheaper word-level scorer."""
+    from ..functions.text import LANG_TRIGRAMS, lang_id_ngram, lang_trigram_count
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    cols = [
+        lang_trigram_count(t, lang).cast("int").alias(f"g_{lang}")
+        for lang in sorted(LANG_TRIGRAMS)
+    ]
+    return d.select("doc_id", *cols, lang_id_ngram(t).alias("predicted_lang"))
+
+
 @register("lang_id_predictions", oracle=_langid_oracle())
 def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (marker-word argmax, functions/text.py

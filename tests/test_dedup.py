@@ -115,3 +115,23 @@ def test_pack_sequences_boundaries(spark):
     assert by_id[3].pack_id == 1            # starts at 600
     assert by_id[4].pack_id == 5            # starts at 2600
     assert all(r.bucket == 0 for r in out)
+
+
+def test_chunk_documents_boundaries(spark):
+    """Overlap semantics: 10 tokens, chunk 4, overlap 1 (stride 3) ->
+    chunks at 1-4, 4-7, 7-10; short doc -> one whole chunk."""
+    from machine_downtime_monitor_on_aws_spark.operators.sampling import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b")],
+        "doc_id int, body string",
+    )
+    out = chunk_documents(docs, "doc_id", "body", 4, 1).collect()
+    got = {(r.doc_id, r.chunk_id): r.chunk_text for r in out}
+    assert got[(1, 1)] == "t1 t2 t3 t4"
+    assert got[(1, 2)] == "t4 t5 t6 t7"
+    assert got[(1, 3)] == "t7 t8 t9 t10"
+    assert (1, 4) not in got
+    assert got[(2, 1)] == "a b"
