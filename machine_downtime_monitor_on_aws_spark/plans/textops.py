@@ -147,6 +147,76 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_W3_SQL = f"""
+CASE WHEN len({_TOKENS_SQL}) >= 3
+     THEN list_transform(
+            generate_series(1, len({_TOKENS_SQL}) - 2),
+            i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + 2), ' '))
+     ELSE [trim(text)] END
+"""
+
+
+@register(
+    "doc_repetition_scores",
+    oracle=f"""
+WITH g AS (SELECT doc_id, {_W3_SQL} AS w3 FROM documents)
+SELECT doc_id,
+       CAST(len(w3) AS INT) AS n_3grams,
+       CAST(len(list_distinct(w3)) AS INT) AS n_distinct_3grams,
+       1.0 - CAST(len(list_distinct(w3)) AS DOUBLE) / CAST(len(w3) AS DOUBLE)
+         AS dup_ratio
+FROM g
+""",
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (training-data quality): fraction of
+    duplicated word-3-grams per doc. Integer counts + one division of
+    identical operands - engine-exact; boilerplate/looping text scores
+    high and gets filtered upstream of training."""
+    d = _docs(spark, sf_dir)
+    w3 = shingles(F.col("text"), 3)
+    n = F.size(w3)
+    nd = F.size(F.array_distinct(w3))
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_3grams"),
+        nd.cast("int").alias("n_distinct_3grams"),
+        (F.lit(1.0) - nd.cast("double") / n.cast("double")).alias("dup_ratio"),
+    )
+
+
+# Deliberately simple character classes: identical semantics in Java
+# regex (Spark) and RE2 (DuckDB) - no lookaround, no word boundaries.
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_URL_RE = "https?://[^ ]+"
+_LONG_NUM_RE = "[0-9]{6,}"
+
+
+@register(
+    "doc_pattern_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{_LONG_NUM_RE}')) AS INT) AS n_long_numbers
+FROM documents
+""",
+)
+def doc_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-ish pattern counts per doc (emails / URLs / long digit
+    runs) - the scrubbing signal a cleaning pipeline thresholds on.
+    Patterns restricted to constructs with identical Java-regex /
+    RE2 semantics so the oracle is exact."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(t, F.lit(_URL_RE)).cast("int").alias("n_urls"),
+        F.regexp_count(t, F.lit(_LONG_NUM_RE)).cast("int").alias("n_long_numbers"),
+    )
+
+
 @register(
     "lang_source_stats",
     oracle="""
