@@ -252,3 +252,48 @@ def error_context_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nearby"),
         F.min("o_event_id").cast("long").alias("first_nearby_event"),
     )
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(o_totalprice AS DOUBLE) AS total_price,
+       CAST((SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE) AS cust_total,
+       (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS n_orders
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+         FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+""",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (orders above their customer's
+    average spend), written in SQL so Catalyst's decorrelation rewrite
+    is what executes: each subquery becomes an aggregate + broadcast
+    join, not a per-row probe (plan-verified). Three subqueries =
+    three aggregates over orders; a hand-fused form (one
+    groupBy(custkey).agg(sum, count) + one join) halves the scans and
+    is what a hot-path pipeline should write - this entry
+    deliberately keeps the subquery formulation to pin the optimizer
+    behavior. The above-average predicate is stated
+    multiplicatively (price * n > sum) so the comparison stays in
+    exact decimals - a decimal `avg` rounds differently per engine
+    (DuckDB averages decimals in double)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(o_totalprice AS DOUBLE) AS total_price,
+               CAST((SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                     FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE)
+                 AS cust_total,
+               (SELECT count(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+                 AS n_orders
+        FROM orders_v o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2))
+                * (SELECT count(*) FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+              > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                 FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+    """)
