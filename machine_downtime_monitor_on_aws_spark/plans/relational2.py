@@ -297,3 +297,80 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
               > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
                  FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
     """)
+
+
+@register(
+    "daily_clicks_purchases_full_join",
+    oracle="""
+WITH c AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT coalesce(c.day, p.day) AS day,
+       coalesce(n_clicks, 0) AS n_clicks,
+       coalesce(n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.day = p.day
+""",
+)
+def daily_clicks_purchases_full_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER join of two daily aggregates (days with clicks but
+    no purchases and vice versa both survive). Aggregate-then-join:
+    the join sides are day-cardinality, so the full-outer shuffle is
+    tiny regardless of event volume."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day)
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        c.join(p, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+_BIN_SQL = (
+    "CASE WHEN CAST(o_totalprice AS DOUBLE) < 0.0 THEN 0 "
+    "WHEN CAST(o_totalprice AS DOUBLE) >= 600000.0 THEN 25 "
+    "ELSE CAST(floor(CAST(o_totalprice AS DOUBLE) / 25000.0) AS INT) + 1 END"
+)
+
+
+@register(
+    "price_histogram",
+    oracle=f"""
+SELECT {_BIN_SQL} AS bucket,
+       count(*) AS n_orders,
+       CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(max(o_totalprice) AS DOUBLE) AS max_price
+FROM orders GROUP BY 1
+""",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (24 bins over [0, 600k), under/overflow
+    bins 0/25 - width_bucket semantics, written as explicit floor
+    arithmetic because DuckDB has no width_bucket): binning is a
+    scan-level expression + one count aggregation (the OLAP histogram
+    shape; data-driven bounds would need a min/max pre-pass)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.expr(_BIN_SQL).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
