@@ -181,6 +181,60 @@ def streaming_minute_rollup(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` with an event-time interval
+    (right row joins left rows whose timestamp is within
+    [right_ts - upper, right_ts - lower]). Both sides carry
+    watermarks, which is what lets Spark EVICT join state: without
+    the time bound a stream-stream join buffers both streams forever.
+    The reference has no stream-stream correlation at all - its
+    Lambda sees one record at a time."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"l.{left_ts}") >= F.expr(f"r.{right_ts} - {upper}"))
+        & (F.col(f"l.{left_ts}") <= F.expr(f"r.{right_ts} - {lower}"))
+    )
+    return l.join(r, cond, "inner")
+
+
+def streaming_session_windows(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    id_col: str = "machine_id",
+    ts_col: str = "event_ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sessionization as a STREAMING aggregation: dynamic
+    ``session_window(ts, gap)`` - sessions close when a key sees no
+    events for ``gap``; the watermark finalizes them (append mode
+    emits each completed session exactly once). The batch twin is
+    operators/sessionize (lag + running-sum); this is the unbounded
+    realization with state eviction for free."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(id_col).alias("id"), w)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(
     stream: DataFrame,
     id_cols: list[str],

@@ -527,3 +527,63 @@ def test_streaming_minute_rollup(spark, tmp_path):
     assert got[("m1", "2021-03-05 18:00:00")] == "DOWN"
     assert got[("m1", "2021-03-05 18:01:00")] == "UP"
     assert got[("m2", "2021-03-05 18:00:00")] == "UP"
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Stream-stream interval join: errors pick up purchases within
+    the preceding 10 minutes for the same user; outside-window and
+    other-user purchases don't join."""
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        interval_join_streams,
+    )
+
+    pdir, edir = str(tmp_path / "p"), str(tmp_path / "e")
+    os.makedirs(pdir), os.makedirs(edir)
+    with open(os.path.join(pdir, "a.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in [
+            {"user": "u1", "amount": 10, "pts": "2021-03-05 18:00:00"},
+            {"user": "u1", "amount": 20, "pts": "2021-03-05 17:40:00"},  # too old
+            {"user": "u2", "amount": 30, "pts": "2021-03-05 18:01:00"},  # other user
+        ]))
+    with open(os.path.join(edir, "a.jsonl"), "w") as f:
+        f.write(json.dumps({"user": "u1", "ets": "2021-03-05 18:05:00"}))
+    purchases = (spark.readStream.schema("user string, amount int, pts string")
+                 .json(pdir).withColumn("pts", F.to_timestamp("pts")))
+    errors = (spark.readStream.schema("user string, ets string")
+              .json(edir).withColumn("ets", F.to_timestamp("ets")))
+    joined = interval_join_streams(purchases, errors, "user", "pts", "ets")
+    q = (joined.select("l.user", "amount").writeStream.format("memory")
+         .queryName("ivj_test").option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ivj_test").collect()
+    assert [(r.user, r.amount) for r in rows] == [("u1", 10)]
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Dynamic session windows: a >5min gap splits sessions; the
+    watermark finalizes completed sessions in append mode."""
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        streaming_session_windows,
+    )
+
+    src = str(tmp_path / "s")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in [
+            {"machine_id": "m1", "event_ts": "2021-03-05 18:00:00"},
+            {"machine_id": "m1", "event_ts": "2021-03-05 18:03:00"},  # same session
+            {"machine_id": "m1", "event_ts": "2021-03-05 18:15:00"},  # new session
+            {"machine_id": "m9", "event_ts": "2021-03-05 19:30:00"},  # watermark push
+        ]))
+    stream = (spark.readStream.schema("machine_id string, event_ts string")
+              .json(src).withColumn("event_ts", F.to_timestamp("event_ts")))
+    out = streaming_session_windows(stream)
+    q = (out.writeStream.format("memory").queryName("sess_test")
+         .outputMode("append").option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.id, str(r.session_start)): r.n_events
+           for r in spark.sql("SELECT * FROM sess_test").collect()}
+    assert got[("m1", "2021-03-05 18:00:00")] == 2
+    assert got[("m1", "2021-03-05 18:15:00")] == 1
