@@ -374,3 +374,68 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").cast("double").alias("min_price"),
         F.max("o_totalprice").cast("double").alias("max_price"),
     )
+
+
+@register(
+    "lineitem_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+       CAST(grouping(l_linestatus) AS INT) AS g_status,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+""",
+)
+def lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (two independent rollups in ONE scan +
+    one expanded aggregation - the cube/rollup generalization; running
+    two groupBys would scan twice)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """)
+
+
+@register(
+    "purchase_outliers_iqr",
+    oracle="""
+WITH q AS (
+  SELECT quantile_cont(CAST(value AS DOUBLE), 0.25) AS p25,
+         quantile_cont(CAST(value AS DOUBLE), 0.75) AS p75
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.user_id, e.event_id, CAST(e.value AS DOUBLE) AS value,
+       p75 + 1.5 * (p75 - p25) AS upper_fence
+FROM events e, q
+WHERE e.event_type = 'purchase'
+  AND CAST(e.value AS DOUBLE) > p75 + 1.5 * (p75 - p25)
+""",
+)
+def purchase_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier detection (Tukey fence): exact percentiles (the
+    interpolation formula is engine-identical, proven by
+    price_percentiles_by_flag) -> one scalar fence broadcast back
+    over the stream. Two passes over purchases, no window over the
+    full data. The anomaly-filter step of a data-cleaning pipeline;
+    stddev-based z-scores are deliberately avoided - distributed
+    variance is not bit-reproducible across engines."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    v = F.col("value").cast("double")
+    q = ev.agg(
+        F.percentile(v, F.lit(0.25)).alias("p25"),
+        F.percentile(v, F.lit(0.75)).alias("p75"),
+    )
+    fence = (F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).alias("upper_fence")
+    return (
+        ev.crossJoin(F.broadcast(q.select(fence)))
+        .filter(v > F.col("upper_fence"))
+        .select("user_id", "event_id", v.alias("value"), "upper_fence")
+    )
