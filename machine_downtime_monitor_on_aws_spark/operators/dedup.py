@@ -446,6 +446,60 @@ SELECT doc_id, {concat} AS simhash FROM v
 """
 
 
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    num_bands: int = 4,
+    max_bucket_size: int = 256,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 16-hex fingerprint into
+    ``num_bands`` equal substrings, equi-join on matching bands, then
+    verify exact Hamming distance <= ``max_hamming`` with flat bit
+    arithmetic. Pigeonhole: a pair with hamming < num_bands is
+    GUARANTEED to share a band; beyond that recall is partial - the
+    standard banding trade (raise num_bands for recall, at more
+    candidate pairs).
+
+    The banding reuses :func:`candidate_pairs` (same capped in-bucket
+    expansion / oversized-star degradation), so a corpus of identical
+    boilerplate can't blow up one task. Hamming verification is 16
+    codegen'd bit_count(xor) terms per pair - no UDF, oracle-exact.
+    """
+    if 16 % num_bands != 0:
+        raise ValueError("num_bands must divide 16")
+    width = 16 // num_bands
+    fp = simhash_md5(df, id_col, text_col, parallelism=parallelism)
+    bands = fp.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("simhash"), 1 + b * width, width)
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    pairs = candidate_pairs(bands, max_bucket_size=max_bucket_size)
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__sa"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__sb"))
+    terms = " + ".join(
+        f"bit_count(CAST(conv(substring(__sa, {j}, 1), 16, 10) AS INT)"
+        f" ^ CAST(conv(substring(__sb, {j}, 1), 16, 10) AS INT))"
+        for j in range(1, 17)
+    )
+    return (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", F.expr(terms))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens using xxhash64
     (Spark-native; rows-only correctness check - xxhash64 isn't

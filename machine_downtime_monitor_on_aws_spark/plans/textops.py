@@ -30,6 +30,7 @@ from ..operators.dedup import (
     minhash_lsh_buckets,
     simhash_md5,
     simhash_md5_oracle_sql,
+    simhash_neardup_pairs,
 )
 from ..session import pin_utc
 from ..tables import load_table
@@ -433,6 +434,40 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant remains in operators/dedup.py as the Spark-native fast
     path for parity-free use."""
     return simhash_md5(
+        _docs(spark, sf_dir), "doc_id", "text",
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
+def _simhash_pair_oracle() -> str:
+    ham = "list_sum(list_transform(range(1, 17), j -> bit_count(xor(" \
+        "instr('0123456789abcdef', substring(a.simhash, CAST(j AS INT), 1)) - 1, " \
+        "instr('0123456789abcdef', substring(b.simhash, CAST(j AS INT), 1)) - 1))))"
+    return f"""
+WITH fp AS ({simhash_md5_oracle_sql(_TOKENS_SQL)}),
+bands AS (
+  SELECT doc_id, unnest(range(0, 4)) AS band_id,
+         substring(simhash, CAST(unnest(range(0, 4)) * 4 + 1 AS INT), 4) AS band_hash
+  FROM fp
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+  WHERE x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b, CAST({ham} AS INT) AS hamming
+FROM cand c JOIN fp a ON a.doc_id = c.doc_a JOIN fp b ON b.doc_id = c.doc_b
+WHERE {ham} <= 6
+"""
+
+
+@register("simhash_neardup_pairs", oracle=_simhash_pair_oracle())
+def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: banded fingerprint join -> exact Hamming
+    verification (<= 6 of 64 bits). Completes the SimHash dedup path
+    (fingerprints alone only support exact-match grouping)."""
+    return simhash_neardup_pairs(
         _docs(spark, sf_dir), "doc_id", "text",
         parallelism=spark.sparkContext.defaultParallelism,
     )
