@@ -148,6 +148,45 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2-family shape: word runs with an
+# optional contraction, single digits, punctuation runs). Restricted
+# to constructs with identical Java-regex / RE2 semantics - no
+# lookaround, ASCII classes.
+_BPE_RE = "[A-Za-z]+('[a-z]+)?|[0-9]|[^A-Za-z0-9 \\t\\n]+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
+
+
+@register(
+    "doc_bpe_token_counts",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len({_TOKENS_SQL}) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS INT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS DOUBLE)
+         / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS fertility
+FROM documents WHERE len({_TOKENS_SQL}) > 0
+""",
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: whitespace tokens vs GPT-2-style
+    pre-tokenizer segments (word runs + optional contraction, single
+    digits, punctuation runs), plus the fertility ratio a tokenizer
+    budget uses. Counting is regexp_extract_all at scan speed."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_ws = token_count(t)
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_RE), F.lit(0)))
+    return (
+        d.filter(n_ws > 0)
+        .select(
+            "doc_id",
+            n_ws.cast("int").alias("n_ws_tokens"),
+            n_bpe.cast("int").alias("n_bpe_tokens"),
+            (n_bpe.cast("double") / n_ws.cast("double")).alias("fertility"),
+        )
+    )
+
+
 _W3_SQL = f"""
 CASE WHEN len({_TOKENS_SQL}) >= 3
      THEN list_transform(
