@@ -174,3 +174,16 @@ def chunk_documents(
         F.array_join(F.col("c.ctoks"), " ").alias("chunk_text"),
         F.size(F.col("c.ctoks")).cast("int").alias("n_chunk_tokens"),
     )
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, rate_pct_col: Column, salt: str = "wsample"
+) -> DataFrame:
+    """Importance sampling: per-ROW keep probability from a column
+    expression (e.g. a quality score mapped to [0, 100]), decided by
+    the same deterministic id hash as the fixed-rate variants. Still
+    a pure scan-level filter - the rate expression rides the
+    projection; no shuffle, reproducible across partitionings."""
+    return df.filter(
+        sample_hash(F.col(id_col), salt) < (rate_pct_col * 100).cast("long")
+    )

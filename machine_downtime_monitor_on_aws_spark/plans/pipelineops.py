@@ -235,3 +235,38 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         slim, "doc_id", "n_tokens", _PACK_MAX_TOKENS, _PACK_BUCKETS, salt="pack"
     )
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+           / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS distinct_ratio
+  FROM documents WHERE len({_TOKENS_SQL}) > 0
+)
+SELECT doc_id, lang, distinct_ratio
+FROM scored
+WHERE {sample_hash_sql('doc_id', 'wsample')}
+        < CAST(distinct_ratio * 100.0 * 100 AS BIGINT)
+""",
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: keep probability proportional
+    to lexical-diversity ratio (a doc with distinct_ratio 0.9 keeps
+    with p=0.9). Per-row rate from a column expression, same
+    deterministic hash filter - zero shuffle."""
+    from ..functions.text import distinct_token_count
+    from ..operators.sampling import weighted_sample
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_tok = token_count(t)
+    ratio = distinct_token_count(t).cast("double") / n_tok.cast("double")
+    scored = d.filter(n_tok > 0).select(
+        "doc_id", "lang", ratio.alias("distinct_ratio")
+    )
+    return weighted_sample(
+        scored, "doc_id", F.col("distinct_ratio") * 100.0, salt="wsample"
+    )

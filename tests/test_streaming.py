@@ -587,3 +587,20 @@ def test_streaming_session_windows(spark, tmp_path):
            for r in spark.sql("SELECT * FROM sess_test").collect()}
     assert got[("m1", "2021-03-05 18:00:00")] == 2
     assert got[("m1", "2021-03-05 18:15:00")] == 1
+
+
+def test_restart_same_checkpoint_no_duplicates(spark, dirs):
+    """T9: restarting the ingest stream against the same checkpoint
+    with NO new source files must process nothing - the checkpoint's
+    source log makes replay idempotent."""
+    sinks = IngestSinks(realtime_path=dirs["realtime"], snapshot_path=dirs["snapshot"])
+    _run_batch(spark, dirs, sinks, [_record("r1", _msg("site/a/p/m1/status", "u"))], 1)
+    rt = spark.read.parquet(dirs["realtime"])
+    n_first = rt.count()
+    assert n_first > 0
+
+    # restart: same source dir, same checkpoint, no new data
+    src = read_envelope_stream(spark, dirs["src"])
+    q = run_ingest_stream(spark, src, lambda: CFG, sinks, dirs["ckpt"])
+    _drain(q)
+    assert spark.read.parquet(dirs["realtime"]).count() == n_first
