@@ -7,6 +7,7 @@ def _load_all() -> None:
     # import for registration side effects
     from . import (  # noqa: F401
         domain,
+        multimodalops,
         pipelineops,
         relational,
         relational2,
