@@ -74,3 +74,36 @@ def multimodal_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digest",
         *[F.col("feature")[j].alias(f"f{j}") for j in range(_FEATURE_DIM)],
     )
+
+
+@register(
+    "video_frame_samples",
+    oracle=f"""
+WITH media AS (
+  SELECT doc_id AS media_id, {_KIND_SQL} AS kind,
+         CAST(n_chars * 10 AS INT) AS duration_ms
+  FROM documents
+)
+SELECT media_id, CAST(unnest(range(0, duration_ms, 1000)) AS INT) AS frame_ms
+FROM media WHERE kind = 'video'
+""",
+)
+def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal
+    frame_sample_plan): one row per sampled timestamp, sequence over
+    the clip duration - pure built-ins, each clip expands
+    independently (no shuffle). The frame DECODE is the stubbed codec
+    step; the sampling dataflow is what runs at scale and is
+    oracle-checked here."""
+    from ..operators.multimodal import frame_sample_plan
+
+    pin_utc(spark)
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(_KIND_SQL).alias("kind"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ms").cast("int").alias("frame_ms")
+    )
