@@ -199,6 +199,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iterations: int = 25,
     hops_per_round: int = 3,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """``(doc_id, component)`` for every node appearing in ``pairs``;
     ``component`` is the minimum id reachable through shared-bucket
@@ -233,6 +234,37 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size-based strategy switch (the same decision AQE makes for
+    # broadcast joins): the pair graph is a SLIVER of the corpus - at
+    # sf0.1 a few thousand edges, at 100 TB typically millions, both
+    # a few MB of (id, id) tuples. Below the threshold, a driver-side
+    # union-find finishes in microseconds where the iterative
+    # DataFrame loop pays seconds of per-round scheduling; above it,
+    # the distributed propagation takes over. The count is free-ish -
+    # edges was just checkpoint-materialized.
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(node, find(node)) for node in {r[0] for r in rows}]
+        return pairs.sparkSession.createDataFrame(
+            out, schema=["doc_id", "component"]
+        )
+
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()

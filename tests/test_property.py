@@ -200,10 +200,17 @@ def test_connected_components_matches_union_find(seed):
 
     spark = _spark()
     pairs = spark.createDataFrame(edges, "doc_a int, doc_b int")
-    got = {
+    # both strategies: driver-side union-find (default for sliver
+    # graphs) AND the distributed propagation (forced via threshold=0)
+    got_driver = {
         r.doc_id: r.component for r in connected_components(pairs).collect()
     }
-    assert got == expected
+    got_dist = {
+        r.doc_id: r.component
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert got_driver == expected
+    assert got_dist == expected
 
 
 @settings(max_examples=10, deadline=None)
