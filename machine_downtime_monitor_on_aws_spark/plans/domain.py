@@ -200,6 +200,44 @@ def minute_status_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "status_age_seconds",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, ts, event_id, {_STATUS_SQL} AS status FROM events
+), r AS (
+  SELECT user_id, status, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM s
+), mx AS (SELECT max(ts) AS now_ts FROM events)
+SELECT user_id, status,
+       CAST(floor(epoch(ts)) AS BIGINT) AS status_epoch,
+       CAST(floor(epoch(now_ts)) - floor(epoch(ts)) AS BIGINT) AS status_age_seconds
+FROM r, mx WHERE rn = 1
+""",
+)
+def status_age_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 ('DOWN for N minutes'): seconds since each machine's last
+    status change, against the corpus max event time as the
+    deterministic "now" (live callers pass current_timestamp into
+    with_status_age). The now scalar is a 1-row broadcast - no
+    cross-partition recompute."""
+    from ..operators.latest import with_status_age
+
+    ev = _events(spark, sf_dir).withColumn("status", _status_expr())
+    latest = latest_by_key(
+        ev, ["user_id"], "ts", ["status"], order_col="event_id"
+    ).select("user_id", "status", F.col("ts").cast("long").alias("status_epoch"))
+    now = ev.agg(F.max(F.col("ts").cast("long")).alias("__now"))
+    aged = with_status_age(
+        latest.crossJoin(F.broadcast(now)), F.col("__now"), "status_epoch"
+    )
+    return aged.select(
+        "user_id", "status", "status_epoch",
+        F.col("status_age_seconds").cast("long").alias("status_age_seconds"),
+    )
+
+
+@register(
     "latest_status_per_user",
     oracle=f"""
 WITH s AS (
