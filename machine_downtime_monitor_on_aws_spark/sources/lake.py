@@ -89,3 +89,28 @@ def compact_retention(
 
     shutil.rmtree(path)
     shutil.move(tmp, path)
+
+
+def write_bucketed_table(
+    df,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a hash-bucketed (optionally sorted) parquet table: the
+    co-located-join layout. Every reader joining or aggregating on
+    ``bucket_col`` skips its shuffle entirely - the scan itself
+    reports hash distribution - which at 100 TB converts the nightly
+    fact-to-fact join from a full network shuffle into local merges.
+    The write pays ONE shuffle to lay data out; every downstream
+    consumer amortizes it."""
+    w = (
+        df.repartition(num_buckets, bucket_col)
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)

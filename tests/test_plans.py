@@ -148,3 +148,37 @@ def test_token_packing_single_shuffle(spark):
     # formatted explain prints each node in the tree AND the detail
     # section; count node headers "(N) Exchange" once
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing = co-located joins: a self-join on the bucket column
+    of a bucketed table plans ZERO exchanges (the scan itself carries
+    the hash distribution); the same join on plain parquet shuffles
+    both sides."""
+    import re
+    import shutil
+
+    from machine_downtime_monitor_on_aws_spark.sources.lake import (
+        write_bucketed_table,
+    )
+    from machine_downtime_monitor_on_aws_spark.tables import load_table
+
+    ev = load_table(spark, SF_ORACLE, "events").select("user_id", "event_id", "value")
+    try:
+        write_bucketed_table(ev, "ev_bucketed", "user_id", 8)
+        t = spark.table("ev_bucketed")
+        agg = t.groupBy("user_id").count()
+        joined = agg.alias("a").hint("merge").join(
+            t.alias("b"), "user_id"
+        )
+        plan = explain(joined)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+        # control: the un-bucketed twin needs exchanges
+        plain = ev.groupBy("user_id").count().alias("a").hint("merge").join(
+            ev.alias("b"), "user_id"
+        )
+        assert len(re.findall(r"\(\d+\) Exchange", explain(plain))) > 0
+    finally:
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        shutil.rmtree(f"{wh}/ev_bucketed", ignore_errors=True)
