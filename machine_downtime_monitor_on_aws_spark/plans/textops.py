@@ -505,9 +505,16 @@ WHERE {ham} <= 6
 def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: banded fingerprint join -> exact Hamming
     verification (<= 6 of 64 bits). Completes the SimHash dedup path
-    (fingerprints alone only support exact-match grouping)."""
+    (fingerprints alone only support exact-match grouping).
+
+    max_bucket_size is lifted here because the oracle enumerates ALL
+    in-bucket pairs: 4-hex bands collide freely on real corpora (one
+    band bucket exceeded the 256 default at sf0.1, silently shrinking
+    the pair set vs the oracle). Production callers keep the default
+    cap - the capped star degradation is unit-tested."""
     return simhash_neardup_pairs(
         _docs(spark, sf_dir), "doc_id", "text",
+        max_bucket_size=1 << 20,
         parallelism=spark.sparkContext.defaultParallelism,
     )
 

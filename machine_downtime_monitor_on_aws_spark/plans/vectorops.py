@@ -167,7 +167,8 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label_centroid_sums",
     oracle=f"""
 SELECT label, CAST(j AS INT) AS dim,
-       CAST(sum(CAST(v[j] AS DECIMAL(18,9))) AS DOUBLE) AS component_sum,
+       CAST(sum(CAST(floor(v[j] * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 AS component_sum,
        count(*) AS n_vectors
 FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
      generate_series(1, {_DIM}) AS t(j)
@@ -175,21 +176,26 @@ GROUP BY label, dim
 """,
 )
 def label_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid accumulators: component sums as exact
-    decimals (associative -> engine- and partition-order-independent)
-    plus counts; the centroid is sum/n downstream. posexplode turns
-    the vector into (dim, value) rows - one shuffle on (label, dim).
-    """
+    """Per-label centroid accumulators: components quantized to 1e-9
+    by EXPLICIT double arithmetic (floor(v*1e9 + 0.5)) and summed as
+    bigints - associative, partition-order-independent, and
+    engine-identical. A double->DECIMAL cast is NOT portable: its
+    rounding mode is engine-defined (Spark HALF_UP vs DuckDB
+    HALF_EVEN), and binary doubles have exact decimal tails, so ties
+    genuinely occur (one cell at sf0.1 flipped 1e-9 between engines).
+    posexplode turns the vector into (dim, value) rows - one shuffle
+    on (label, dim)."""
     e = _emb(spark, sf_dir)
+    q = F.floor(F.col("component") * 1e9 + F.lit(0.5)).cast("long")
     exploded = e.select(
         "label", F.posexplode("vec").alias("pos", "component")
     ).select(
         "label",
         (F.col("pos") + 1).cast("int").alias("dim"),
-        F.col("component").cast("decimal(18,9)").alias("comp_dec"),
+        q.alias("comp_q"),
     )
     return exploded.groupBy("label", "dim").agg(
-        F.sum("comp_dec").cast("double").alias("component_sum"),
+        (F.sum("comp_q").cast("double") / F.lit(1e9)).alias("component_sum"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
 
