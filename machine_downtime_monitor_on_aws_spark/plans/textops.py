@@ -36,6 +36,13 @@ from ..session import pin_utc
 from ..tables import load_table
 from .catalog import register
 
+# Oracle-paired queries lift candidate_pairs' bucket cap: the DuckDB
+# twin enumerates ALL in-bucket pairs, and a capped Spark side would
+# silently diverge the moment any band bucket exceeds the default
+# (seen with simhash bands at sf0.1). Production callers keep the
+# default cap; the capped star degradation is unit-tested.
+_ORACLE_UNCAPPED = 1 << 20
+
 _NUM_PERMS = 8
 _NUM_BANDS = 4
 _ROWS_PER_BAND = _NUM_PERMS // _NUM_BANDS
@@ -355,7 +362,7 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    return candidate_pairs(buckets)
+    return candidate_pairs(buckets, max_bucket_size=_ORACLE_UNCAPPED)
 
 
 @register(
@@ -395,7 +402,7 @@ def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash pipeline once instead of twice (measured 2.1s -> 1.45s
     # at sf0.1; plain .cache() did not help - lazy caching still
     # evaluates both branches before the first materialization wins).
-    pairs = candidate_pairs(buckets).localCheckpoint(eager=False)
+    pairs = candidate_pairs(buckets, max_bucket_size=_ORACLE_UNCAPPED).localCheckpoint(eager=False)
     return jaccard_verified_pairs(d, pairs, "doc_id", "text", 0.5, _SHINGLE_N)
 
 
@@ -437,7 +444,7 @@ def neardup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    return connected_components(candidate_pairs(buckets))
+    return connected_components(candidate_pairs(buckets, max_bucket_size=_ORACLE_UNCAPPED))
 
 
 @register(
@@ -459,7 +466,7 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    cc = connected_components(candidate_pairs(buckets))
+    cc = connected_components(candidate_pairs(buckets, max_bucket_size=_ORACLE_UNCAPPED))
     return drop_neardup_docs(d, cc, "doc_id").select("doc_id", "lang", "source")
 
 
