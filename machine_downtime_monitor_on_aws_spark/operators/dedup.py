@@ -131,7 +131,7 @@ def minhash_lsh_buckets(
 
 
 def candidate_pairs(
-    buckets: DataFrame, max_bucket_size: int = 256
+    buckets: DataFrame, max_bucket_size: int | None = 256
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing any LSH bucket - the
     shuffle-group formulation of the all-pairs problem.
@@ -156,7 +156,25 @@ def candidate_pairs(
 
     Bucket size/representative come from one window pass over the same
     (band_id, band_hash) hash partitioning the groupBy needs, so the
-    exchange is reused, not repeated."""
+    exchange is reused, not repeated.
+
+    ``max_bucket_size=None`` switches to the plain bucket SELF-JOIN
+    formulation: exact all-pairs output (no cap, no star degradation)
+    with the quadratic work spread across tasks by the join (AQE
+    skew-splitting applies) instead of materializing inside one
+    grouped row. This is the mode oracle-paired queries use - it is
+    semantically identical to an uncapped enumeration at any bucket
+    size, where the grouped-row expansion concentrates a giant bucket
+    in a single task."""
+    if max_bucket_size is None:
+        a = buckets.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+        b = buckets.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+        return (
+            a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
     w = Window.partitionBy("band_id", "band_hash")
     sized = buckets.select(
         "doc_id",
@@ -484,7 +502,7 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 6,
     num_bands: int = 4,
-    max_bucket_size: int = 256,
+    max_bucket_size: int | None = 256,
     parallelism: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 16-hex fingerprint into

@@ -25,7 +25,7 @@ from ..operators.sampling import (
 from ..session import pin_utc
 from ..tables import load_table
 from .catalog import register
-from .textops import _ORACLE_UNCAPPED, _TOKENS_SQL, _cc_clauses
+from .textops import _TOKENS_SQL, _cc_clauses
 
 # Mixing config: rates keyed by source, generated from one dict so
 # the Spark plan and the oracle can never drift. srcN keeps
@@ -226,7 +226,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = minhash_lsh_buckets(
         quality, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
     )
-    cc = connected_components(candidate_pairs(buckets, max_bucket_size=_ORACLE_UNCAPPED))
+    cc = connected_components(candidate_pairs(buckets, max_bucket_size=None))
     kept = drop_neardup_docs(quality, cc, "doc_id")
     mixed = stratified_sample(kept, "doc_id", "source", _MIX_RATES, salt="mix")
     slim = mixed.select(

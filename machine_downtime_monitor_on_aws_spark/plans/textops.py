@@ -36,13 +36,12 @@ from ..session import pin_utc
 from ..tables import load_table
 from .catalog import register
 
-# Oracle-paired queries lift candidate_pairs' bucket cap: the DuckDB
-# twin enumerates ALL in-bucket pairs, and a capped Spark side would
-# silently diverge the moment any band bucket exceeds the default
-# (seen with simhash bands at sf0.1). Production callers keep the
-# default cap; the capped star degradation is unit-tested.
-_ORACLE_UNCAPPED = 1 << 20
-
+# Oracle-paired queries pass max_bucket_size=None (exact all-pairs
+# via the AQE-splittable self-join): the DuckDB twin enumerates ALL
+# in-bucket pairs, and a capped Spark side would silently diverge the
+# moment any band bucket exceeds the default (seen with simhash bands
+# at sf0.1). Production callers keep the default cap; the capped star
+# degradation is unit-tested.
 _NUM_PERMS = 8
 _NUM_BANDS = 4
 _ROWS_PER_BAND = _NUM_PERMS // _NUM_BANDS
@@ -362,7 +361,7 @@ def neardup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    return candidate_pairs(buckets, max_bucket_size=_ORACLE_UNCAPPED)
+    return candidate_pairs(buckets, max_bucket_size=None)
 
 
 @register(
@@ -402,7 +401,7 @@ def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash pipeline once instead of twice (measured 2.1s -> 1.45s
     # at sf0.1; plain .cache() did not help - lazy caching still
     # evaluates both branches before the first materialization wins).
-    pairs = candidate_pairs(buckets, max_bucket_size=_ORACLE_UNCAPPED).localCheckpoint(eager=False)
+    pairs = candidate_pairs(buckets, max_bucket_size=None).localCheckpoint(eager=False)
     return jaccard_verified_pairs(d, pairs, "doc_id", "text", 0.5, _SHINGLE_N)
 
 
@@ -444,7 +443,7 @@ def neardup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    return connected_components(candidate_pairs(buckets, max_bucket_size=_ORACLE_UNCAPPED))
+    return connected_components(candidate_pairs(buckets, max_bucket_size=None))
 
 
 @register(
@@ -466,7 +465,7 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    cc = connected_components(candidate_pairs(buckets, max_bucket_size=_ORACLE_UNCAPPED))
+    cc = connected_components(candidate_pairs(buckets, max_bucket_size=None))
     return drop_neardup_docs(d, cc, "doc_id").select("doc_id", "lang", "source")
 
 
@@ -521,7 +520,7 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap - the capped star degradation is unit-tested."""
     return simhash_neardup_pairs(
         _docs(spark, sf_dir), "doc_id", "text",
-        max_bucket_size=1 << 20,
+        max_bucket_size=None,
         parallelism=spark.sparkContext.defaultParallelism,
     )
 
