@@ -193,6 +193,39 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vocab_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+stats AS (
+  SELECT term,
+         CAST(count(*) AS BIGINT) AS total_tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY term
+)
+SELECT term, total_tf, df
+FROM stats ORDER BY total_tf DESC, term LIMIT 100
+""",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (tokenizer-training primitive): corpus-wide
+    term frequency + document frequency, top-100 by total_tf with a
+    deterministic tie-break. Integer counts only - idf/log scoring is
+    a consumer-side transform (ln() is not bit-reproducible across
+    engines). orderBy+limit plans as TakeOrdered: per-partition
+    top-100 heaps merge at the driver - NO global sort of the
+    vocabulary."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return stats.orderBy(F.col("total_tf").desc(), F.col("term")).limit(100)
+
+
 _W3_SQL = f"""
 CASE WHEN len({_TOKENS_SQL}) >= 3
      THEN list_transform(
