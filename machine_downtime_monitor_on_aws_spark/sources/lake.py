@@ -75,16 +75,37 @@ def compact_retention(
     now_epoch: int,
     epoch_col: str = "message_timestamp",
 ) -> None:
-    """TTL compaction: rewrite the store keeping only live rows.
+    """TTL compaction: rewrite the store keeping only live rows,
+    PRESERVING the year/month/day partition layout (an unpartitioned
+    rewrite would silently disable partition pruning for every later
+    reader and corrupt the layout for subsequent partitioned appends)
+    and coalescing each day's micro-batch appends into few files -
+    the small-file cleanup an append-mode streaming sink needs.
 
-    The reference gets this for free from DynamoDB TTL; on a lake the
-    equivalent is a periodic partition-level rewrite (with Delta this
-    would be a `DELETE WHERE` + vacuum). Day-partitioned layout means
-    whole expired partitions drop without reading them.
+    The reference gets expiry for free from DynamoDB TTL; on a lake
+    the equivalent is this periodic rewrite (with Delta it would be
+    `DELETE WHERE` + vacuum + OPTIMIZE). Day-partitioned layout means
+    expired days drop as whole directories.
     """
-    live = retention_filter(spark.read.parquet(path), retention_hours, now_epoch, epoch_col)
+    live = retention_filter(
+        spark.read.parquet(path), retention_hours, now_epoch, epoch_col
+    )
+    # partition-type inference reads "06" back as integer 6; rewrite
+    # with the zero-padded strings write_lake produced or directory
+    # names silently change (month=06 -> month=6) and pruned readers
+    # built for the original layout mismatch
+    live = (
+        live.withColumn("year", F.format_string("%04d", F.col("year").cast("int")))
+        .withColumn("month", F.format_string("%02d", F.col("month").cast("int")))
+        .withColumn("day", F.format_string("%02d", F.col("day").cast("int")))
+    )
     tmp = path.rstrip("/") + "__compacting"
-    live.write.mode("overwrite").parquet(tmp)
+    (
+        live.repartition("year", "month", "day")
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .parquet(tmp)
+    )
     import shutil
 
     shutil.rmtree(path)

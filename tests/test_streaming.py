@@ -604,3 +604,44 @@ def test_restart_same_checkpoint_no_duplicates(spark, dirs):
     q = run_ingest_stream(spark, src, lambda: CFG, sinks, dirs["ckpt"])
     _drain(q)
     assert spark.read.parquet(dirs["realtime"]).count() == n_first
+
+
+def test_compact_retention_preserves_partition_layout(spark, tmp_path):
+    """P11 compaction must keep the year/month/day directory layout
+    (pruning survives) and coalesce each day's appended micro-batch
+    files."""
+    from machine_downtime_monitor_on_aws_spark.sources.lake import (
+        compact_retention,
+        read_lake_day,
+        write_lake,
+    )
+
+    path = str(tmp_path / "lake")
+    rows = []
+    for day, epoch in ((1, 1_000_000), (2, 2_000_000)):
+        df = spark.createDataFrame(
+            [(i, epoch, f"2024-06-0{day} 10:00:00") for i in range(5)],
+            "id long, message_timestamp long, ts_s string",
+        ).withColumn("event_ts", F.col("ts_s").cast("timestamp"))
+        # several appends per day = small-file accumulation
+        for _ in range(3):
+            write_lake(df, path)
+
+    # cutoff drops day 1 (epoch 1M), keeps day 2 (epoch 2M)
+    compact_retention(spark, path, retention_hours=24, now_epoch=2_000_000 + 3600)
+
+    assert not os.path.exists(os.path.join(path, "year=2024", "month=06", "day=01"))
+    day2 = os.path.join(path, "year=2024", "month=06", "day=02")
+    assert os.path.isdir(day2)
+    parts = [f for f in os.listdir(day2) if f.startswith("part-")]
+    assert len(parts) == 1  # 3 appended files coalesced
+
+    got = read_lake_day(spark, path, 2024, 6, 2)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    assert got.count() == 15
