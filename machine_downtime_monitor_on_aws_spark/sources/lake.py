@@ -108,8 +108,15 @@ def compact_retention(
     )
     import shutil
 
-    shutil.rmtree(path)
+    # swap via move-aside, not delete-first: a crash mid-swap leaves
+    # BOTH copies on disk (recoverable) instead of a window where the
+    # store is gone. (On an object store this whole function would be
+    # a Delta DELETE+OPTIMIZE; directory renames are the file-system
+    # realization.)
+    old = path.rstrip("/") + "__old"
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
 
 
 def write_bucketed_table(
