@@ -29,16 +29,29 @@ def with_day_partitions(df: DataFrame, ts_col: str = "event_ts") -> DataFrame:
     )
 
 
-def write_lake(df: DataFrame, path: str, ts_col: str = "event_ts", mode: str = "append") -> None:
+def write_lake(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "event_ts",
+    mode: str = "append",
+    cluster_col: str | None = None,
+) -> None:
     """S9: day-partitioned Parquet append.
 
     At 100 TB the partition layout is the primary pruning lever: a
     one-day query touches 1/365th of the files before any row is
-    read.
+    read. ``cluster_col`` adds the second lever: sorting rows within
+    each day by a hot filter key (machine id) tightens parquet
+    row-group min/max stats, so point/range reads on that key skip
+    row groups inside the day - partition pruning's intra-file
+    counterpart (z-order-lite for a single key).
     """
-    with_day_partitions(df, ts_col).write.mode(mode).partitionBy(
-        "year", "month", "day"
-    ).parquet(path)
+    out = with_day_partitions(df, ts_col)
+    if cluster_col is not None:
+        out = out.repartition(
+            F.col("year"), F.col("month"), F.col("day")
+        ).sortWithinPartitions("year", "month", "day", cluster_col)
+    out.write.mode(mode).partitionBy("year", "month", "day").parquet(path)
 
 
 def read_lake(spark: SparkSession, path: str) -> DataFrame:

@@ -135,3 +135,16 @@ def test_chunk_documents_boundaries(spark):
     assert got[(1, 3)] == "t7 t8 t9 t10"
     assert (1, 4) not in got
     assert got[(2, 1)] == "a b"
+
+
+def test_uncapped_selfjoin_mode_degenerate_corpus(spark):
+    """max_bucket_size=None (oracle-paired exact mode) on a 500-doc
+    identical-boilerplate corpus: completes via the distributed
+    self-join and emits exactly C(500,2) distinct pairs."""
+    docs = _corpus(
+        spark,
+        [(i, "the same boilerplate text repeated for every document") for i in range(500)],
+    )
+    buckets = minhash_lsh_buckets(docs, "doc_id", "body", parallelism=8)
+    n = candidate_pairs(buckets, max_bucket_size=None).count()
+    assert n == 500 * 499 // 2

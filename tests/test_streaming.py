@@ -645,3 +645,26 @@ def test_compact_retention_preserves_partition_layout(spark, tmp_path):
         got.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
     assert got.count() == 15
+
+
+def test_write_lake_cluster_col_sorts_within_day(spark, tmp_path):
+    """cluster_col: rows inside each day's file are sorted by the key
+    so parquet row-group min/max stats enable intra-file skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from machine_downtime_monitor_on_aws_spark.sources.lake import write_lake
+
+    import random
+    rng = random.Random(7)
+    ids = [rng.randint(0, 10_000) for _ in range(5000)]
+    df = spark.createDataFrame(
+        [(i, "2024-06-01 10:00:00") for i in ids], "id long, ts_s string"
+    ).withColumn("event_ts", F.col("ts_s").cast("timestamp")).repartition(8)
+    path = str(tmp_path / "lake")
+    write_lake(df, path, cluster_col="id")
+    parts = glob.glob(path + "/year=2024/month=06/day=01/part-*.parquet")
+    assert len(parts) == 1  # day coalesced into one task's output
+    col = pq.read_table(parts[0], columns=["id"])["id"].to_pylist()
+    assert col == sorted(col)
