@@ -293,14 +293,20 @@ def run_ingest_stream(
         )
         reportable = reportable_messages(classified)
 
-        # (a) real-time store: day-partitioned append (S8/S9), TTL column
+        # (a) real-time store: day-partitioned append (S8/S9), TTL
+        # column; rows cluster by machine id inside each day so the
+        # reference's key-range reads (S4) skip row groups within the
+        # day file, not just prune partitions
         rows = to_real_time_rows(reportable, cfg.retention_hours)
-        with_day_partitions(
-            rows.withColumn("event_ts", F.timestamp_seconds(F.col("message_timestamp"))),
+        day_rows = with_day_partitions(
+            rows.withColumn(
+                "event_ts", F.timestamp_seconds(F.col("message_timestamp"))
+            ),
             "event_ts",
-        ).write.mode("append").partitionBy("year", "month", "day").parquet(
-            sinks.realtime_path
         )
+        day_rows.sortWithinPartitions("year", "month", "day", "id").write.mode(
+            "append"
+        ).partitionBy("year", "month", "day").parquet(sinks.realtime_path)
 
         # (b) latest-status + change-only emission (A1/T3): keyed
         # upsert store - merge touches ONLY the key-hash buckets the
