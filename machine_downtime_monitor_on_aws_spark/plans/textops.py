@@ -226,6 +226,22 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy(F.col("total_tf").desc(), F.col("term")).limit(100)
 
 
+@register("vocab_freq_items_approx", oracle=None)
+def vocab_freq_items_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent terms (Karp-Papadimitriou-Shenker via
+    DataFrame.stat.freqItems): the single-pass, bounded-memory
+    100 TB substitute for the exact vocab_top_terms twin. Sketch
+    content is implementation-defined -> rows-only driver check; the
+    exact twin carries the oracle. Support 0.003 ~= terms appearing
+    in >0.3% of token occurrences."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    freq = toks.stat.freqItems(["term"], support=0.003)
+    return freq.select(
+        F.explode(F.col("term_freqItems")).alias("term")
+    ).orderBy("term")
+
+
 _W3_SQL = f"""
 CASE WHEN len({_TOKENS_SQL}) >= 3
      THEN list_transform(
