@@ -238,6 +238,51 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_utilization_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         {sample_hash_sql('doc_id', 'pack')} % {_PACK_BUCKETS} AS bucket
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(floor((sum(n_tokens) OVER w - n_tokens) / {_PACK_MAX_TOKENS}) AS INT)
+           AS pack_id
+  FROM t
+  WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(sum(n_tokens) AS DOUBLE) / {_PACK_MAX_TOKENS}.0 AS utilization
+FROM assigned GROUP BY bucket, pack_id
+""",
+)
+def pack_utilization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing QA: per-pack doc count, token total, and utilization
+    vs the 512-token budget - the metric that tells you whether the
+    packing config wastes context window (underfull packs) or
+    fragments documents. Pure rollup over the packing assignment; the
+    single division is of identical operands, engine-exact."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(
+        d, "doc_id", "n_tokens", _PACK_MAX_TOKENS, _PACK_BUCKETS, salt="pack"
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        (F.sum("n_tokens").cast("double") / F.lit(float(_PACK_MAX_TOKENS))).alias(
+            "utilization"
+        ),
+    )
+
+
+@register(
     "quality_weighted_sample",
     oracle=f"""
 WITH scored AS (

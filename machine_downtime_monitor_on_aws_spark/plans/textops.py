@@ -226,6 +226,46 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy(F.col("total_tf").desc(), F.col("term")).limit(100)
 
 
+@register(
+    "vocab_top_bigrams",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS total_tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM bi GROUP BY bigram
+ORDER BY total_tf DESC, bigram LIMIT 100
+""",
+)
+def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation stats: top word bigrams by corpus frequency (the
+    n-gram LM / phrase-mining primitive). Same TakeOrdered shape as
+    vocab_top_terms - integer counts, deterministic tie-break, no
+    global sort."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+        ),
+    )
+    bi = (
+        d.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    stats = bi.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return stats.orderBy(F.col("total_tf").desc(), F.col("bigram")).limit(100)
+
+
 @register("vocab_freq_items_approx", oracle=None)
 def vocab_freq_items_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate frequent terms (Karp-Papadimitriou-Shenker via
