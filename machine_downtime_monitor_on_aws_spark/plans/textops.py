@@ -700,3 +700,63 @@ def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang in sorted(LANG_MARKERS)
     ]
     return d.select("doc_id", *cols, lang_id(t).alias("predicted_lang"))
+
+
+def _langid_agreement_oracle() -> str:
+    from ..functions.text import LANG_MARKERS, LANG_TRIGRAMS
+
+    langs = sorted(LANG_MARKERS)
+    mk_counts = ", ".join(f"{_marker_count_sql(l)} AS c_{l}" for l in langs)
+    mk_best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    mk_pred = "CASE "
+    for l in langs:
+        mk_pred += f"WHEN c_{l} = {mk_best} AND {mk_best} > 0 THEN '{l}' "
+    mk_pred += "ELSE 'unknown' END"
+
+    tg_counts = []
+    for lang in sorted(LANG_TRIGRAMS):
+        markers = ", ".join(f"'{g}'" for g in LANG_TRIGRAMS[lang])
+        tg_counts.append(
+            f"len(list_filter({_TRIGRAMS_SQL}, g -> g IN ({markers}))) AS g_{lang}"
+        )
+    tg_best = "greatest(" + ", ".join(f"g_{l}" for l in langs) + ")"
+    tg_pred = "CASE "
+    for l in langs:
+        tg_pred += f"WHEN g_{l} = {tg_best} AND {tg_best} > 0 THEN '{l}' "
+    tg_pred += "ELSE 'unknown' END"
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source, {mk_counts}, {", ".join(tg_counts)} FROM documents
+),
+preds AS (
+  SELECT source, {mk_pred} AS p_marker, {tg_pred} AS p_trigram FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (p_marker = p_trigram) AS BIGINT) AS n_agree,
+       CAST(count(*) FILTER (p_marker = p_trigram) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS agreement
+FROM preds GROUP BY source
+"""
+
+
+@register("lang_id_agreement", oracle=_langid_agreement_oracle())
+def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-agreement QA: per-source rate at which the
+    marker-word and character-trigram language-ID variants agree -
+    the drift signal a pipeline monitors when swapping scoring
+    models. Both predictions are scan-level expressions; one pass,
+    one aggregation."""
+    from ..functions.text import lang_id, lang_id_ngram
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    agree = (lang_id(t) == lang_id_ngram(t)).cast("int")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(agree).cast("long").alias("n_agree"),
+        (F.sum(agree).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "agreement"
+        ),
+    )
