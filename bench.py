@@ -94,19 +94,30 @@ def main() -> None:
         timings[name] = round(time_query(name, 1), 3)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "total_all_queries": round(sum(timings.values()), 3),
-                "n_queries": len(timings),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "total_all_queries": round(sum(timings.values()), 3),
+        "n_queries": len(timings),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full record (all catalog queries) -> file: round-over-round
+    # comparisons read this. The PRINTED line is capped: the driver
+    # records only the last ~2 KB of stdout, and r2's 2.6 KB
+    # all-queries line lost its head to the window -> parsed: null.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+    line = json.dumps(full, separators=(",", ":"))
+    if len(line) > 1900:
+        compact = dict(full)
+        compact["queries"] = {k: timings[k] for k in HEADLINE if k in timings}
+        compact["queries_file"] = "bench_out.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stderr.flush()
+    print(line, flush=True)
     spark.stop()
 
 

@@ -37,10 +37,10 @@ class MessageFormat:
     translate the shipped default
     ``YYYY-MM-DD HH:mm:ss.SSSSSSZZ`` ->
     ``yyyy-MM-dd HH:mm:ss.SSSSSSXXX``). moment's ZZ accepts both
-    ``+00:00`` and ``+0000``; Java patterns are one-or-the-other, and
-    the reference's own fixtures use the colon form
-    (machine-data-parser.spec.ts:140-147), so XXX is the faithful
-    translation.
+    ``+00:00`` and ``+0000``; Java patterns are one-or-the-other, so a
+    trailing XXX probes as (XXX, XX) - see
+    :attr:`timestamp_format_variants`. The reference's own fixtures
+    use the colon form (machine-data-parser.spec.ts:140-147).
     """
 
     id: str = "DEFAULT"
@@ -53,6 +53,21 @@ class MessageFormat:
     # default per solution-helper-construct.ts:141-149, translated to
     # Java time pattern (XX = +0000-style offset).
     timestamp_format: str = "yyyy-MM-dd HH:mm:ss.SSSSSSXXX"
+
+    @property
+    def timestamp_format_variants(self) -> tuple[str, ...]:
+        """Java patterns the probe cascade tries, in order.
+
+        moment's ``ZZ`` (the shipped default's offset token,
+        solution-helper-construct.ts:146) accepts BOTH ``+00:00`` and
+        ``+0000``; Java offset patterns are one-or-the-other (XXX =
+        colon form, XX = basic form). A trailing XXX therefore expands
+        to (XXX, XX) so both wire shapes parse, matching moment -
+        pinned by the reference-fixture golden
+        (machine-data-parser.spec.ts:144 -> epoch 1614968170)."""
+        if self.timestamp_format.endswith("XXX"):
+            return (self.timestamp_format, self.timestamp_format[:-3] + "XX")
+        return (self.timestamp_format,)
 
     def validate(self) -> "MessageFormat":
         # machine-data-parser.ts:151-170: all seven fields non-blank

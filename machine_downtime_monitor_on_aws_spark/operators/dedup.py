@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.text import band_hashes, minhash_signature, shingles, tokens
 
@@ -242,15 +243,15 @@ def connected_components(
     duplicate graphs don't have that shape, so the simpler propagation
     wins on constant factors.
     """
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    # EAGER here: edges caps the (expensive) upstream pair pipeline
-    # and every round consumes it from two branches - a lazy
-    # checkpoint lets those branches recompute the pipeline before
-    # the first materialization completes (measured 20% slower).
-    edges = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # ONE materialization of the (expensive) upstream pair pipeline:
+    # the lazy checkpoint is forced by the strategy-switch count, so
+    # both the driver collect and the symmetric edge union below read
+    # the checkpointed rows instead of re-running the pipeline. (The
+    # previous shape checkpointed AFTER the two-branch union, which
+    # evaluated the pair pipeline twice before anything was cached -
+    # ~2.3 s of pure overhead on the sf0.1 embedding graph.)
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=False
     )
     # Size-based strategy switch (the same decision AQE makes for
     # broadcast joins): the pair graph is a SLIVER of the corpus - at
@@ -258,11 +259,12 @@ def connected_components(
     # a few MB of (id, id) tuples. Below the threshold, a driver-side
     # union-find finishes in microseconds where the iterative
     # DataFrame loop pays seconds of per-round scheduling; above it,
-    # the distributed propagation takes over. The count is free-ish -
-    # edges was just checkpoint-materialized.
-    n_edges = edges.count()
+    # the distributed propagation takes over.
+    n_edges = e.count()
     if n_edges <= driver_threshold:
-        rows = edges.collect()
+        # Union-find is direction-agnostic: raw (u, v) rows suffice -
+        # no symmetric union, no distinct shuffle for sliver graphs.
+        rows = e.collect()
         parent: dict = {}
 
         def find(x):
@@ -278,11 +280,30 @@ def connected_components(
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        out = [(node, find(node)) for node in {r[0] for r in rows}]
-        return pairs.sparkSession.createDataFrame(
-            out, schema=["doc_id", "component"]
+        nodes = {r[0] for r in rows} | {r[1] for r in rows}
+        out = [(node, find(node)) for node in nodes]
+        # Explicit schema derived from the input id type: a bare
+        # column-name list infers types from data and crashes with
+        # CANNOT_INFER_EMPTY_SCHEMA when the pair graph is empty.
+        id_type = pairs.schema[src].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type),
+                T.StructField("component", id_type),
+            ]
         )
+        return pairs.sparkSession.createDataFrame(out, schema=out_schema)
 
+    # EAGER here: edges is consumed from two branches every round - a
+    # lazy checkpoint lets those branches race to materialize it
+    # (measured 20% slower). Its input is the already-materialized
+    # checkpoint of e, so the union costs one distinct, not two pair
+    # pipelines.
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
@@ -521,7 +542,15 @@ def simhash_neardup_pairs(
     if 16 % num_bands != 0:
         raise ValueError("num_bands must divide 16")
     width = 16 // num_bands
-    fp = simhash_md5(df, id_col, text_col, parallelism=parallelism)
+    # The fingerprint subtree feeds THREE consumers (bands, fa, fb);
+    # without a materialization barrier the token-explode + 64-column
+    # vote aggregation runs once per consumer (measured 3.6-4.2 s at
+    # sf0.1 vs ~1.3 s with the barrier). Lazy localCheckpoint: the
+    # first consumer to execute materializes it, the others read the
+    # cached partitions - same shape as neardup_jaccard_verified.
+    fp = simhash_md5(df, id_col, text_col, parallelism=parallelism).localCheckpoint(
+        eager=False
+    )
     bands = fp.select(
         "doc_id",
         F.posexplode(
@@ -534,17 +563,26 @@ def simhash_neardup_pairs(
         ).alias("band_id", "band_hash"),
     )
     pairs = candidate_pairs(bands, max_bucket_size=max_bucket_size)
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("__sa"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("__sb"))
-    terms = " + ".join(
-        f"bit_count(CAST(conv(substring(__sa, {j}, 1), 16, 10) AS INT)"
-        f" ^ CAST(conv(substring(__sb, {j}, 1), 16, 10) AS INT))"
-        for j in range(1, 17)
+    # Hex->integer conversion runs PER DOCUMENT (two conv calls per
+    # fingerprint), not per candidate pair: with B band collisions the
+    # pair set is orders of magnitude larger than the corpus slice, so
+    # per-pair digit-wise conv (16 per side) dominated the verify
+    # stage (measured ~3x). Per pair there remain exactly two
+    # xor+bit_count terms.
+    halves = fp.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(simhash, 1, 8), 16, 10) AS BIGINT) AS __hi",
+        "CAST(conv(substring(simhash, 9, 8), 16, 10) AS BIGINT) AS __lo",
     )
+    fa = halves.selectExpr("doc_id AS doc_a", "__hi AS __ha", "__lo AS __la")
+    fb = halves.selectExpr("doc_id AS doc_b", "__hi AS __hb", "__lo AS __lb")
     return (
         pairs.join(fa, "doc_a")
         .join(fb, "doc_b")
-        .withColumn("hamming", F.expr(terms))
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(__ha ^ __hb) + bit_count(__la ^ __lb)"),
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )

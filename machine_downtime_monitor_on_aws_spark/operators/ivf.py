@@ -61,9 +61,13 @@ def build_ivf_index(
     e = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     ).withColumn("__n", l2_norm("vec", dim))
-    cents = centroids or e.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
-    )
+    # explicit None test: DataFrame truthiness is undefined surface
+    # (pandas-on-Spark raises on __bool__; classic API may follow)
+    if centroids is None:
+        centroids = e.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+        )
+    cents = centroids
     cents = cents.withColumn("__cn", l2_norm("cv", dim))
     cents.select("cid", "cv").write.mode("overwrite").parquet(f"{path}/centroids")
     assign = _nearest(e, cents, "vec", "__n", ["vec_id"], dim, 1).select(

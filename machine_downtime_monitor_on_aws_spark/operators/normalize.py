@@ -75,6 +75,16 @@ def _non_blank(c: Column) -> Column:
     return c.isNotNull() & (F.trim(c) != F.lit(""))
 
 
+def _try_ts(c: Column, fmt: MessageFormat) -> Column:
+    """Strict parse under the format's pattern variants (moment ZZ
+    accepts both offset shapes -> possibly two Java patterns; see
+    MessageFormat.timestamp_format_variants). First hit wins."""
+    variants = fmt.timestamp_format_variants
+    if len(variants) == 1:
+        return F.try_to_timestamp(c, F.lit(variants[0]))
+    return F.coalesce(*[F.try_to_timestamp(c, F.lit(p)) for p in variants])
+
+
 def _msg_field(msg: Column, key: str) -> Column:
     # try_variant_get renders any JSON scalar as its string form
     # (100 -> '100', true -> 'true'), matching the reference's
@@ -121,7 +131,7 @@ def _format_candidate(v: Column, fmt: MessageFormat) -> tuple[Column, Column]:
             & _non_blank(e["quality"])
             & _non_blank(e["value"])
             & _non_blank(e["ts_raw"])
-            & F.try_to_timestamp(e["ts_raw"], F.lit(fmt.timestamp_format)).isNotNull()
+            & _try_ts(e["ts_raw"], fmt).isNotNull()
             & (alias_token_count(e["alias"], fmt.alias_delimiter) >= 2)
         )
 
@@ -205,9 +215,7 @@ def explode_messages(
             *[F.when(F.col("format_id") == F.lit(f.id), build(f)) for f in formats]
         )
 
-    ts = per_fmt(
-        lambda f: F.try_to_timestamp(F.col("m.ts_raw"), F.lit(f.timestamp_format))
-    )
+    ts = per_fmt(lambda f: _try_ts(F.col("m.ts_raw"), f))
     return ex.select(
         *keep,
         per_fmt(lambda f: alias_machine_id(alias, f.alias_delimiter)).alias("machine_id"),

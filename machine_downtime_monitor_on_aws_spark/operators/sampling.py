@@ -183,7 +183,14 @@ def weighted_sample(
     expression (e.g. a quality score mapped to [0, 100]), decided by
     the same deterministic id hash as the fixed-rate variants. Still
     a pure scan-level filter - the rate expression rides the
-    projection; no shuffle, reproducible across partitionings."""
+    projection; no shuffle, reproducible across partitionings.
+
+    The threshold is ``floor(rate_pct * 100)`` EXPLICITLY: a bare
+    double->long cast truncates toward zero in Spark but rounds to
+    nearest in DuckDB (CAST(8549.7 AS BIGINT) = 8550 there), so the
+    rounding mode must be pinned on both sides or docs whose hash
+    lands between the two thresholds flip engines."""
     return df.filter(
-        sample_hash(F.col(id_col), salt) < (rate_pct_col * 100).cast("long")
+        sample_hash(F.col(id_col), salt)
+        < F.floor(rate_pct_col * 100).cast("long")
     )

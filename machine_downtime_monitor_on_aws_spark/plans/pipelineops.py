@@ -294,7 +294,7 @@ WITH scored AS (
 SELECT doc_id, lang, distinct_ratio
 FROM scored
 WHERE {sample_hash_sql('doc_id', 'wsample')}
-        < CAST(distinct_ratio * 100.0 * 100 AS BIGINT)
+        < CAST(floor(distinct_ratio * 100.0 * 100) AS BIGINT)
 """,
 )
 def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -246,19 +246,30 @@ def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation stats: top word bigrams by corpus frequency (the
     n-gram LM / phrase-mining primitive). Same TakeOrdered shape as
     vocab_top_terms - integer counts, deterministic tie-break, no
-    global sort."""
+    global sort.
+
+    The token array is MATERIALIZED into a named column before the
+    per-index lambda consumes it: Spark performs no CSE inside
+    higher-order-function lambdas, so an inline ``tokens(text)``
+    expression re-runs the whole split per element_at - O(n_tokens^2)
+    splits per document (measured 4.8-14.4 s at sf0.1 vs ~0.3 s with
+    the projection barrier; same lesson as minhash_lsh_buckets'
+    map-side tokenization). The multi-reference alias is not
+    collapse-inlined by CollapseProject (non-cheap expression, >1
+    use), so ``__toks`` stays a per-row attribute lookup."""
     d = _docs(spark, sf_dir)
-    toks = tokens(F.col("text"))
+    toked = d.select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).filter(F.size("__toks") >= 2)
     bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
+        F.sequence(F.lit(1), F.size("__toks") - 1),
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            " ",
+            F.element_at(F.col("__toks"), i),
+            F.element_at(F.col("__toks"), i + F.lit(1)),
         ),
     )
-    bi = (
-        d.filter(F.size(toks) >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bigram"))
-    )
+    bi = toked.select("doc_id", F.explode(bigrams).alias("bigram"))
     stats = bi.groupBy("bigram").agg(
         F.count(F.lit(1)).alias("total_tf"),
         F.countDistinct("doc_id").alias("df"),

@@ -205,21 +205,25 @@ def label_centroid_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT label, count(*) AS n_vectors,
-       CAST(sum(CAST({_NORM_SQL.format(a='v')} AS DECIMAL(18,9))) AS DOUBLE) AS norm_sum
+       CAST(sum(CAST(floor({_NORM_SQL.format(a='v')} * 1000000000.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 1000000000.0 AS norm_sum
 FROM e GROUP BY label
 """,
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label L2-norm accumulators (norm computed as the shared
-    fold, summed as exact decimal)."""
+    """Per-label L2-norm accumulators: norms quantized to 1e-9 by
+    EXPLICIT double arithmetic (floor(norm*1e9 + 0.5)) and summed as
+    bigints - the same scheme as label_centroid_sums. A
+    double->DECIMAL cast is NOT portable: its rounding mode is
+    engine-defined (Spark HALF_UP vs DuckDB HALF_EVEN) and a
+    decimal-tail tie flips the hash by 1e-9."""
     from ..functions.vectors import l2_norm
 
     e = _emb(spark, sf_dir)
+    q = F.floor(l2_norm("vec", _DIM) * F.lit(1e9) + F.lit(0.5)).cast("long")
     return e.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        F.sum(l2_norm("vec", _DIM).cast("decimal(18,9)"))
-        .cast("double")
-        .alias("norm_sum"),
+        (F.sum(q).cast("double") / F.lit(1e9)).alias("norm_sum"),
     )
 
 
