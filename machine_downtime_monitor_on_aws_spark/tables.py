@@ -34,17 +34,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-        # rejects. Read nanos as raw longs and truncate to micros -
-        # exactly what DuckDB/Arrow do when downcasting ns -> us, so
-        # oracle comparisons agree.
+        # Some testdata generations store ts as TIMESTAMP(NANOS), which
+        # Spark's reader rejects. Read nanos as raw longs and truncate
+        # to micros - exactly what DuckDB/Arrow do when downcasting
+        # ns -> us, so oracle comparisons agree. Generations that store
+        # TIMESTAMP(MICROS) come back as a timestamp column (NTZ when
+        # isAdjustedToUTC=false); normalize to TimestampType so
+        # downstream epoch casts (ts -> bigint) stay legal. The session
+        # is pinned to UTC (session.py), so NTZ -> TIMESTAMP is a pure
+        # relabel of the same instant and DuckDB's TZ-naive read agrees.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 
