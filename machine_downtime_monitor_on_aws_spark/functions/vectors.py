@@ -40,28 +40,38 @@ def validate_vec_dim(df: DataFrame, vec_col: str, dim: int) -> None:
 
 
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
-    """Left-fold dot product.
+    """Left-fold dot product: ``aggregate(zip_with(a, b, *), 0.0, +)``.
 
-    With ``dim`` known at plan-build time AND both operands given as
-    column *names*, the fold is unrolled into a flat
-    ``(((0.0 + a[0]*b[0]) + a[1]*b[1]) + ...)`` chain: bit-identical
-    addition order (SQL ``+`` is left-associative), but a plain
-    codegen-able expression instead of an interpreted higher-order
-    ``aggregate``. The chain is built as ONE ``F.expr`` string parsed
-    JVM-side - building it from Column objects would cost hundreds of
-    py4j round-trips per query construction, which dominates at this
-    expression size.
+    Why the higher-order fold and not a flat unrolled
+    ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` chain: at dim=64 the
+    unrolled chain codegens into a single ~10 KB-bytecode Java
+    expression that exceeds the JVM's 8 KB JIT limit
+    (DontCompileHugeMethods), so the whole stage runs in the bytecode
+    interpreter. Measured on 1M 64-dim rows, local[32]: unrolled
+    3.6 s, fold 0.75 s - and re-enabling huge-method JIT
+    (-XX:-DontCompileHugeMethods) still leaves the unrolled chain at
+    2.9 s. The fold's tight lambda JITs fine and is ~5x faster, at
+    any dim, with no per-dim codegen blowup.
 
-    Contract: ``dim`` must equal the exact array length of BOTH
-    operands. Under ANSI mode a shorter vector throws
-    INVALID_ARRAY_INDEX; a longer one is silently truncated. Use
-    :func:`validate_vec_dim` to check a column eagerly.
+    Fold order is left-to-right in both shapes, so results are
+    bit-identical to each other and to DuckDB's
+    ``list_sum(list_transform(list_zip(...)))`` - oracle exactness is
+    unchanged.
+
+    ``dim`` is accepted for API compatibility and validation intent
+    only (see :func:`validate_vec_dim`); the fold adapts to the
+    actual array length. With column *names*, the expression is built
+    as ONE ``F.expr`` string parsed JVM-side (a python-lambda
+    ``F.aggregate`` costs several py4j round-trips per call).
     """
-    if dim is not None and isinstance(a, str) and isinstance(b, str):
+    if dim is not None:
         _check_dim(dim)
+    if isinstance(a, str) and isinstance(b, str):
         qa, qb = _qident(a), _qident(b)
-        terms = " + ".join(f"{qa}[{i}]*{qb}[{i}]" for i in range(dim))
-        return F.expr(f"0.0D + {terms}")
+        return F.expr(
+            f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -72,13 +82,15 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
 
 
 def l2_norm(a: Column | str, dim: int | None = None) -> Column:
-    """L2 norm; same unrolling + exact-``dim`` contract as :func:`dot`."""
-    if dim is not None and isinstance(a, str):
+    """L2 norm; same left-fold shape and rationale as :func:`dot`."""
+    if dim is not None:
         _check_dim(dim)
+    if isinstance(a, str):
         qa = _qident(a)
-        terms = " + ".join(f"{qa}[{i}]*{qa}[{i}]" for i in range(dim))
-        return F.expr(f"sqrt(0.0D + {terms})")
-    a = F.col(a) if isinstance(a, str) else a
+        return F.expr(
+            f"sqrt(aggregate(transform({qa}, x -> x * x), "
+            "0.0D, (acc, x) -> acc + x))"
+        )
     return F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
@@ -106,23 +118,25 @@ def sign_bucket(vec: Column | str, planes: list[list[int]]) -> Column:
     """LSH bucket id: one bit per hyperplane (sign of the projection),
     rendered as a bit-string so it stays engine-portable.
 
-    With a column *name*, each projection unrolls into a single
-    ``F.expr`` chain (coefficients are +/-1.0 literals; ``x*1.0`` and
-    ``x*-1.0`` are exact, so the sign matches the oracle's
-    fold bit-for-bit)."""
+    Each projection is a left-fold ``aggregate(zip_with(vec, plane,
+    *))`` against an array *literal* of +/-1.0 coefficients
+    (``x*1.0`` / ``x*-1.0`` are exact, and float multiplication is
+    commutative bit-for-bit, so the sign matches the oracle's fold
+    exactly). Fold, not an unrolled term chain, for the JIT reason
+    documented on :func:`dot`. With a column *name* the whole bucket
+    expression is ONE ``F.expr`` string - one py4j round-trip per
+    plane set, not per coefficient."""
     if isinstance(vec, str):
         qv = _qident(vec)
         bits = []
         for plane in planes:
-            terms = " + ".join(
-                f"{float(c)}D*{qv}[{j}]" for j, c in enumerate(plane)
+            arr = "array(" + ", ".join(f"{float(c)}D" for c in plane) + ")"
+            proj = (
+                f"aggregate(zip_with({qv}, {arr}, (x, c) -> x * c), "
+                "0.0D, (acc, x) -> acc + x)"
             )
-            bits.append(
-                F.when(F.expr(f"0.0D + {terms}") >= 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
-            )
-        return F.concat(*bits)
+            bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+        return F.expr("concat(" + ", ".join(bits) + ")")
     bits = [
         F.when(
             dot(vec, F.array(*[F.lit(float(c)) for c in plane])) >= 0,

@@ -95,7 +95,10 @@ def minhash_lsh_buckets(
         F.when(F.size("__toks") < F.lit(shingle_n), F.col("__t0")).alias("__t"),
     )
     if parallelism:
-        toked = toked.repartition(parallelism)
+        # Keyed by doc_id: the signature groupBy below then needs no
+        # second exchange (Generate preserves hash partitioning), and
+        # the exchange still moves tokens exactly once.
+        toked = toked.repartition(parallelism, "doc_id")
     # Shingles from the materialized token array (same semantics as
     # functions.text.shingles: docs with < n tokens get one whole-text
     # shingle). Explode to (doc_id, shingle) rows: each shingle row
@@ -243,13 +246,10 @@ def connected_components(
     duplicate graphs don't have that shape, so the simpler propagation
     wins on constant factors.
     """
-    # ONE materialization of the (expensive) upstream pair pipeline:
-    # the lazy checkpoint is forced by the strategy-switch count, so
-    # both the driver collect and the symmetric edge union below read
-    # the checkpointed rows instead of re-running the pipeline. (The
-    # previous shape checkpointed AFTER the two-branch union, which
-    # evaluated the pair pipeline twice before anything was cached -
-    # ~2.3 s of pure overhead on the sf0.1 embedding graph.)
+    # The lazy checkpoint matters only for the distributed branch,
+    # where the edge set feeds the symmetric union below from two
+    # subtrees; the driver branch consumes the single collect and
+    # never reads it again.
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
         eager=False
     )
@@ -259,12 +259,18 @@ def connected_components(
     # a few MB of (id, id) tuples. Below the threshold, a driver-side
     # union-find finishes in microseconds where the iterative
     # DataFrame loop pays seconds of per-round scheduling; above it,
-    # the distributed propagation takes over.
-    n_edges = e.count()
-    if n_edges <= driver_threshold:
+    # the distributed propagation takes over. The probe and the data
+    # fetch are ONE action: collect through a threshold+1 LIMIT and
+    # dispatch on the result size - a collect that comes back under
+    # the cap IS the complete edge set, so sliver graphs (the common
+    # case) pay a single job instead of count-then-collect running
+    # the expensive upstream pair pipeline twice (the r3 regression:
+    # neardup_duplicate_clusters 1.6s -> 4.4s driver-measured).
+    head = e.limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
         # Union-find is direction-agnostic: raw (u, v) rows suffice -
         # no symmetric union, no distinct shuffle for sliver graphs.
-        rows = e.collect()
+        rows = head
         parent: dict = {}
 
         def find(x):
@@ -296,9 +302,9 @@ def connected_components(
 
     # EAGER here: edges is consumed from two branches every round - a
     # lazy checkpoint lets those branches race to materialize it
-    # (measured 20% slower). Its input is the already-materialized
-    # checkpoint of e, so the union costs one distinct, not two pair
-    # pipelines.
+    # (measured 20% slower). Its input is the checkpoint of e (the
+    # probe's LIMIT already persisted the partitions it computed), so
+    # the union costs one distinct, not two pair pipelines.
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
@@ -451,12 +457,19 @@ def simhash_md5(
     the query's own execution at sf0.1. One selectExpr string parses
     JVM-side in a single call.
     """
-    tok_rows = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode_outer(tokens(F.col(text_col))).alias("__t"),
-    )
+    # Repartition the narrow (doc_id, text) projection BY doc_id
+    # BEFORE exploding: the exchange moves each text once (not one row
+    # per token), and because Generate preserves its child's hash
+    # partitioning, the per-doc vote aggregation below needs NO second
+    # exchange - partials and final merge in the same stage. (The
+    # previous shape round-robined the exploded token rows: more bytes
+    # shuffled AND an extra agg exchange.)
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
     if parallelism:
-        tok_rows = tok_rows.repartition(parallelism)
+        src = src.repartition(parallelism, "doc_id")
+    tok_rows = src.select(
+        "doc_id", F.explode_outer(tokens(F.col("__text"))).alias("__t")
+    )
     hashed = tok_rows.selectExpr(
         "doc_id",
         "CAST(conv(substring(md5(__t), 1, 8), 16, 10) AS BIGINT) AS __hi",
@@ -548,34 +561,93 @@ def simhash_neardup_pairs(
     # sf0.1 vs ~1.3 s with the barrier). Lazy localCheckpoint: the
     # first consumer to execute materializes it, the others read the
     # cached partitions - same shape as neardup_jaccard_verified.
-    fp = simhash_md5(df, id_col, text_col, parallelism=parallelism).localCheckpoint(
-        eager=False
+    # The hex -> (hi, lo) long conversion is folded INTO the
+    # checkpointed projection: both Hamming-verify sides then read
+    # precomputed longs from the cache instead of each re-deriving
+    # them from the hex string per consumer (r3 verdict item #2).
+    fp = (
+        simhash_md5(df, id_col, text_col, parallelism=parallelism)
+        .selectExpr(
+            "doc_id",
+            "simhash",
+            "CAST(conv(substring(simhash, 1, 8), 16, 10) AS BIGINT) AS __hi",
+            "CAST(conv(substring(simhash, 9, 8), 16, 10) AS BIGINT) AS __lo",
+        )
+        .localCheckpoint(eager=False)
     )
+    band_arr = F.array(
+        *[
+            F.substring(F.col("simhash"), 1 + b * width, width)
+            for b in range(num_bands)
+        ]
+    )
+    if max_bucket_size is None:
+        # Uncapped (exact all-pairs) mode - the oracle/bench path -
+        # restructured to the MINIMUM number of exchanges:
+        # - hi/lo ride the band explode as payload (16 bytes/row), so
+        #   the Hamming verify needs no join-back against the
+        #   fingerprint table (two broadcast joins gone);
+        # - a pair colliding in several bands is emitted only by its
+        #   FIRST matching band ("earlier band differs" predicate on
+        #   the payload), replacing the DISTINCT - and its full
+        #   shuffle of the expanded pair set - with a scan-local
+        #   filter. The pair set is the blow-up point of the whole
+        #   query (orders of magnitude larger than the corpus), so
+        #   never shuffling it is the difference that matters at
+        #   100 TB.
+        banded = fp.select(
+            "doc_id",
+            "simhash",
+            "__hi",
+            "__lo",
+            F.posexplode(band_arr).alias("band_id", "band_hash"),
+        )
+        a = banded.selectExpr(
+            "band_id", "band_hash", "doc_id AS doc_a",
+            "simhash AS __sa", "__hi AS __ha", "__lo AS __la",
+        )
+        b = banded.selectExpr(
+            "band_id", "band_hash", "doc_id AS doc_b",
+            "simhash AS __sb", "__hi AS __hb", "__lo AS __lb",
+        )
+        def _earlier_bands_differ(k: int):
+            cond = F.lit(True)
+            for bp in range(k):
+                cond = cond & (
+                    F.substring("__sa", 1 + bp * width, width)
+                    != F.substring("__sb", 1 + bp * width, width)
+                )
+            return cond
+        first_match = F.lit(False)
+        for k in range(num_bands):
+            first_match = F.when(
+                F.col("band_id") == k, _earlier_bands_differ(k)
+            ).otherwise(first_match)
+        return (
+            a.join(b, ["band_id", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(first_match)
+            .withColumn(
+                "hamming",
+                F.expr("bit_count(__ha ^ __hb) + bit_count(__la ^ __lb)"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        )
+
     bands = fp.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.substring(F.col("simhash"), 1 + b * width, width)
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band_id", "band_hash"),
+        F.posexplode(band_arr).alias("band_id", "band_hash"),
     )
     pairs = candidate_pairs(bands, max_bucket_size=max_bucket_size)
     # Hex->integer conversion runs PER DOCUMENT (two conv calls per
-    # fingerprint), not per candidate pair: with B band collisions the
-    # pair set is orders of magnitude larger than the corpus slice, so
-    # per-pair digit-wise conv (16 per side) dominated the verify
-    # stage (measured ~3x). Per pair there remain exactly two
-    # xor+bit_count terms.
-    halves = fp.selectExpr(
-        "doc_id",
-        "CAST(conv(substring(simhash, 1, 8), 16, 10) AS BIGINT) AS __hi",
-        "CAST(conv(substring(simhash, 9, 8), 16, 10) AS BIGINT) AS __lo",
-    )
-    fa = halves.selectExpr("doc_id AS doc_a", "__hi AS __ha", "__lo AS __la")
-    fb = halves.selectExpr("doc_id AS doc_b", "__hi AS __hb", "__lo AS __lb")
+    # fingerprint, precomputed inside the checkpoint above), not per
+    # candidate pair: with B band collisions the pair set is orders of
+    # magnitude larger than the corpus slice, so per-pair digit-wise
+    # conv (16 per side) dominated the verify stage (measured ~3x).
+    # Per pair there remain exactly two xor+bit_count terms.
+    fa = fp.selectExpr("doc_id AS doc_a", "__hi AS __ha", "__lo AS __la")
+    fb = fp.selectExpr("doc_id AS doc_b", "__hi AS __hb", "__lo AS __lb")
     return (
         pairs.join(fa, "doc_a")
         .join(fb, "doc_b")

@@ -38,6 +38,12 @@ def get_spark(app_name: str = "machine_downtime_monitor_on_aws_spark") -> SparkS
         .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # LIMIT-probe actions (connected_components' one-action
+        # strategy switch) scan all partitions in ONE parallel round
+        # instead of the default 1 -> 4x -> 16x sequential scale-up,
+        # which serializes the final stage of an otherwise-parallel
+        # job. Cheap insurance for every .limit(n).collect() probe.
+        .config("spark.sql.limit.initialNumPartitions", cpus)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -47,6 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, TimestampNTZType
 
+        # Pin UTC HERE, not only in get_spark: the NTZ -> TIMESTAMP cast
+        # below is lazy and reads the session TZ at *execution* time, so
+        # a caller that built its own session (or flipped TZ after
+        # load) would shift every epoch by the TZ offset. Setting it in
+        # the events branch makes the relabel invariant hold for any
+        # caller.
+        from .session import pin_utc
+
+        pin_utc(spark)
         df = spark.read.parquet(table_path(sf_dir, name))
         if isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
