@@ -6,7 +6,11 @@ ONE JSON line:
 
 Each query is forced with a full materialization (count of a
 write-free action) after a shared-session warmup; value = total
-wall-clock over the headline set.
+wall-clock over the headline set. Every per-query number carries its
+run count in "query_runs" (r3 verdict item #3: best-of-1 numbers are
+not attributable round-over-round). "headline_r3_total" re-sums the
+round-3 headline set so the headline trend stays comparable after the
+set grew.
 """
 
 from __future__ import annotations
@@ -18,7 +22,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
+# The round-3 headline set - kept as a stable comparison basis.
+HEADLINE_R3 = [
     # reference-parity dataflows
     "rle_event_runs",
     "status_downtime_totals",
@@ -48,6 +53,146 @@ HEADLINE = [
     "lsh_neardup_embeddings",
 ]
 
+# r4: the dedup/CC family the last two rounds' perf targets live on is
+# promoted into the headline (best-of-N) set so its round-over-round
+# numbers stop being best-of-1 cold-start noise (r3 verdict item #3).
+HEADLINE = HEADLINE_R3 + [
+    "simhash_fingerprints",
+    "simhash_neardup_pairs",
+    "neardup_jaccard_verified",
+    "neardup_duplicate_clusters",
+    "embedding_dup_clusters",
+    "ivf_knn_top5",
+]
+
+
+def measure_ingest_throughput(spark, n_records: int = 10_000) -> dict:
+    """End-to-end Structured-Streaming ingest throughput through the
+    full five-sink fan-out (archive + rejects + real-time store +
+    snapshot upsert + change feed), availableNow over a generated
+    envelope corpus. Returns {msgs, sec, msgs_per_sec} - the number
+    ROUND2.md quoted but never emitted reproducibly (r3 item #7).
+
+    Two messages per record (status + production count), machines
+    cycled so the snapshot upsert touches many keys. Wall clock covers
+    stream start -> termination, the same span a capacity plan cares
+    about."""
+    import base64
+    import shutil
+    import tempfile
+
+    from machine_downtime_monitor_on_aws_spark.config import (
+        IngestConfig,
+        MachineConfig,
+        MessageFormat,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        IngestSinks,
+        read_envelope_stream,
+        run_ingest_stream,
+    )
+
+    fmt = MessageFormat(
+        id="DEFAULT",
+        alias_delimiter="/",
+        messages_key="messages",
+        alias_key="name",
+        quality_key="quality",
+        timestamp_key="timestamp",
+        value_key="value",
+        timestamp_format="yyyy-MM-dd HH:mm:ss.SSSSSSXXX",
+    )
+    n_machines = 50
+    machines = tuple(
+        MachineConfig(
+            id=f"site/a/p/m{i}",
+            status_tag="status",
+            production_count_tag="pc",
+            status_up_values="u",
+            status_down_values="d",
+            status_idle_values="i",
+        )
+        for i in range(n_machines)
+    )
+    cfg = IngestConfig(formats=(fmt,), machines=machines)
+
+    root = tempfile.mkdtemp(prefix="bench_ingest_")
+    dirs = {
+        k: os.path.join(root, k)
+        for k in ("src", "realtime", "archive", "snapshot", "rejects", "feed", "ckpt")
+    }
+    os.makedirs(dirs["src"])
+    try:
+        statuses = ("u", "d", "i")
+        lines_per_file = 2000
+        f = None
+        for r in range(n_records):
+            if r % lines_per_file == 0:
+                if f:
+                    f.close()
+                f = open(
+                    os.path.join(dirs["src"], f"part{r // lines_per_file}.jsonl"), "w"
+                )
+            m = f"site/a/p/m{r % n_machines}"
+            ts = f"2021-03-05 18:{(r // 60) % 60:02d}:{r % 60:02d}.000000+00:00"
+            payload = base64.b64encode(
+                json.dumps(
+                    {
+                        "messages": [
+                            {
+                                "name": f"{m}/status",
+                                "quality": "GOOD",
+                                "timestamp": ts,
+                                "value": statuses[r % 3],
+                            },
+                            {
+                                "name": f"{m}/pc",
+                                "quality": "GOOD",
+                                "timestamp": ts,
+                                "value": r,
+                            },
+                        ]
+                    }
+                ).encode()
+            ).decode()
+            f.write(
+                json.dumps(
+                    {
+                        "record_id": f"r{r}",
+                        "partition_key": m,
+                        "arrival_ts": float(r),
+                        "data": payload,
+                    }
+                )
+                + "\n"
+            )
+        if f:
+            f.close()
+
+        sinks = IngestSinks(
+            realtime_path=dirs["realtime"],
+            archive_path=dirs["archive"],
+            snapshot_path=dirs["snapshot"],
+            rejects_path=dirs["rejects"],
+            change_feed_path=dirs["feed"],
+            change_feed=None,  # production mode: no driver-side collect
+        )
+        # one availableNow pass, large maxFilesPerTrigger so batch count
+        # reflects micro-batching (5 files), not per-file batches
+        src = read_envelope_stream(spark, dirs["src"], max_files_per_trigger=5)
+        n_msgs = n_records * 2
+        t0 = time.perf_counter()
+        q = run_ingest_stream(spark, src, lambda: cfg, sinks, dirs["ckpt"])
+        q.awaitTermination()
+        sec = time.perf_counter() - t0
+        return {
+            "msgs": n_msgs,
+            "sec": round(sec, 3),
+            "msgs_per_sec": round(n_msgs / sec, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +210,7 @@ def main() -> None:
 
     qs = catalog.queries()
     timings: dict[str, float] = {}
+    query_runs: dict[str, int] = {}
     total = 0.0
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
@@ -78,8 +224,20 @@ def main() -> None:
             n = df.count()
             best = min(best, time.perf_counter() - t0)
             # drop per-query persisted relations (LSH buckets) so
-            # cached state never bleeds into the next measurement
+            # cached state never bleeds into the next measurement.
+            # clearCache only covers SQL-cached relations; the
+            # localCheckpoint barriers (simhash/CC/jaccard) persist
+            # RDDs that it does NOT release, and 76 queries x N runs
+            # of leaked blocks measurably degrade later queries
+            # (simhash_neardup_pairs: 2.7s inside a full bench run vs
+            # 1.3s standalone until this sweep).
             spark.catalog.clearCache()
+            it = (
+                spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+            )
+            while it.hasNext():
+                it.next().unpersist(False)
+        query_runs[name] = n_runs
         print(f"# {name}: {n} rows in {best:.2f}s (best of {n_runs})", file=sys.stderr)
         return best
 
@@ -93,14 +251,27 @@ def main() -> None:
     for name in sorted(set(qs) - set(HEADLINE)):
         timings[name] = round(time_query(name, 1), 3)
 
+    # best of 2: the first pass pays one-time codegen for the whole
+    # ingest plan chain; the second measures steady-state throughput
+    # (the number a capacity plan uses)
+    ingest = max(
+        (measure_ingest_throughput(spark) for _ in range(2)),
+        key=lambda r: r["msgs_per_sec"],
+    )
+    print(f"# ingest: {ingest}", file=sys.stderr)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     full = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "query_runs": query_runs,
+        "headline_r3_total": round(sum(timings[n] for n in HEADLINE_R3), 3),
         "total_all_queries": round(sum(timings.values()), 3),
         "n_queries": len(timings),
+        "ingest_msgs_per_sec": ingest["msgs_per_sec"],
+        "ingest_bench": ingest,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full record (all catalog queries) -> file: round-over-round
@@ -114,6 +285,8 @@ def main() -> None:
     if len(line) > 1900:
         compact = dict(full)
         compact["queries"] = {k: timings[k] for k in HEADLINE if k in timings}
+        compact.pop("query_runs", None)
+        compact["bench_runs"] = runs
         compact["queries_file"] = "bench_out.json"
         line = json.dumps(compact, separators=(",", ":"))
     sys.stderr.flush()

@@ -625,6 +625,19 @@ def simhash_neardup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("simhash_fast_fingerprints", oracle=None)
+def simhash_fast_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The xxhash64-based SimHash twin (operators/dedup.simhash64) as
+    its own catalog entry (r3 verdict item #6: previously tested but
+    unreachable from the catalog). xxhash64 has no DuckDB equivalent,
+    so this is a rows-only check by construction - the md5 twin
+    (simhash_fingerprints) carries the exact oracle; this one skips
+    the md5 string round-trip when cross-engine parity isn't needed."""
+    from ..operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def _marker_count_sql(lang: str) -> str:
     from ..functions.text import LANG_MARKERS
 

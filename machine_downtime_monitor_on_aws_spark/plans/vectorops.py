@@ -58,9 +58,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "knn_bruteforce_top5",
-    oracle=f"""
+_KNN_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
 q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
@@ -76,8 +74,10 @@ scored AS (
 )
 SELECT qid, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {_TOPK}
-""",
-)
+"""
+
+
+@register("knn_bruteforce_top5", oracle=_KNN_ORACLE)
 def knn_bruteforce_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: the exact ANN baseline. Queries
     (vec_id < 10) broadcast against the corpus; per-query top-k via
@@ -231,9 +231,7 @@ _N_CENTROIDS = 16
 _N_PROBES = 4
 
 
-@register(
-    "ivf_knn_top5",
-    oracle=f"""
+_IVF_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
 assign AS (
@@ -263,8 +261,10 @@ ranked AS (
 )
 SELECT qid, neighbor_id, cosine_sim, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {_TOPK}
-""",
-)
+"""
+
+
+@register("ivf_knn_top5", oracle=_IVF_ORACLE)
 def ivf_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic centroids (first C vectors),
     inverted lists by nearest centroid, queries probe their top-P
@@ -370,3 +370,71 @@ def knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TOPK,
     )
     return ranked.select("qid", "neighbor_id", "cosine_sim", F.col("rnk").cast("int").alias("rnk"))
+
+
+@register(
+    "ivf_recall_at5",
+    oracle=f"""
+WITH bf AS ({_KNN_ORACLE}),
+iv AS ({_IVF_ORACLE})
+SELECT bf.qid,
+       CAST(coalesce(sum(CASE WHEN iv.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) AS INT) AS n_hits,
+       CAST(coalesce(sum(CASE WHEN iv.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         / {_TOPK} AS recall_at_5
+FROM bf LEFT JOIN iv
+  ON iv.qid = bf.qid AND iv.neighbor_id = bf.neighbor_id
+GROUP BY bf.qid
+""",
+)
+def ivf_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index vs the exact brute-force baseline -
+    the quality metric a deployed ANN index is monitored on. Count of
+    true top-5 neighbors the probed IVF search also returned, per
+    query; integer hits are oracle-exact, and the fractional recall is
+    a single IEEE division (hits/5) so it hash-matches too. At scale
+    this runs on a sampled query set: cost is one brute-force pass
+    over the sample, never the corpus squared."""
+    bf = knn_bruteforce_top5(spark, sf_dir).select("qid", "neighbor_id")
+    iv = ivf_knn_top5(spark, sf_dir).select(
+        F.col("qid").alias("__iq"),
+        F.col("neighbor_id").alias("__in"),
+        F.lit(1).alias("__hit"),
+    )
+    joined = bf.join(
+        iv,
+        (bf["qid"] == iv["__iq"]) & (bf["neighbor_id"] == iv["__in"]),
+        "left",
+    )
+    hits = F.coalesce(F.sum("__hit"), F.lit(0))
+    return joined.groupBy("qid").agg(
+        hits.cast("int").alias("n_hits"),
+        (hits.cast("double") / F.lit(_TOPK)).alias("recall_at_5"),
+    )
+
+
+@register(
+    "lsh_bucket_assignments",
+    oracle=f"""
+WITH planes AS (SELECT {_planes_sql()} AS ps),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id,
+       array_to_string(
+         list_transform((SELECT ps FROM planes),
+                        p -> CASE WHEN {_DOT_SQL.format(a='v', b='p')} >= 0
+                             THEN '1' ELSE '0' END), '') AS bucket
+FROM e
+""",
+)
+def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket id per vector - the public
+    operators/similarity.lsh_buckets surface as its own catalog query
+    (r3 verdict item #6: it was only reachable inside
+    lsh_neardup_embeddings). The bit-string bucket is engine-portable,
+    so the assignment itself is oracle-exact - useful on its own for
+    bucket-size diagnostics before running the pair stage."""
+    from ..operators.similarity import lsh_buckets
+
+    e = _emb(spark, sf_dir)
+    return lsh_buckets(e, _NUM_PLANES, _DIM).select("vec_id", "bucket")

@@ -41,7 +41,7 @@ from ..operators.classify import (
     to_real_time_rows,
 )
 from ..operators.latest import latest_by_key
-from ..operators.normalize import normalize_stream, parse_envelopes
+from ..operators.normalize import parse_envelopes
 from ..sources.lake import with_day_partitions
 from .store import KeyedParquetStore
 
@@ -276,22 +276,30 @@ def run_ingest_stream(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         cfg = config_provider().validate()
 
+        # The fan-out below has up to five sink actions; persist the
+        # shared subtrees so each action reads the micro-batch once
+        # instead of re-running source read + decode + classify per
+        # sink. All three are bounded by the micro-batch size (the T1
+        # batch cap), so the persists are memory-safe by construction.
+        batch_df = batch_df.persist()
+        from ..operators.normalize import explode_messages, split_rejects
+
+        parsed = parse_envelopes(batch_df, list(cfg.formats)).persist()
+
         # (c) raw archive first - archives even rejected records (S12:
         # Firehose taps the stream before the filter Lambda)
         if sinks.archive_path:
             batch_df.write.mode("append").json(sinks.archive_path)
 
         if sinks.rejects_path:
-            from ..operators.normalize import split_rejects
-
-            _, rejected = split_rejects(parse_envelopes(batch_df, list(cfg.formats)))
+            _, rejected = split_rejects(parsed)
             rejected.drop("messages").write.mode("append").json(sinks.rejects_path)
 
-        messages = normalize_stream(batch_df, list(cfg.formats), keep_cols=["record_id"])
+        messages = explode_messages(parsed, list(cfg.formats), keep_cols=["record_id"])
         classified = classify_messages(
             messages, machine_config_df(batch_df.sparkSession, list(cfg.machines))
         )
-        reportable = reportable_messages(classified)
+        reportable = reportable_messages(classified).persist()
 
         # (a) real-time store: day-partitioned append (S8/S9), TTL
         # column; rows cluster by machine id inside each day so the
@@ -332,6 +340,9 @@ def run_ingest_stream(
                 sinks.change_feed.extend(
                     sorted(delta_rows, key=lambda r: r["machine_id"])
                 )
+        reportable.unpersist()
+        parsed.unpersist()
+        batch_df.unpersist()
 
     return (
         source.writeStream.foreachBatch(process_batch)

@@ -228,6 +228,80 @@ def test_kafka_wire_decode_chain(spark, tmp_path):
     assert json.loads(base64.b64decode(rows[0].data))["machineId"] == "site/a/p/m9"
 
 
+def test_kafka_source_binding_chain(spark, monkeypatch):
+    """S1 plan-construction check, jar-free: read_envelope_stream_kafka
+    must bind ``format("kafka")`` with the broker/topic/batch-cap
+    options and route the wire records through
+    envelope_from_kafka_records - mirroring the reference's
+    event-source binding of stream -> filter function
+    (source/infrastructure/lib/real-time-data-processing-construct;
+    its Kinesis event source maps to the topic subscription here).
+
+    The DataStreamReader is intercepted at the API boundary: format and
+    options are captured, and load() returns a batch DataFrame shaped
+    like Kafka's fixed wire schema carrying one real envelope - so the
+    assertion covers the FULL chain (binding -> adapter -> decodable
+    envelope rows), not just that some kafka string appears."""
+    from pyspark.sql.streaming.readwriter import DataStreamReader
+
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        read_envelope_stream_kafka,
+    )
+
+    inner = {"machineId": "site/a/p/m1", "timestamp": 1717240000000, "value": "DOWN"}
+    envelope = {
+        "record_id": "k-17",
+        "partition_key": "site/a/p/m1",
+        "arrival_ts": 1717240000.25,
+        "data": base64.b64encode(json.dumps(inner).encode()).decode(),
+    }
+    wire_rows = [
+        (
+            None,
+            bytearray(json.dumps(envelope).encode()),
+            "machine-events",
+            0,
+            17,
+        )
+    ]
+    captured: dict = {"options": {}}
+
+    def fake_format(self, source):
+        captured["format"] = source
+        return self
+
+    def fake_option(self, key, value):
+        captured["options"][key] = value
+        return self
+
+    def fake_load(self, path=None, format=None, schema=None, **options):
+        return spark.createDataFrame(
+            wire_rows,
+            "key binary, value binary, topic string, partition int, offset long",
+        )
+
+    monkeypatch.setattr(DataStreamReader, "format", fake_format)
+    monkeypatch.setattr(DataStreamReader, "option", fake_option)
+    monkeypatch.setattr(DataStreamReader, "load", fake_load)
+
+    env = read_envelope_stream_kafka(
+        spark, "broker-1:9092,broker-2:9092", "machine-events",
+        starting_offsets="earliest", max_offsets_per_trigger=5000,
+    )
+    assert captured["format"] == "kafka"
+    assert captured["options"]["kafka.bootstrap.servers"] == "broker-1:9092,broker-2:9092"
+    assert captured["options"]["subscribe"] == "machine-events"
+    assert captured["options"]["startingOffsets"] == "earliest"
+    assert captured["options"]["maxOffsetsPerTrigger"] == 5000
+    assert [f.name for f in env.schema.fields] == [
+        "record_id", "partition_key", "arrival_ts", "data",
+    ]
+    rows = env.collect()
+    assert len(rows) == 1 and rows[0].record_id == "k-17"
+    assert rows[0].arrival_ts == pytest.approx(1717240000.25)
+    assert json.loads(base64.b64decode(rows[0].data))["value"] == "DOWN"
+
+
 def test_kafka_source_construction_reaches_resolution(spark):
     """read_envelope_stream_kafka builds a kafka-format streaming
     plan. In-sandbox the connector jar is absent, so resolution must
