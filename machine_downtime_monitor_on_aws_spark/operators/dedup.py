@@ -54,7 +54,7 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_lsh_buckets(
+def minhash_band_arrays(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -63,7 +63,11 @@ def minhash_lsh_buckets(
     shingle_n: int = 5,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """(doc_id, band_id, band_hash) LSH bucket assignments.
+    """(doc_id, __bands array<string>) - one banded-signature hash per
+    band, pre-explode. The band-carrying form that lets the pair stage
+    keep each doc's full band vector as payload (see
+    :func:`candidate_pairs_exact`); :func:`minhash_lsh_buckets` is the
+    exploded (doc_id, band_id, band_hash) view of the same rows.
 
     num_perms/num_bands tune the Jaccard threshold curve
     (~ (1/bands)^(bands/perms)); defaults target ~0.5.
@@ -128,9 +132,81 @@ def minhash_lsh_buckets(
     for b in range(num_bands):
         parts = [F.col(f"m{b * rows + r}") for r in range(rows)]
         band_cols.append(F.md5(F.concat_ws("|", *parts)))
-    return sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_id", "band_hash"),
+    return sig.select("doc_id", F.array(*band_cols).alias("__bands"))
+
+
+def minhash_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = 8,
+    num_bands: int = 4,
+    shingle_n: int = 5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH bucket assignments - the
+    exploded view of :func:`minhash_band_arrays` (kept as the public
+    bucket surface; the pair stage consumes the array form)."""
+    ba = minhash_band_arrays(
+        df, id_col, text_col, num_perms, num_bands, shingle_n, parallelism
+    )
+    return ba.select(
+        "doc_id", F.posexplode("__bands").alias("band_id", "band_hash")
+    )
+
+
+def _first_matching_band(num_bands: int, band_a_at, band_b_at):
+    """True iff the current (band_id, equal-hash) collision is the pair's
+    FIRST matching band: every earlier band differs. Emitting a pair
+    only at its first matching band makes the banded self-join produce
+    each colliding pair exactly once - replacing a DISTINCT (a full
+    shuffle of the expanded pair set, the blow-up point of the whole
+    pipeline) with a scan-local filter. ``band_a_at(k)``/``band_b_at(k)``
+    return the k-th band value of each side (array index or substring,
+    depending on how the caller carries the payload)."""
+    first = F.lit(False)
+    for k in range(num_bands):
+        cond = F.lit(True)
+        for bp in range(k):
+            cond = cond & (band_a_at(bp) != band_b_at(bp))
+        first = F.when(F.col("band_id") == k, cond).otherwise(first)
+    return first
+
+
+def candidate_pairs_exact(
+    band_arrays: DataFrame, num_bands: int
+) -> DataFrame:
+    """Exact all-pairs candidate enumeration WITHOUT shuffling the
+    pair set: band-explode with the doc's full band vector riding as
+    payload, equi-join on (band_id, band_hash), then keep each pair
+    only at its first matching band (:func:`_first_matching_band`).
+
+    Semantically identical to ``candidate_pairs(buckets,
+    max_bucket_size=None)`` - the DISTINCT-of-bucket-join formulation
+    - but the only exchanges are the two (identical, reusable) band
+    exchanges of the corpus sliver; the expanded pair rows are
+    filtered where they are produced and never move. At 100 TB the
+    pair set is orders of magnitude larger than the corpus, so this
+    is the difference between shuffling gigabytes and terabytes."""
+    banded = band_arrays.select(
+        "doc_id", "__bands", F.posexplode("__bands").alias("band_id", "band_hash")
+    )
+    a = banded.selectExpr(
+        "band_id", "band_hash", "doc_id AS doc_a", "__bands AS __ba"
+    )
+    b = banded.selectExpr(
+        "band_id", "band_hash", "doc_id AS doc_b", "__bands AS __bb"
+    )
+    first = _first_matching_band(
+        num_bands,
+        lambda k: F.col("__ba")[k],
+        lambda k: F.col("__bb")[k],
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -610,19 +686,11 @@ def simhash_neardup_pairs(
             "band_id", "band_hash", "doc_id AS doc_b",
             "simhash AS __sb", "__hi AS __hb", "__lo AS __lb",
         )
-        def _earlier_bands_differ(k: int):
-            cond = F.lit(True)
-            for bp in range(k):
-                cond = cond & (
-                    F.substring("__sa", 1 + bp * width, width)
-                    != F.substring("__sb", 1 + bp * width, width)
-                )
-            return cond
-        first_match = F.lit(False)
-        for k in range(num_bands):
-            first_match = F.when(
-                F.col("band_id") == k, _earlier_bands_differ(k)
-            ).otherwise(first_match)
+        first_match = _first_matching_band(
+            num_bands,
+            lambda k: F.substring("__sa", 1 + k * width, width),
+            lambda k: F.substring("__sb", 1 + k * width, width),
+        )
         return (
             a.join(b, ["band_id", "band_hash"])
             .filter(F.col("doc_a") < F.col("doc_b"))

@@ -207,10 +207,10 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles digests/ids only; packing is one hash-partitioned
     window. The corpus text never shuffles at all."""
     from ..operators.dedup import (
-        candidate_pairs,
+        candidate_pairs_exact,
         connected_components,
         drop_neardup_docs,
-        minhash_lsh_buckets,
+        minhash_band_arrays,
     )
 
     d = _docs(spark, sf_dir)
@@ -223,10 +223,10 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= _Q_MAX_AVG_TOKLEN
         )
     )
-    buckets = minhash_lsh_buckets(
+    ba = minhash_band_arrays(
         quality, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
     )
-    cc = connected_components(candidate_pairs(buckets, max_bucket_size=None))
+    cc = connected_components(candidate_pairs_exact(ba, 4))
     kept = drop_neardup_docs(quality, cc, "doc_id")
     mixed = stratified_sample(kept, "doc_id", "source", _MIX_RATES, salt="mix")
     slim = mixed.select(

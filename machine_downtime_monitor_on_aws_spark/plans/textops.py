@@ -22,11 +22,12 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
-    candidate_pairs,
+    candidate_pairs_exact,
     connected_components,
     drop_neardup_docs,
     exact_dedup_groups,
     jaccard_verified_pairs,
+    minhash_band_arrays,
     minhash_lsh_buckets,
     simhash_md5,
     simhash_md5_oracle_sql,
@@ -451,17 +452,29 @@ WHERE a.doc_id < b.doc_id
 _PAIR_SQL = _pair_sql()
 
 
-@register("neardup_candidate_pairs", oracle=_PAIR_SQL)
-def neardup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: equi-join on (band_id, band_hash), doc_a <
-    doc_b, distinct. The O(n^2) all-pairs problem becomes a bucket
-    join - the scale path for near-dedup at 100 TB."""
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate-pair pipeline for the minhash family: band
+    arrays -> payload-carrying band join -> first-matching-band filter
+    (candidate_pairs_exact). Same pair set as the oracle's
+    DISTINCT-of-bucket-join, but the expanded pair rows are filtered
+    where produced and never shuffled."""
     d = _docs(spark, sf_dir)
-    buckets = minhash_lsh_buckets(
+    ba = minhash_band_arrays(
         d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    return candidate_pairs(buckets, max_bucket_size=None)
+    return candidate_pairs_exact(ba, _NUM_BANDS)
+
+
+@register("neardup_candidate_pairs", oracle=_PAIR_SQL)
+def neardup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: equi-join on (band_id, band_hash), doc_a <
+    doc_b, each pair exactly once. The O(n^2) all-pairs problem
+    becomes a bucket join - the scale path for near-dedup at 100 TB -
+    and the first-matching-band filter keeps the pair set out of any
+    shuffle (the oracle's DISTINCT formulation, without the
+    exchange)."""
+    return _minhash_pairs(spark, sf_dir)
 
 
 @register(
@@ -492,16 +505,12 @@ def neardup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard verification of LSH candidates (candidates only
     - the exact set ops never touch non-candidate pairs)."""
     d = _docs(spark, sf_dir)
-    buckets = minhash_lsh_buckets(
-        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
-        parallelism=spark.sparkContext.defaultParallelism,
-    )
     # The pairs subtree feeds BOTH the candidate-id semi-join and the
     # scored join; a lazy localCheckpoint materializes the whole
     # minhash pipeline once instead of twice (measured 2.1s -> 1.45s
     # at sf0.1; plain .cache() did not help - lazy caching still
     # evaluates both branches before the first materialization wins).
-    pairs = candidate_pairs(buckets, max_bucket_size=None).localCheckpoint(eager=False)
+    pairs = _minhash_pairs(spark, sf_dir).localCheckpoint(eager=False)
     return jaccard_verified_pairs(d, pairs, "doc_id", "text", 0.5, _SHINGLE_N)
 
 
@@ -538,12 +547,7 @@ def neardup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline needs between "pairs" and "drop": A~B and B~C must
     collapse to ONE surviving doc even when (A,C) was never a
     candidate pair."""
-    d = _docs(spark, sf_dir)
-    buckets = minhash_lsh_buckets(
-        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
-        parallelism=spark.sparkContext.defaultParallelism,
-    )
-    return connected_components(candidate_pairs(buckets, max_bucket_size=None))
+    return connected_components(_minhash_pairs(spark, sf_dir))
 
 
 @register(
@@ -561,11 +565,7 @@ def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     member (keep min-id representative); an id-only anti-join against
     the tiny non-canonical set - the corpus fact never shuffles."""
     d = _docs(spark, sf_dir)
-    buckets = minhash_lsh_buckets(
-        d, "doc_id", "text", _NUM_PERMS, _NUM_BANDS, _SHINGLE_N,
-        parallelism=spark.sparkContext.defaultParallelism,
-    )
-    cc = connected_components(candidate_pairs(buckets, max_bucket_size=None))
+    cc = connected_components(_minhash_pairs(spark, sf_dir))
     return drop_neardup_docs(d, cc, "doc_id").select("doc_id", "lang", "source")
 
 

@@ -52,6 +52,35 @@ def test_cap_no_effect_below_threshold(spark):
     assert capped  # non-trivial
 
 
+def test_candidate_pairs_exact_matches_distinct_formulation(spark):
+    """candidate_pairs_exact (payload-carrying band join +
+    first-matching-band filter, NO pair-set shuffle) must produce
+    exactly the DISTINCT-of-bucket-join pair set - including pairs
+    that collide in several bands (the case the first-match filter
+    exists for) - with each pair emitted exactly once."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        candidate_pairs_exact,
+        minhash_band_arrays,
+    )
+
+    docs = _corpus(
+        spark,
+        [(i, f"unique document number {i} with shared tail words here") for i in range(40)]
+        + [(100 + i, "a duplicated body shared by a handful of docs") for i in range(5)],
+    )
+    buckets = minhash_lsh_buckets(docs, "doc_id", "body", parallelism=4)
+    ba = minhash_band_arrays(docs, "doc_id", "body", parallelism=4)
+    expected = {
+        tuple(r) for r in candidate_pairs(buckets, max_bucket_size=None).collect()
+    }
+    got_rows = candidate_pairs_exact(ba, 4).collect()
+    got = {tuple(r) for r in got_rows}
+    assert got == expected and expected
+    # exactly once per pair: identical duplicates collide in ALL 4
+    # bands, so without the first-match filter they'd appear 4x
+    assert len(got_rows) == len(got)
+
+
 def test_minhash_shuffle_drops_fallback_text(spark):
     """Docs with >= shingle_n tokens must carry NULL fallback text
     through the exchange (the shuffle moves tokens, not bodies)."""
