@@ -322,13 +322,7 @@ def connected_components(
     duplicate graphs don't have that shape, so the simpler propagation
     wins on constant factors.
     """
-    # The lazy checkpoint matters only for the distributed branch,
-    # where the edge set feeds the symmetric union below from two
-    # subtrees; the driver branch consumes the single collect and
-    # never reads it again.
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
-        eager=False
-    )
+    el = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Size-based strategy switch (the same decision AQE makes for
     # broadcast joins): the pair graph is a SLIVER of the corpus - at
     # sf0.1 a few thousand edges, at 100 TB typically millions, both
@@ -341,8 +335,13 @@ def connected_components(
     # the cap IS the complete edge set, so sliver graphs (the common
     # case) pay a single job instead of count-then-collect running
     # the expensive upstream pair pipeline twice (the r3 regression:
-    # neardup_duplicate_clusters 1.6s -> 4.4s driver-measured).
-    head = e.limit(driver_threshold + 1).collect()
+    # neardup_duplicate_clusters 1.6s -> 4.4s driver-measured). No
+    # checkpoint on this path: nothing ever re-reads the edges, and
+    # persisting them during the collect is pure overhead. Only the
+    # distributed fall-through (which re-runs the pipeline once more
+    # into a checkpoint it then iterates on) pays the second run -
+    # amortized over the propagation rounds it feeds.
+    head = el.limit(driver_threshold + 1).collect()
     if len(head) <= driver_threshold:
         # Union-find is direction-agnostic: raw (u, v) rows suffice -
         # no symmetric union, no distinct shuffle for sliver graphs.
@@ -378,9 +377,9 @@ def connected_components(
 
     # EAGER here: edges is consumed from two branches every round - a
     # lazy checkpoint lets those branches race to materialize it
-    # (measured 20% slower). Its input is the checkpoint of e (the
-    # probe's LIMIT already persisted the partitions it computed), so
-    # the union costs one distinct, not two pair pipelines.
+    # (measured 20% slower). The checkpointed e feeds the symmetric
+    # union from two subtrees, so it materializes once, not twice.
+    e = el.localCheckpoint(eager=True)
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()

@@ -140,6 +140,17 @@ def test_sampling_queries_have_no_shuffle(spark):
         assert "Exchange" not in plan, name
 
 
+def test_candidate_pair_set_never_shuffles(spark):
+    """The near-dup pair set (the blow-up point: orders of magnitude
+    larger than the corpus) must be filtered where produced, never
+    exchanged: the first-matching-band formulation replaced the
+    DISTINCT, so no plan may hash-partition on the pair key."""
+    for name in ("neardup_candidate_pairs", "simhash_neardup_pairs"):
+        plan = plan_of(spark, name)
+        assert "hashpartitioning(doc_a" not in plan, name
+        assert "hashpartitioning(cast(doc_a" not in plan, name
+
+
 def test_token_packing_single_shuffle(spark):
     """Packing = one hash partition on bucket (window), nothing else."""
     import re
