@@ -727,6 +727,94 @@ def simhash_neardup_pairs(
     )
 
 
+def write_minhash_index(
+    band_arrays: DataFrame, table_name: str, num_buckets: int = 64
+) -> None:
+    """Persist a corpus's MinHash band assignments as a bucketed table
+    keyed on ``band_hash`` - the layout that makes INCREMENTAL
+    near-dedup (every new batch vs the whole historical corpus) a
+    shuffle-free join on the history side.
+
+    One row per (doc, band), carrying the doc's full band vector as
+    payload so the probe can apply the first-matching-band filter
+    (:func:`_first_matching_band`) without a join back to a signature
+    table. The join key is the SINGLE column ``band_key``
+    (band position folded into the hash): Spark only uses a bucketed
+    layout when the bucket column covers the whole join key
+    (requireAllClusterKeysForCoPartition), so a (band_id, band_hash)
+    two-column join would silently fall back to shuffling history.
+    The write pays one layout shuffle; every subsequent batch
+    amortizes it - at 100 TB of accumulated corpus this converts the
+    nightly dedup probe from a full history shuffle into local
+    hash-bucket lookups."""
+    from ..sources.lake import write_bucketed_table
+
+    exploded = band_arrays.select(
+        "doc_id",
+        "__bands",
+        F.posexplode("__bands").alias("band_id", "band_hash"),
+    ).select(
+        "doc_id",
+        "__bands",
+        "band_id",
+        F.concat_ws(":", F.col("band_id"), F.col("band_hash")).alias("band_key"),
+    )
+    write_bucketed_table(exploded, table_name, "band_key", num_buckets)
+
+
+def incremental_candidate_pairs(
+    spark,
+    new_band_arrays: DataFrame,
+    table_name: str,
+    num_bands: int,
+) -> DataFrame:
+    """Candidate pairs for a NEW batch of documents against (a) the
+    persisted historical corpus index and (b) itself - the steady-state
+    operation of a continuously-ingesting training-data pipeline,
+    where re-running all-pairs dedup over the full corpus per batch
+    is O(history) and unaffordable.
+
+    Output: (doc_a, doc_b) with doc_a the historical/smaller id -
+    exactly the pair set :func:`candidate_pairs_exact` would produce
+    on (history ∪ batch) restricted to pairs touching the batch.
+    Each pair appears once (first-matching-band on both legs).
+
+    Scale shape: the history side is bucketed on band_hash, so the
+    probe join shuffles ONLY the batch's band rows (a sliver);
+    history never moves. Batch-internal pairs reuse the in-memory
+    band join. Feed the union into :func:`connected_components` /
+    :func:`drop_neardup_docs` as usual; append the kept docs' bands
+    to the index afterwards."""
+    hist = spark.table(table_name)
+    new_banded = new_band_arrays.select(
+        "doc_id",
+        "__bands",
+        F.posexplode("__bands").alias("band_id", "band_hash"),
+    )
+    probe = new_banded.select(
+        F.concat_ws(":", F.col("band_id"), F.col("band_hash")).alias("band_key"),
+        F.col("band_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("__bands").alias("__bb"),
+    )
+    build = hist.selectExpr(
+        "band_key", "doc_id AS doc_a", "__bands AS __ba"
+    )
+    first = _first_matching_band(
+        num_bands,
+        lambda k: F.col("__ba")[k],
+        lambda k: F.col("__bb")[k],
+    )
+    vs_history = (
+        build.join(probe, "band_key")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(first)
+        .select("doc_a", "doc_b")
+    )
+    vs_self = candidate_pairs_exact(new_band_arrays, num_bands)
+    return vs_history.unionByName(vs_self)
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """64-bit SimHash over whitespace tokens using xxhash64
     (Spark-native; rows-only correctness check - xxhash64 isn't

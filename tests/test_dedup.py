@@ -81,6 +81,74 @@ def test_candidate_pairs_exact_matches_distinct_formulation(spark):
     assert len(got_rows) == len(got)
 
 
+def test_incremental_neardup_matches_full_rerun(spark):
+    """Incremental dedup (new batch vs persisted band index + itself)
+    must produce exactly the pairs a full candidate_pairs_exact rerun
+    over (history ∪ batch) yields, restricted to pairs touching the
+    batch - and the history side of the probe join must come from the
+    bucketed layout with no exchange of its own."""
+    import re
+
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        candidate_pairs_exact,
+        incremental_candidate_pairs,
+        minhash_band_arrays,
+        write_minhash_index,
+    )
+
+    hist_docs = _corpus(
+        spark,
+        [(i, f"historical document {i} with common tail words") for i in range(30)]
+        + [(50 + i, "a duplicated body shared across history") for i in range(3)],
+    )
+    new_docs = _corpus(
+        spark,
+        [(100, "a duplicated body shared across history")]       # dup of history
+        + [(101, "a brand new duplicated body"), (102, "a brand new duplicated body")]  # dup within batch
+        + [(110 + i, f"fresh unique content number {i} here now") for i in range(5)],
+    )
+    try:
+        ba_hist = minhash_band_arrays(hist_docs, "doc_id", "body", parallelism=4)
+        write_minhash_index(ba_hist, "mh_index_test", num_buckets=8)
+        ba_new = minhash_band_arrays(new_docs, "doc_id", "body", parallelism=4)
+
+        inc = incremental_candidate_pairs(spark, ba_new, "mh_index_test", 4)
+        got = {frozenset(t) for t in (tuple(r) for r in inc.collect())}
+        assert len(got) == inc.count()  # exactly-once per unordered pair
+
+        full_ba = minhash_band_arrays(
+            hist_docs.unionByName(new_docs), "doc_id", "body", parallelism=4
+        )
+        new_ids = {r.doc_id for r in new_docs.select("doc_id").collect()}
+        expected = {
+            frozenset(t)
+            for t in (tuple(r) for r in candidate_pairs_exact(full_ba, 4).collect())
+            if t[0] in new_ids or t[1] in new_ids
+        }
+        assert got == expected and expected
+        # history never moves: with broadcast off (tiny test data would
+        # otherwise broadcast), the probe join must consume the bucketed
+        # layout - history-side scan reports Bucketed and takes no
+        # Exchange of its own
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            import contextlib, io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                incremental_candidate_pairs(
+                    spark, ba_new, "mh_index_test", 4
+                ).explain("formatted")
+            plan = buf.getvalue()
+            assert "Bucketed: true" in plan
+            assert "disabled by query planner" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_index_test")
+
+
 def test_minhash_shuffle_drops_fallback_text(spark):
     """Docs with >= shingle_n tokens must carry NULL fallback text
     through the exchange (the shuffle moves tokens, not bodies)."""
