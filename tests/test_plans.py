@@ -140,6 +140,16 @@ def test_sampling_queries_have_no_shuffle(spark):
         assert "Exchange" not in plan, name
 
 
+def test_fingerprint_pipelines_single_shuffle(spark):
+    """simhash/minhash signature pipelines repartition the narrow
+    (doc_id, text) projection BY doc_id before exploding; Generate
+    preserves that hash partitioning, so the per-doc aggregation needs
+    no second exchange. Exactly ONE shuffle in each plan."""
+    for name in ("simhash_fingerprints", "minhash_lsh_buckets"):
+        plan = plan_of(spark, name)
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, name
+
+
 def test_candidate_pair_set_never_shuffles(spark):
     """The near-dup pair set (the blow-up point: orders of magnitude
     larger than the corpus) must be filtered where produced, never
