@@ -475,12 +475,18 @@ def jaccard_verified_pairs(
         .unionByName(pairs.select(F.col("doc_b").alias("__cid")))
         .distinct()
     )
+    # The shingle projection feeds BOTH sides of the pair join (sh_a,
+    # sh_b); without a barrier the semi-join + shingling runs twice.
+    # Lazy checkpoint: candidates are a sliver of the corpus, so the
+    # materialized rows are small - same shape as the caller's pairs
+    # checkpoint.
     sh = (
         df.join(cand_ids, F.col(id_col) == F.col("__cid"), "left_semi")
         .select(
             F.col(id_col).alias("__id"),
             F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
         )
+        .localCheckpoint(eager=False)
     )
     pa = pairs.join(sh.withColumnRenamed("__id", "doc_a").withColumnRenamed("__sh", "sh_a"), "doc_a")
     pab = pa.join(sh.withColumnRenamed("__id", "doc_b").withColumnRenamed("__sh", "sh_b"), "doc_b")

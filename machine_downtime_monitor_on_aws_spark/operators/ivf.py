@@ -76,6 +76,36 @@ def build_ivf_index(
     assign.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> None:
+    """Add a batch of new vectors to an existing index WITHOUT
+    rebuilding: assign each vector against the persisted centroid
+    table (broadcast join) and append into the corpus' ``list_id``
+    partitions. O(batch), never O(corpus) - the steady-state
+    operation of a continuously-ingesting embedding store.
+
+    Centroids stay fixed, which is standard IVF practice: assignment
+    must stay consistent with what searches probe. Retrain/rebuild
+    only when drift degrades recall - the signal ``ivf_recall_at5``
+    (recall vs brute force on a query sample) monitors."""
+    spark = df.sparkSession
+    cents = spark.read.parquet(f"{path}/centroids").withColumn(
+        "__cn", l2_norm("cv", dim)
+    )
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("__n", l2_norm("vec", dim))
+    assign = _nearest(e, cents, "vec", "__n", ["vec_id"], dim, 1).select(
+        "vec_id", "vec", F.col("__n").alias("norm"), F.col("cid").alias("list_id")
+    )
+    assign.write.mode("append").partitionBy("list_id").parquet(f"{path}/corpus")
+
+
 def search_ivf_index(
     spark: SparkSession,
     path: str,

@@ -119,3 +119,45 @@ def test_ivf_index_build_search_roundtrip(spark, tmp_path):
     a = {(r.qid, r.neighbor_id, r.rnk) for r in got.collect()}
     b = {(r.qid, r.neighbor_id, r.rnk) for r in inline.collect()}
     assert a == b and a
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """append_to_ivf_index assigns a new batch against the PERSISTED
+    centroids and appends into list partitions: a search over
+    (build half) + (append half) must equal a search over a one-shot
+    full build - O(batch) maintenance, identical serving state."""
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from machine_downtime_monitor_on_aws_spark.plans.vectorops import (
+        _DIM,
+        _N_CENTROIDS,
+        _N_PROBES,
+        _N_QUERIES,
+        _TOPK,
+        _emb,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _emb(spark, sf)
+    mid = 60  # first 60 ids cover all deterministic centroids (< 16)
+    path_inc = str(tmp_path / "ivf_inc")
+    build_ivf_index(e.filter(F.col("vec_id") < mid), path_inc, _N_CENTROIDS, _DIM)
+    append_to_ivf_index(e.filter(F.col("vec_id") >= mid), path_inc, _DIM)
+    path_full = str(tmp_path / "ivf_full")
+    build_ivf_index(e, path_full, _N_CENTROIDS, _DIM)
+
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    inc = {
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in search_ivf_index(spark, path_inc, q, _TOPK, _N_PROBES, _DIM).collect()
+    }
+    full = {
+        (r.qid, r.neighbor_id, r.rnk)
+        for r in search_ivf_index(spark, path_full, q, _TOPK, _N_PROBES, _DIM).collect()
+    }
+    assert inc == full and inc
