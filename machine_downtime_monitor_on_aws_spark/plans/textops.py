@@ -91,6 +91,33 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_normalized_docs",
+    oracle="""
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS norm_hash,
+       min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+""",
+)
+def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-insensitive exact dedup: case-fold + collapse
+    whitespace runs BEFORE hashing, so near-identical reflows
+    ("Foo  bar" / "foo bar\\n") collapse to one group - the standard
+    first dedup pass of a text pipeline, between byte-exact and
+    MinHash. Same scale shape as dedup_exact_docs: normalization is
+    scan-level expression work and only 32-byte digests shuffle.
+    Java and RE2 '\\s' agree on ASCII whitespace, so the digest is
+    engine-portable."""
+    d = _docs(spark, sf_dir)
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return (
+        d.select(F.col("doc_id"), norm.alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+@register(
     "doc_token_stats",
     oracle=f"""
 SELECT doc_id,
