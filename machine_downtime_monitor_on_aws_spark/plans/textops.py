@@ -55,13 +55,17 @@ _TOKENS_SQL = (
     "ELSE string_split_regex(trim(text), '\\s+') END"
 )
 
-_SHINGLES_SQL = f"""
-CASE WHEN len({_TOKENS_SQL}) >= {_SHINGLE_N}
+def _shingles_sql(n: int) -> str:
+    return f"""
+CASE WHEN len({_TOKENS_SQL}) >= {n}
      THEN list_transform(
-            generate_series(1, len({_TOKENS_SQL}) - {_SHINGLE_N - 1}),
-            i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + {_SHINGLE_N - 1}), ' '))
+            generate_series(1, len({_TOKENS_SQL}) - {n - 1}),
+            i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + {n - 1}), ' '))
      ELSE [trim(text)] END
 """
+
+
+_SHINGLES_SQL = _shingles_sql(_SHINGLE_N)
 
 _SIG_ELEM_SQL = (
     "list_aggregate(list_transform(sh, s -> md5('{k}:' || s)), 'min')"
@@ -114,6 +118,65 @@ def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.col("doc_id"), norm.alias("norm_hash"))
         .groupBy("norm_hash")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+_CONTAM_N = 3  # n-gram size: real pipelines use 8-13; the synthetic
+# corpus needs 3 for the check to exercise non-zero overlap
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_shingles_sql(_CONTAM_N)}) AS g
+  FROM documents WHERE doc_id % 97 = 0
+),
+cg AS (
+  SELECT doc_id, unnest(list_distinct({_shingles_sql(_CONTAM_N)})) AS g
+  FROM documents WHERE doc_id % 97 <> 0
+),
+hits AS (
+  SELECT cg.doc_id, count(*) AS cnt FROM cg JOIN ev USING (g) GROUP BY cg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.cnt, 0) AS INT) AS n_shared_ngrams,
+       coalesce(h.cnt, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0
+""",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per training doc, the count of
+    distinct n-gram shingles it shares with a held-out
+    benchmark set (here the deterministic doc_id % 97 == 0 sliver),
+    plus the contaminated flag a filtering pass would drop on. The
+    canonical pre-training hygiene op: training examples that overlap
+    the eval set inflate benchmark scores.
+
+    Scale shape: the benchmark side is benchmark-sized (thousands of
+    docs), so its distinct gram set BROADCASTS; the corpus side is
+    scan + explode + broadcast-join + one map-side-combinable count
+    per doc - the 100 TB corpus never shuffles text, only
+    (doc_id, partial-count) rows. Integer counts: oracle-exact."""
+    d = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 97 == 0
+    sh = F.array_distinct(shingles(F.col("text"), _CONTAM_N))
+    ev = d.filter(is_eval).select(F.explode(sh).alias("g")).distinct()
+    cg = d.filter(~is_eval).select("doc_id", F.explode(sh).alias("g"))
+    hits = cg.join(F.broadcast(ev), "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_shared = F.coalesce(F.col("cnt"), F.lit(0))
+    return (
+        d.filter(~is_eval)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_shared.cast("int").alias("n_shared_ngrams"),
+            (n_shared >= 1).alias("contaminated"),
+        )
     )
 
 
