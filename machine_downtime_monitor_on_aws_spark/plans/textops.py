@@ -181,6 +181,51 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_rarity_stats",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENS_SQL})) AS t FROM documents
+),
+df AS (SELECT t, count(*) AS df FROM tok GROUP BY t)
+SELECT tok.doc_id,
+       CAST(count(*) AS INT) AS n_distinct_tokens,
+       CAST(sum(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS INT) AS n_rare_tokens,
+       CAST(sum(df.df) AS BIGINT) AS df_mass
+FROM tok JOIN df USING (t) GROUP BY tok.doc_id
+""",
+)
+def doc_rarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-rarity profile - the IDF-style novelty/quality
+    signal data curricula weight on: distinct-token count, how many
+    of them are corpus-rare (document frequency <= 2), and the doc's
+    total df mass (sum of its tokens' document frequencies - high
+    mass = generic text, low = novel). Integer-only outputs so the
+    cross-engine hash is exact (a float IDF would hang on libm log
+    ulps).
+
+    Scale shape: the canonical TF-IDF shuffle - distinct (doc, token)
+    rows aggregate to a vocab-sized df table, then join back on
+    token. Hot tokens (stopwords) skew that join key; AQE skew-join
+    splits them, and at extreme scale the df table is the bucketed
+    layout write_minhash_index uses. Only (doc_id, token-hash-sized)
+    rows move - never text."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(dfreq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_distinct_tokens"),
+            F.sum((F.col("df") <= 2).cast("int")).cast("int").alias("n_rare_tokens"),
+            F.sum("df").cast("long").alias("df_mass"),
+        )
+    )
+
+
+@register(
     "doc_token_stats",
     oracle=f"""
 SELECT doc_id,
@@ -638,6 +683,29 @@ def neardup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to ONE surviving doc even when (A,C) was never a
     candidate pair."""
     return connected_components(_minhash_pairs(spark, sf_dir))
+
+
+@register(
+    "duplicate_cluster_sizes",
+    oracle=f"""
+WITH RECURSIVE {_cc_clauses()},
+cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+sizes AS (SELECT component, count(*) AS cluster_size FROM cc GROUP BY component)
+SELECT CAST(cluster_size AS INT) AS cluster_size, count(*) AS n_clusters
+FROM sizes GROUP BY cluster_size
+""",
+)
+def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram - the dedup QA metric a
+    pipeline reports per snapshot (dup-rate, boilerplate blow-ups:
+    a sudden large cluster means a template flooded the crawl). Two
+    integer aggregations over the CC labels; the heavy lifting is the
+    same pair pipeline the dedup queries share."""
+    cc = connected_components(_minhash_pairs(spark, sf_dir))
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy(
+        F.col("cluster_size").cast("int").alias("cluster_size")
+    ).agg(F.count(F.lit(1)).alias("n_clusters"))
 
 
 @register(
