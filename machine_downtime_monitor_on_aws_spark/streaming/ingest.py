@@ -124,6 +124,38 @@ def read_envelope_stream_kafka(
     return envelope_from_kafka_records(raw)
 
 
+def read_envelope_stream_kinesis(
+    spark: SparkSession,
+    stream_name: str,
+    region: str,
+    format_name: str = "aws-kinesis",
+    starting_position: str = "LATEST",
+    options: dict | None = None,
+) -> DataFrame:
+    """Kinesis envelope source (S1's native binding). OSS Spark ships
+    no built-in kinesis format, so the connector's format name is a
+    parameter - the default matches the public
+    spark-sql-kinesis-connector ("aws-kinesis", options spelled
+    ``kinesis.*``); other connectors (different format string /
+    option spelling) pass ``format_name`` + ``options`` overrides.
+    All of them expose the same wire fields
+    (data/partitionKey/sequenceNumber/approximateArrivalTimestamp)
+    that :func:`envelope_from_kinesis_records` adapts - the same
+    four fields the reference's Lambda reads off each record
+    (filter-kinesis-stream/index.ts:39-52)."""
+    opts = {
+        "kinesis.streamName": stream_name,
+        "kinesis.region": region,
+        "kinesis.startingPosition": starting_position,
+    }
+    if options:
+        opts.update(options)
+    reader = spark.readStream.format(format_name)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return envelope_from_kinesis_records(reader.load())
+
+
 @dataclass
 class IngestSinks:
     """Where the fan-out lands (local-dir realization; swap paths for

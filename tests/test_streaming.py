@@ -302,6 +302,66 @@ def test_kafka_source_binding_chain(spark, monkeypatch):
     assert json.loads(base64.b64decode(rows[0].data))["value"] == "DOWN"
 
 
+def test_kinesis_source_binding_chain(spark, monkeypatch):
+    """S1's native-binding twin of test_kafka_source_binding_chain:
+    read_envelope_stream_kinesis must bind the connector format with
+    the kinesis.* options and route wire records through
+    envelope_from_kinesis_records (payload re-encoded to the base64
+    envelope contract, sequenceNumber as the stable record id)."""
+    from pyspark.sql.streaming.readwriter import DataStreamReader
+
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        read_envelope_stream_kinesis,
+    )
+
+    inner = {"machineId": "site/a/p/m2", "timestamp": 1717240000000, "value": "IDLE"}
+    wire_rows = [
+        (
+            bytearray(json.dumps(inner).encode()),  # connector-decoded payload
+            "site/a/p/m2",
+            "49598630102",
+            1717240001.5,
+        )
+    ]
+    captured: dict = {"options": {}}
+
+    def fake_format(self, source):
+        captured["format"] = source
+        return self
+
+    def fake_option(self, key, value):
+        captured["options"][key] = value
+        return self
+
+    def fake_load(self, path=None, format=None, schema=None, **options):
+        return spark.createDataFrame(
+            wire_rows,
+            "data binary, partitionKey string, sequenceNumber string, "
+            "approximateArrivalTimestamp double",
+        )
+
+    monkeypatch.setattr(DataStreamReader, "format", fake_format)
+    monkeypatch.setattr(DataStreamReader, "option", fake_option)
+    monkeypatch.setattr(DataStreamReader, "load", fake_load)
+
+    env = read_envelope_stream_kinesis(
+        spark, "machine-events", "us-east-1",
+        options={"kinesis.endpointUrl": "https://kinesis.us-east-1.amazonaws.com"},
+    )
+    assert captured["format"] == "aws-kinesis"
+    assert captured["options"]["kinesis.streamName"] == "machine-events"
+    assert captured["options"]["kinesis.region"] == "us-east-1"
+    assert captured["options"]["kinesis.startingPosition"] == "LATEST"
+    assert captured["options"]["kinesis.endpointUrl"].startswith("https://kinesis")
+    assert [f.name for f in env.schema.fields] == [
+        "record_id", "partition_key", "arrival_ts", "data",
+    ]
+    rows = env.collect()
+    assert len(rows) == 1 and rows[0].record_id == "49598630102"
+    assert rows[0].partition_key == "site/a/p/m2"
+    assert json.loads(base64.b64decode(rows[0].data))["value"] == "IDLE"
+
+
 def test_kafka_source_construction_reaches_resolution(spark):
     """read_envelope_stream_kafka builds a kafka-format streaming
     plan. In-sandbox the connector jar is absent, so resolution must
