@@ -167,6 +167,41 @@ def test_sessionize_matches_model(seed):
 
 
 
+@settings(max_examples=6, deadline=None)
+@given(st.integers(0, 10**6))
+def test_candidate_pairs_exact_matches_brute_force(seed):
+    """candidate_pairs_exact (payload-carrying band join +
+    first-matching-band filter) vs the pure-Python brute-force model:
+    a pair qualifies iff it shares ANY band value, and must appear
+    EXACTLY once. Random band vectors hit multi-band collisions and
+    no-collision cases that the fixed corpora in test_dedup don't."""
+    import random
+
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        candidate_pairs_exact,
+    )
+
+    rng = random.Random(seed)
+    n_docs = rng.randint(2, 30)
+    num_bands = rng.choice([2, 4])
+    # small value alphabet -> dense collisions, incl. multi-band
+    rows = [
+        (i, [f"h{rng.randint(0, 5)}" for _ in range(num_bands)])
+        for i in range(n_docs)
+    ]
+    expected = set()
+    for i, (a, ba) in enumerate(rows):
+        for b, bb in rows[i + 1:]:
+            if any(x == y for x, y in zip(ba, bb)):
+                expected.add((a, b))
+    spark = _spark()
+    ba_df = spark.createDataFrame(rows, "doc_id long, __bands array<string>")
+    got_rows = candidate_pairs_exact(ba_df, num_bands).collect()
+    got = {(r.doc_a, r.doc_b) for r in got_rows}
+    assert got == expected
+    assert len(got_rows) == len(got)  # exactly-once
+
+
 @settings(max_examples=12, deadline=None)
 @given(st.integers(0, 10_000))
 def test_connected_components_matches_union_find(seed):
