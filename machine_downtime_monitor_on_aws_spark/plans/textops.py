@@ -793,7 +793,10 @@ def simhash_fast_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the md5 string round-trip when cross-engine parity isn't needed."""
     from ..operators.dedup import simhash64
 
-    return simhash64(_docs(spark, sf_dir), "doc_id", "text")
+    return simhash64(
+        _docs(spark, sf_dir), "doc_id", "text",
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _marker_count_sql(lang: str) -> str:

@@ -149,6 +149,53 @@ def test_incremental_neardup_matches_full_rerun(spark):
         spark.sql("DROP TABLE IF EXISTS mh_index_test")
 
 
+def test_simhash64_matches_python_model(spark):
+    """The flat explode/vote simhash64 must equal the definitional
+    model: bit b set iff sum over tokens of (+1 if xxhash64(token)
+    bit b else -1) > 0. Token hashes are fetched from Spark itself
+    (xxhash64 has no stdlib twin), the fold runs in Python. Also pins
+    the empty-doc -> all-zero fingerprint contract."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import simhash64
+
+    docs = _corpus(
+        spark,
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "one two three four five six"),
+            (3, ""),           # empty -> fingerprint 0
+            (4, "alpha"),      # single token -> fingerprint == its hash
+        ],
+    )
+    from pyspark.sql import functions as F2
+
+    tok_hash = {
+        (r.doc_id, r.pos): r.h
+        for r in docs.select(
+            "doc_id",
+            F2.posexplode(
+                F2.split(F2.trim(F2.col("body")), r"\s+")
+            ).alias("pos", "t"),
+        )
+        .filter(F2.col("t") != "")
+        .withColumn("h", F2.xxhash64("t"))
+        .collect()
+    }
+    expected = {}
+    for doc in (1, 2, 3, 4):
+        hashes = [h for (d, _), h in tok_hash.items() if d == doc]
+        fp = 0
+        for b in range(64):
+            votes = sum(1 if (h >> b) & 1 else -1 for h in hashes)
+            if votes > 0:
+                fp |= 1 << b
+        if fp >= 1 << 63:
+            fp -= 1 << 64  # to signed long
+        expected[doc] = fp
+    got = {r.doc_id: r.simhash for r in simhash64(docs, "doc_id", "body").collect()}
+    assert got == expected
+    assert got[3] == 0
+
+
 def test_minhash_shuffle_drops_fallback_text(spark):
     """Docs with >= shingle_n tokens must carry NULL fallback text
     through the exchange (the shuffle moves tokens, not bodies)."""
