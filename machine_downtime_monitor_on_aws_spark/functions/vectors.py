@@ -58,42 +58,69 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     ``list_sum(list_transform(list_zip(...)))`` - oracle exactness is
     unchanged.
 
-    ``dim`` is accepted for API compatibility and validation intent
-    only (see :func:`validate_vec_dim`); the fold adapts to the
-    actual array length. With column *names*, the expression is built
-    as ONE ``F.expr`` string parsed JVM-side (a python-lambda
+    When ``dim`` is given, a length mismatch FAILS LOUDLY: zip_with
+    pads unequal arrays with NULL, so without the guard a wrong-dim
+    vector would yield a silent NULL similarity (sorting last in
+    every top-k - a malformed embedding batch would simply vanish
+    from search results). The guard is two O(1) size() checks per
+    row feeding an IF; the raise_error branch never codegens into
+    the hot path. With column *names*, the expression is built as
+    ONE ``F.expr`` string parsed JVM-side (a python-lambda
     ``F.aggregate`` costs several py4j round-trips per call).
     """
     if dim is not None:
         _check_dim(dim)
     if isinstance(a, str) and isinstance(b, str):
         qa, qb = _qident(a), _qident(b)
-        return F.expr(
+        fold = (
             f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), "
             "0.0D, (acc, x) -> acc + x)"
         )
+        if dim is not None:
+            return F.expr(
+                f"IF(size({qa}) = {dim} AND size({qb}) = {dim}, {fold}, "
+                f"CAST(raise_error('dot: vector length != dim={dim}') AS DOUBLE))"
+            )
+        return F.expr(fold)
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    return F.aggregate(
+    fold_col = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if dim is not None:
+        err = F.expr(f"CAST(raise_error('dot: vector length != dim={dim}') AS DOUBLE)")
+        return F.when((F.size(a) == dim) & (F.size(b) == dim), fold_col).otherwise(err)
+    return fold_col
 
 
 def l2_norm(a: Column | str, dim: int | None = None) -> Column:
-    """L2 norm; same left-fold shape and rationale as :func:`dot`."""
+    """L2 norm; same left-fold shape, loud dim guard, and rationale
+    as :func:`dot`."""
     if dim is not None:
         _check_dim(dim)
     if isinstance(a, str):
         qa = _qident(a)
-        return F.expr(
+        fold = (
             f"sqrt(aggregate(transform({qa}, x -> x * x), "
             "0.0D, (acc, x) -> acc + x))"
         )
-    return F.sqrt(
+        if dim is not None:
+            return F.expr(
+                f"IF(size({qa}) = {dim}, {fold}, "
+                f"CAST(raise_error('l2_norm: vector length != dim={dim}') AS DOUBLE))"
+            )
+        return F.expr(fold)
+    fold_col = F.sqrt(
         F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     )
+    if dim is not None:
+        err = F.expr(
+            f"CAST(raise_error('l2_norm: vector length != dim={dim}') AS DOUBLE)"
+        )
+        return F.when(F.size(a) == dim, fold_col).otherwise(err)
+    return fold_col
 
 
 def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
@@ -136,7 +163,15 @@ def sign_bucket(vec: Column | str, planes: list[list[int]]) -> Column:
                 "0.0D, (acc, x) -> acc + x)"
             )
             bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
-        return F.expr("concat(" + ", ".join(bits) + ")")
+        body = "concat(" + ", ".join(bits) + ")"
+        dim = len(planes[0]) if planes else 0
+        # same loud dim guard as dot/l2_norm: a wrong-length vector
+        # would otherwise fold against NULL pads and silently land in
+        # an arbitrary bucket
+        return F.expr(
+            f"IF(size({qv}) = {dim}, {body}, "
+            f"CAST(raise_error('sign_bucket: vector length != {dim}') AS STRING))"
+        )
     bits = [
         F.when(
             dot(vec, F.array(*[F.lit(float(c)) for c in plane])) >= 0,

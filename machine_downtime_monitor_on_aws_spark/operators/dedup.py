@@ -21,6 +21,13 @@ from pyspark.sql import types as T
 
 from ..functions.text import band_hashes, minhash_signature, shingles, tokens
 
+# The one band count every default-band call site shares: the band
+# generator (minhash_band_arrays), the first-matching-band filter, and
+# composed pipelines must agree or pairs are silently dropped
+# (_first_matching_band raises on drift, but agreeing via one constant
+# beats catching it at runtime).
+DEFAULT_NUM_BANDS = 4
+
 
 def exact_dedup_groups(
     df: DataFrame, id_col: str, text_col: str
@@ -59,7 +66,7 @@ def minhash_band_arrays(
     id_col: str,
     text_col: str,
     num_perms: int = 8,
-    num_bands: int = 4,
+    num_bands: int = DEFAULT_NUM_BANDS,
     shingle_n: int = 5,
     parallelism: int | None = None,
 ) -> DataFrame:
@@ -140,7 +147,7 @@ def minhash_lsh_buckets(
     id_col: str,
     text_col: str,
     num_perms: int = 8,
-    num_bands: int = 4,
+    num_bands: int = DEFAULT_NUM_BANDS,
     shingle_n: int = 5,
     parallelism: int | None = None,
 ) -> DataFrame:
@@ -163,8 +170,16 @@ def _first_matching_band(num_bands: int, band_a_at, band_b_at):
     shuffle of the expanded pair set, the blow-up point of the whole
     pipeline) with a scan-local filter. ``band_a_at(k)``/``band_b_at(k)``
     return the k-th band value of each side (array index or substring,
-    depending on how the caller carries the payload)."""
-    first = F.lit(False)
+    depending on how the caller carries the payload).
+
+    A ``band_id`` outside [0, num_bands) means the caller's num_bands
+    drifted from the band generator's - silently dropping those rows
+    would under-deduplicate with nothing failing, so the fall-through
+    raises instead of defaulting."""
+    first = F.expr(
+        "CAST(raise_error('first_matching_band: band_id >= num_bands "
+        "(caller num_bands does not match the band generator)') AS BOOLEAN)"
+    )
     for k in range(num_bands):
         cond = F.lit(True)
         for bp in range(k):
@@ -733,6 +748,19 @@ def simhash_neardup_pairs(
     )
 
 
+def _minhash_index_rows(band_arrays: DataFrame) -> DataFrame:
+    return band_arrays.select(
+        "doc_id",
+        "__bands",
+        F.posexplode("__bands").alias("band_id", "band_hash"),
+    ).select(
+        "doc_id",
+        "__bands",
+        "band_id",
+        F.concat_ws(":", F.col("band_id"), F.col("band_hash")).alias("band_key"),
+    )
+
+
 def write_minhash_index(
     band_arrays: DataFrame, table_name: str, num_buckets: int = 64
 ) -> None:
@@ -752,20 +780,32 @@ def write_minhash_index(
     The write pays one layout shuffle; every subsequent batch
     amortizes it - at 100 TB of accumulated corpus this converts the
     nightly dedup probe from a full history shuffle into local
-    hash-bucket lookups."""
+    hash-bucket lookups. Grow the index with
+    :func:`append_to_minhash_index` - never by re-running this
+    (overwrite) on a batch."""
     from ..sources.lake import write_bucketed_table
 
-    exploded = band_arrays.select(
-        "doc_id",
-        "__bands",
-        F.posexplode("__bands").alias("band_id", "band_hash"),
-    ).select(
-        "doc_id",
-        "__bands",
-        "band_id",
-        F.concat_ws(":", F.col("band_id"), F.col("band_hash")).alias("band_key"),
+    write_bucketed_table(
+        _minhash_index_rows(band_arrays), table_name, "band_key", num_buckets
     )
-    write_bucketed_table(exploded, table_name, "band_key", num_buckets)
+
+
+def append_to_minhash_index(
+    band_arrays: DataFrame, table_name: str, num_buckets: int = 64
+) -> None:
+    """Append a processed batch's band rows to the historical index -
+    the O(batch) maintenance step after :func:`incremental_candidate_pairs`
+    has deduped the batch. Spark validates the bucket spec against the
+    existing table, so an append can never corrupt the layout."""
+    from ..sources.lake import write_bucketed_table
+
+    write_bucketed_table(
+        _minhash_index_rows(band_arrays),
+        table_name,
+        "band_key",
+        num_buckets,
+        mode="append",
+    )
 
 
 def incremental_candidate_pairs(
@@ -780,17 +820,23 @@ def incremental_candidate_pairs(
     where re-running all-pairs dedup over the full corpus per batch
     is O(history) and unaffordable.
 
-    Output: (doc_a, doc_b) with doc_a the historical/smaller id -
-    exactly the pair set :func:`candidate_pairs_exact` would produce
-    on (history ∪ batch) restricted to pairs touching the batch.
-    Each pair appears once (first-matching-band on both legs).
+    Output: unordered pairs normalized to ``doc_a < doc_b`` - exactly
+    the pair set :func:`candidate_pairs_exact` would produce on
+    (history ∪ batch) restricted to pairs touching the batch, each
+    pair exactly once. Docs present in BOTH the index and the batch
+    (an append-then-crash replay, overlapping batches) are handled:
+    the history side is anti-joined against the batch's ids, so a
+    duplicate doc can never pair from both legs or in both
+    orientations.
 
-    Scale shape: the history side is bucketed on band_hash, so the
+    Scale shape: the history side is bucketed on band_key, so the
     probe join shuffles ONLY the batch's band rows (a sliver);
-    history never moves. Batch-internal pairs reuse the in-memory
-    band join. Feed the union into :func:`connected_components` /
-    :func:`drop_neardup_docs` as usual; append the kept docs' bands
-    to the index afterwards."""
+    history never moves (the anti-join is broadcast: batch ids are
+    batch-sized). Batch-internal pairs reuse the in-memory band join.
+    Feed the union into :func:`connected_components` /
+    :func:`drop_neardup_docs` as usual; then grow the index with
+    :func:`append_to_minhash_index` (NOT write_minhash_index, which
+    overwrites)."""
     hist = spark.table(table_name)
     new_banded = new_band_arrays.select(
         "doc_id",
@@ -803,9 +849,10 @@ def incremental_candidate_pairs(
         F.col("doc_id").alias("doc_b"),
         F.col("__bands").alias("__bb"),
     )
-    build = hist.selectExpr(
-        "band_key", "doc_id AS doc_a", "__bands AS __ba"
-    )
+    batch_ids = new_band_arrays.select(F.col("doc_id").alias("__bid"))
+    build = hist.join(
+        F.broadcast(batch_ids), hist["doc_id"] == F.col("__bid"), "left_anti"
+    ).selectExpr("band_key", "doc_id AS doc_a", "__bands AS __ba")
     first = _first_matching_band(
         num_bands,
         lambda k: F.col("__ba")[k],
@@ -813,9 +860,11 @@ def incremental_candidate_pairs(
     )
     vs_history = (
         build.join(probe, "band_key")
-        .filter(F.col("doc_a") != F.col("doc_b"))
         .filter(first)
-        .select("doc_a", "doc_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
     )
     vs_self = candidate_pairs_exact(new_band_arrays, num_bands)
     return vs_history.unionByName(vs_self)

@@ -207,6 +207,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles digests/ids only; packing is one hash-partitioned
     window. The corpus text never shuffles at all."""
     from ..operators.dedup import (
+        DEFAULT_NUM_BANDS,
         candidate_pairs_exact,
         connected_components,
         drop_neardup_docs,
@@ -226,7 +227,7 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ba = minhash_band_arrays(
         quality, "doc_id", "text", parallelism=spark.sparkContext.defaultParallelism
     )
-    cc = connected_components(candidate_pairs_exact(ba, 4))
+    cc = connected_components(candidate_pairs_exact(ba, DEFAULT_NUM_BANDS))
     kept = drop_neardup_docs(quality, cc, "doc_id")
     mixed = stratified_sample(kept, "doc_id", "source", _MIX_RATES, salt="mix")
     slim = mixed.select(

@@ -138,6 +138,7 @@ def write_bucketed_table(
     bucket_col: str,
     num_buckets: int,
     sort_col: str | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Persist a hash-bucketed (optionally sorted) parquet table: the
     co-located-join layout. Every reader joining or aggregating on
@@ -145,11 +146,15 @@ def write_bucketed_table(
     reports hash distribution - which at 100 TB converts the nightly
     fact-to-fact join from a full network shuffle into local merges.
     The write pays ONE shuffle to lay data out; every downstream
-    consumer amortizes it."""
+    consumer amortizes it.
+
+    ``mode="append"`` grows an existing table batch by batch (Spark
+    validates the bucket spec matches, so an append can never corrupt
+    the layout) - the incremental-index maintenance path."""
     w = (
         df.repartition(num_buckets, bucket_col)
         .write.format("parquet")
-        .mode("overwrite")
+        .mode(mode)
         .bucketBy(num_buckets, bucket_col)
     )
     if sort_col is not None:

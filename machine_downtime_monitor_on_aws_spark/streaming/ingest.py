@@ -313,68 +313,78 @@ def run_ingest_stream(
         # instead of re-running source read + decode + classify per
         # sink. All three are bounded by the micro-batch size (the T1
         # batch cap), so the persists are memory-safe by construction.
+        # try/finally: a failing sink propagates (so the checkpoint
+        # retries the batch), but the cached blocks must not outlive
+        # the attempt - retried batches re-persist, and leaked blocks
+        # accumulate across retries.
         batch_df = batch_df.persist()
         from ..operators.normalize import explode_messages, split_rejects
 
         parsed = parse_envelopes(batch_df, list(cfg.formats)).persist()
+        reportable = None
+        try:
+            # (c) raw archive first - archives even rejected records
+            # (S12: Firehose taps the stream before the filter Lambda)
+            if sinks.archive_path:
+                batch_df.write.mode("append").json(sinks.archive_path)
 
-        # (c) raw archive first - archives even rejected records (S12:
-        # Firehose taps the stream before the filter Lambda)
-        if sinks.archive_path:
-            batch_df.write.mode("append").json(sinks.archive_path)
+            if sinks.rejects_path:
+                _, rejected = split_rejects(parsed)
+                rejected.drop("messages").write.mode("append").json(sinks.rejects_path)
 
-        if sinks.rejects_path:
-            _, rejected = split_rejects(parsed)
-            rejected.drop("messages").write.mode("append").json(sinks.rejects_path)
-
-        messages = explode_messages(parsed, list(cfg.formats), keep_cols=["record_id"])
-        classified = classify_messages(
-            messages, machine_config_df(batch_df.sparkSession, list(cfg.machines))
-        )
-        reportable = reportable_messages(classified).persist()
-
-        # (a) real-time store: day-partitioned append (S8/S9), TTL
-        # column; rows cluster by machine id inside each day so the
-        # reference's key-range reads (S4) skip row groups within the
-        # day file, not just prune partitions
-        rows = to_real_time_rows(reportable, cfg.retention_hours)
-        day_rows = with_day_partitions(
-            rows.withColumn(
-                "event_ts", F.timestamp_seconds(F.col("message_timestamp"))
-            ),
-            "event_ts",
-        )
-        day_rows.sortWithinPartitions("year", "month", "day", "id").write.mode(
-            "append"
-        ).partitionBy("year", "month", "day").parquet(sinks.realtime_path)
-
-        # (b) latest-status + change-only emission (A1/T3): keyed
-        # upsert store - merge touches ONLY the key-hash buckets the
-        # batch hits (partition-pruned; O(batch), never O(snapshot)) -
-        # and the returned deltas ARE the change feed.
-        status_msgs = reportable.filter(F.col("msg_type") == "STATUS")
-        latest = latest_by_key(
-            status_msgs, ["machine_id"], "event_epoch", ["status"]
-        ).select("machine_id", "status", F.col("event_epoch").alias("status_epoch"))
-        if sinks.snapshot_path:
-            store = KeyedParquetStore(
-                sinks.snapshot_path, "machine_id", sinks.snapshot_buckets
+            messages = explode_messages(
+                parsed, list(cfg.formats), keep_cols=["record_id"]
             )
-            deltas = store.upsert(latest, compare_col="status")
-            if sinks.change_feed_path:
-                deltas.withColumn("__epoch_id", F.lit(epoch_id)).write.mode(
-                    "append"
-                ).parquet(sinks.change_feed_path)
-            if sinks.change_feed is not None:
-                # test-only observability: deltas are one row per
-                # *changed* machine, driver-safe by construction
-                delta_rows = [r.asDict() for r in deltas.collect()]
-                sinks.change_feed.extend(
-                    sorted(delta_rows, key=lambda r: r["machine_id"])
+            classified = classify_messages(
+                messages, machine_config_df(batch_df.sparkSession, list(cfg.machines))
+            )
+            reportable = reportable_messages(classified).persist()
+
+            # (a) real-time store: day-partitioned append (S8/S9), TTL
+            # column; rows cluster by machine id inside each day so the
+            # reference's key-range reads (S4) skip row groups within
+            # the day file, not just prune partitions
+            rows = to_real_time_rows(reportable, cfg.retention_hours)
+            day_rows = with_day_partitions(
+                rows.withColumn(
+                    "event_ts", F.timestamp_seconds(F.col("message_timestamp"))
+                ),
+                "event_ts",
+            )
+            day_rows.sortWithinPartitions("year", "month", "day", "id").write.mode(
+                "append"
+            ).partitionBy("year", "month", "day").parquet(sinks.realtime_path)
+
+            # (b) latest-status + change-only emission (A1/T3): keyed
+            # upsert store - merge touches ONLY the key-hash buckets
+            # the batch hits (partition-pruned; O(batch), never
+            # O(snapshot)) - and the returned deltas ARE the change
+            # feed.
+            status_msgs = reportable.filter(F.col("msg_type") == "STATUS")
+            latest = latest_by_key(
+                status_msgs, ["machine_id"], "event_epoch", ["status"]
+            ).select("machine_id", "status", F.col("event_epoch").alias("status_epoch"))
+            if sinks.snapshot_path:
+                store = KeyedParquetStore(
+                    sinks.snapshot_path, "machine_id", sinks.snapshot_buckets
                 )
-        reportable.unpersist()
-        parsed.unpersist()
-        batch_df.unpersist()
+                deltas = store.upsert(latest, compare_col="status")
+                if sinks.change_feed_path:
+                    deltas.withColumn("__epoch_id", F.lit(epoch_id)).write.mode(
+                        "append"
+                    ).parquet(sinks.change_feed_path)
+                if sinks.change_feed is not None:
+                    # test-only observability: deltas are one row per
+                    # *changed* machine, driver-safe by construction
+                    delta_rows = [r.asDict() for r in deltas.collect()]
+                    sinks.change_feed.extend(
+                        sorted(delta_rows, key=lambda r: r["machine_id"])
+                    )
+        finally:
+            if reportable is not None:
+                reportable.unpersist()
+            parsed.unpersist()
+            batch_df.unpersist()
 
     return (
         source.writeStream.foreachBatch(process_batch)

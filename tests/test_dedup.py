@@ -149,6 +149,43 @@ def test_incremental_neardup_matches_full_rerun(spark):
         spark.sql("DROP TABLE IF EXISTS mh_index_test")
 
 
+def test_incremental_neardup_batch_index_overlap(spark):
+    """Replay safety: a doc present in BOTH the persisted index and
+    the batch (append-then-crash rerun, overlapping batches) must not
+    pair with itself, appear from both legs, or emit both
+    orientations - the history side is anti-joined against the
+    batch's ids, so each unordered pair survives exactly once with
+    doc_a < doc_b."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        minhash_band_arrays,
+        write_minhash_index,
+    )
+
+    hist = _corpus(
+        spark,
+        [(1, "a shared duplicated body of text here"), (2, "something unrelated entirely")],
+    )
+    # doc 1 replayed in the batch; doc 3 is a fresh dup of it
+    batch = _corpus(
+        spark,
+        [(1, "a shared duplicated body of text here"),
+         (3, "a shared duplicated body of text here")],
+    )
+    try:
+        write_minhash_index(
+            minhash_band_arrays(hist, "doc_id", "body"), "mh_overlap_test", 8
+        )
+        rows = incremental_candidate_pairs(
+            spark, minhash_band_arrays(batch, "doc_id", "body"),
+            "mh_overlap_test", 4,
+        ).collect()
+        pairs = [(r.doc_a, r.doc_b) for r in rows]
+        assert pairs == [(1, 3)]  # exactly once, ordered, no self-pair
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_overlap_test")
+
+
 def test_simhash64_matches_python_model(spark):
     """The flat explode/vote simhash64 must equal the definitional
     model: bit b set iff sum over tokens of (+1 if xxhash64(token)

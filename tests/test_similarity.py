@@ -78,6 +78,33 @@ def test_validate_vec_dim(spark):
         validate_vec_dim(bad, "v", 2)
 
 
+def test_dim_mismatch_fails_loudly(spark):
+    """dot/l2_norm/sign_bucket with a declared dim must RAISE on a
+    wrong-length vector, not fold against NULL pads into a silent
+    NULL similarity (which would sort last in every top-k and make a
+    malformed embedding batch simply vanish from search results)."""
+    from machine_downtime_monitor_on_aws_spark.functions.vectors import (
+        dot,
+        hyperplanes,
+        l2_norm,
+        sign_bucket,
+    )
+
+    good = spark.createDataFrame(
+        [(1, [1.0, 2.0], [3.0, 4.0])], "id long, a array<double>, b array<double>"
+    )
+    assert good.select(dot("a", "b", 2).alias("d")).collect()[0].d == 11.0
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [3.0, 4.0])], "id long, a array<double>, b array<double>"
+    )
+    with pytest.raises(Exception, match="vector length"):
+        bad.select(dot("a", "b", 2).alias("d")).collect()
+    with pytest.raises(Exception, match="vector length"):
+        bad.select(l2_norm("a", 2).alias("n")).collect()
+    with pytest.raises(Exception, match="vector length"):
+        bad.select(sign_bucket("a", hyperplanes(2, 2)).alias("s")).collect()
+
+
 def test_ivf_index_build_search_roundtrip(spark, tmp_path):
     """Persisted IVF index: build once, search matches the inline
     oracle-checked ivf_knn_top5 algorithm (same centroid scheme), and
