@@ -198,6 +198,59 @@ def measure_ingest_throughput(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def measure_incremental_dedup(spark, sf_dir: str) -> dict:
+    """Steady-state dedup cost: a 10% batch deduped against a
+    persisted band index (incremental_candidate_pairs) vs re-running
+    the full-corpus pair enumeration - the O(batch) vs O(corpus)
+    claim, measured. Index build is untimed setup (it amortizes over
+    every future batch); both measured paths end in the same
+    count-the-pairs action."""
+    import time as _t
+
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        DEFAULT_NUM_BANDS,
+        candidate_pairs_exact,
+        incremental_candidate_pairs,
+        minhash_band_arrays,
+        write_minhash_index,
+    )
+    from machine_downtime_monitor_on_aws_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    table = "bench_mh_index"
+    try:
+        t0 = _t.perf_counter()
+        n_full = candidate_pairs_exact(
+            minhash_band_arrays(d, "doc_id", "text", parallelism=par),
+            DEFAULT_NUM_BANDS,
+        ).count()
+        full_sec = _t.perf_counter() - t0
+
+        write_minhash_index(
+            minhash_band_arrays(d.filter(~is_batch), "doc_id", "text", parallelism=par),
+            table,
+        )
+        t0 = _t.perf_counter()
+        n_inc = incremental_candidate_pairs(
+            spark,
+            minhash_band_arrays(d.filter(is_batch), "doc_id", "text", parallelism=par),
+            table,
+            DEFAULT_NUM_BANDS,
+        ).count()
+        inc_sec = _t.perf_counter() - t0
+        return {
+            "full_rerun_sec": round(full_sec, 3),
+            "incremental_sec": round(inc_sec, 3),
+            "full_pairs": n_full,
+            "batch_touching_pairs": n_inc,
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from machine_downtime_monitor_on_aws_spark.plans import catalog
@@ -263,6 +316,8 @@ def main() -> None:
         key=lambda r: r["msgs_per_sec"],
     )
     print(f"# ingest: {ingest}", file=sys.stderr)
+    inc_dedup = measure_incremental_dedup(spark, sf_dir)
+    print(f"# incremental dedup: {inc_dedup}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     full = {
@@ -276,6 +331,7 @@ def main() -> None:
         "n_queries": len(timings),
         "ingest_msgs_per_sec": ingest["msgs_per_sec"],
         "ingest_bench": ingest,
+        "incremental_dedup": inc_dedup,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Full record (all catalog queries) -> file: round-over-round
