@@ -181,6 +181,55 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_token_length_outliers",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(len({_TOKENS_SQL}) AS DOUBLE) AS avg_tok_len
+  FROM documents WHERE len({_TOKENS_SQL}) > 0
+),
+q AS (
+  SELECT source,
+         quantile_cont(avg_tok_len, 0.25) AS p25,
+         quantile_cont(avg_tok_len, 0.75) AS p75
+  FROM t GROUP BY source
+)
+SELECT t.doc_id, t.source, t.avg_tok_len,
+       q.p75 + 1.5 * (q.p75 - q.p25) AS upper_fence
+FROM t JOIN q USING (source)
+WHERE t.avg_tok_len > q.p75 + 1.5 * (q.p75 - q.p25)
+""",
+)
+def doc_token_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source average-token-length anomalies (Tukey fence,
+    grouped by source): the gibberish / URL-blob / minified-content
+    detector of a cleaning pass - a doc whose tokens are abnormally
+    long FOR ITS SOURCE (base64 dumps, concatenated-word artifacts)
+    rather than against a global threshold that code-heavy sources
+    would trip constantly. The ratio is one division of two integer
+    counts (engine-exact); grouped exact percentiles -> source-level
+    fences broadcast back over the scan. stddev z-scores deliberately
+    avoided - distributed variance isn't bit-reproducible."""
+    d = _docs(spark, sf_dir)
+    n_tok = token_count(F.col("text"))
+    ratio = non_space_chars(F.col("text")).cast("double") / n_tok.cast("double")
+    t = d.filter(n_tok > 0).select(
+        "doc_id", "source", ratio.alias("avg_tok_len")
+    )
+    q = t.groupBy("source").agg(
+        F.percentile(F.col("avg_tok_len"), F.lit(0.25)).alias("p25"),
+        F.percentile(F.col("avg_tok_len"), F.lit(0.75)).alias("p75"),
+    )
+    fence = (F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))).alias("upper_fence")
+    return (
+        t.join(F.broadcast(q.select("source", fence)), "source")
+        .filter(F.col("avg_tok_len") > F.col("upper_fence"))
+        .select("doc_id", "source", "avg_tok_len", "upper_fence")
+    )
+
+
+@register(
     "doc_rarity_stats",
     oracle=f"""
 WITH tok AS (

@@ -580,6 +580,91 @@ def test_kinesis_wire_decode_chain(spark, tmp_path):
     assert json.loads(base64.b64decode(rows[0].data))["machineId"] == "site/a/p/m9"
 
 
+def test_streaming_trending_terms(spark, tmp_path):
+    """Windowed token counts over a document stream: finalized
+    (window, term) rows with min_count pruning, append mode."""
+    from machine_downtime_monitor_on_aws_spark.streaming.monitor import (
+        streaming_trending_terms,
+    )
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    rows = [
+        {"event_ts": "2021-03-05 18:00:10", "text": "spam spam quality text"},
+        {"event_ts": "2021-03-05 18:00:40", "text": "spam again here"},
+        {"event_ts": "2021-03-05 18:07:00", "text": "later window content"},
+        # watermark pusher: finalizes the earlier windows
+        {"event_ts": "2021-03-05 19:00:00", "text": "closer"},
+    ]
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    docs = (
+        spark.readStream.schema("event_ts string, text string")
+        .json(src)
+        .withColumn("event_ts", F.to_timestamp("event_ts"))
+    )
+    out = streaming_trending_terms(docs, window="5 minutes", min_count=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trending_terms_test")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt_trend")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.term): r.n
+        for r in spark.sql("SELECT * FROM trending_terms_test").collect()
+    }
+    # only 'spam' reaches min_count=2 (3 occurrences across the two
+    # docs of the 18:00 window); singletons pruned
+    assert got == {("2021-03-05 18:00:00", "spam"): 3}
+
+
+def test_streaming_source_quality(spark, tmp_path):
+    """Per-(window, source) intake rollup: counts and integer sums."""
+    from machine_downtime_monitor_on_aws_spark.streaming.monitor import (
+        streaming_source_quality,
+    )
+
+    src = str(tmp_path / "docs_src_q")
+    os.makedirs(src)
+    rows = [
+        {"event_ts": "2021-03-05 18:00:10", "source": "crawl", "text": "ab cd"},
+        {"event_ts": "2021-03-05 18:00:50", "source": "crawl", "text": "efgh"},
+        {"event_ts": "2021-03-05 18:01:10", "source": "books", "text": "x y z"},
+        {"event_ts": "2021-03-05 19:00:00", "source": "late", "text": "closer"},
+    ]
+    with open(os.path.join(src, "a.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    docs = (
+        spark.readStream.schema("event_ts string, source string, text string")
+        .json(src)
+        .withColumn("event_ts", F.to_timestamp("event_ts"))
+    )
+    out = streaming_source_quality(docs, window="1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("source_quality_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_srcq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.source): (r.n_docs, r.n_tokens, r.n_non_space_chars)
+        for r in spark.sql("SELECT * FROM source_quality_test").collect()
+    }
+    assert got[("2021-03-05 18:00:00", "crawl")] == (2, 3, 8)
+    assert got[("2021-03-05 18:01:00", "books")] == (1, 3, 3)
+
+
 def test_dedup_within_watermark(spark, tmp_path):
     """Redelivered record ids are dropped inside the watermark window;
     state is keyed on record_id and watermark-evicted (bounded)."""
