@@ -220,30 +220,45 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
     par = spark.sparkContext.defaultParallelism
     d = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 7
+    n_docs = d.count()
+    n_batch = d.filter(is_batch).count()
     table = "bench_mh_index"
     try:
-        t0 = _t.perf_counter()
-        n_full = candidate_pairs_exact(
-            minhash_band_arrays(d, "doc_id", "text", parallelism=par),
-            DEFAULT_NUM_BANDS,
-        ).count()
-        full_sec = _t.perf_counter() - t0
+        # best-of-2 on BOTH paths: a single cold run charges plan
+        # codegen to whichever path runs first and can invert the
+        # comparison at local scale, where hashing 10x fewer docs is
+        # only a fraction of a second. docs_hashed_* carries the
+        # structural claim in noise-free units.
+        full_sec, n_full = float("inf"), 0
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            n_full = candidate_pairs_exact(
+                minhash_band_arrays(d, "doc_id", "text", parallelism=par),
+                DEFAULT_NUM_BANDS,
+            ).count()
+            full_sec = min(full_sec, _t.perf_counter() - t0)
 
         write_minhash_index(
             minhash_band_arrays(d.filter(~is_batch), "doc_id", "text", parallelism=par),
             table,
         )
-        t0 = _t.perf_counter()
-        n_inc = incremental_candidate_pairs(
-            spark,
-            minhash_band_arrays(d.filter(is_batch), "doc_id", "text", parallelism=par),
-            table,
-            DEFAULT_NUM_BANDS,
-        ).count()
-        inc_sec = _t.perf_counter() - t0
+        inc_sec, n_inc = float("inf"), 0
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            n_inc = incremental_candidate_pairs(
+                spark,
+                minhash_band_arrays(
+                    d.filter(is_batch), "doc_id", "text", parallelism=par
+                ),
+                table,
+                DEFAULT_NUM_BANDS,
+            ).count()
+            inc_sec = min(inc_sec, _t.perf_counter() - t0)
         return {
             "full_rerun_sec": round(full_sec, 3),
             "incremental_sec": round(inc_sec, 3),
+            "docs_hashed_full": n_docs,
+            "docs_hashed_incremental": n_batch,
             "full_pairs": n_full,
             "batch_touching_pairs": n_inc,
         }
