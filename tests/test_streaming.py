@@ -580,6 +580,27 @@ def test_kinesis_wire_decode_chain(spark, tmp_path):
     assert json.loads(base64.b64decode(rows[0].data))["machineId"] == "site/a/p/m9"
 
 
+def test_failed_sink_releases_persisted_blocks(spark, dirs, tmp_path):
+    """A sink failure mid-fan-out must propagate (the checkpoint
+    retries the batch) WITHOUT leaking the batch's persisted blocks -
+    retried batches re-persist, so a leak grows with every retry."""
+    # make the realtime sink unwritable: point it at an existing FILE
+    bad_target = str(tmp_path / "not_a_dir")
+    with open(bad_target, "w") as f:
+        f.write("x")
+    sinks = IngestSinks(realtime_path=os.path.join(bad_target, "sub"))
+    with open(os.path.join(dirs["src"], "b1.jsonl"), "w") as f:
+        f.write(_record("r1", _msg("site/a/p/m1/status", "u")))
+    src = read_envelope_stream(spark, dirs["src"])
+    q = run_ingest_stream(spark, src, lambda: CFG, sinks, dirs["ckpt"])
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    n_persisted = (
+        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    )
+    assert n_persisted == 0
+
+
 def test_streaming_trending_terms(spark, tmp_path):
     """Windowed token counts over a document stream: finalized
     (window, term) rows with min_count pruning, append mode."""
