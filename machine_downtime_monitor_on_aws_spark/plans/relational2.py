@@ -439,3 +439,83 @@ def purchase_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(v > F.col("upper_fence"))
         .select("user_id", "event_id", v.alias("value"), "upper_fence")
     )
+
+
+@register(
+    "returnflag_priority_mix",
+    oracle="""
+SELECT l.l_returnflag,
+       count(*) AS n_lines,
+       count(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS n_high_priority,
+       count(DISTINCT l.l_orderkey) AS n_orders
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_returnflag
+""",
+)
+def returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape on the synthetic schema: line items by return
+    flag with the high-priority split - conditional aggregation after
+    a fact-to-fact join. orders joins lineitem on its key; both sides
+    shuffle once on l_orderkey (at this SF AQE demotes to broadcast;
+    at 100 TB the co-located-bucket layout in sources/lake applies).
+    Integer counts only - oracle-exact for free."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(high.cast("long")).alias("n_high_priority"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "top_returned_revenue_customers",
+    oracle="""
+WITH rev AS (
+  SELECT o.o_custkey,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,2))
+             AS DECIMAL(18,4))) AS rev_d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+),
+top AS (SELECT * FROM rev ORDER BY rev_d DESC, o_custkey LIMIT 20)
+SELECT t.o_custkey AS custkey, c.c_name, CAST(t.rev_d AS DOUBLE) AS revenue
+FROM top t JOIN customer c ON c.c_custkey = t.o_custkey
+""",
+)
+def top_returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned line items per
+    customer, top 20. Revenue accumulates in DECIMAL (exact, partial-
+    agg-order independent) and the top-k ranks on the decimal with an
+    id tiebreak, so the cutoff is engine-identical; the double cast
+    happens only at output. orderBy+limit after aggregation is a
+    TakeOrdered over customer-cardinality rows, never a global sort
+    of the fact table; the 20-row result then broadcast-joins the
+    customer dimension for display names."""
+    from .relational import _disc_price
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum(_disc_price()).alias("rev_d"))
+    )
+    top = rev.orderBy(F.col("rev_d").desc(), F.col("o_custkey")).limit(20)
+    return (
+        top.join(F.broadcast(c), top["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "c_name",
+            F.col("rev_d").cast("double").alias("revenue"),
+        )
+    )
