@@ -584,6 +584,13 @@ def test_failed_sink_releases_persisted_blocks(spark, dirs, tmp_path):
     """A sink failure mid-fan-out must propagate (the checkpoint
     retries the batch) WITHOUT leaking the batch's persisted blocks -
     retried batches re-persist, so a leak grows with every retry."""
+    def persisted_ids():
+        ids = set()
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
     # make the realtime sink unwritable: point it at an existing FILE
     bad_target = str(tmp_path / "not_a_dir")
     with open(bad_target, "w") as f:
@@ -591,14 +598,13 @@ def test_failed_sink_releases_persisted_blocks(spark, dirs, tmp_path):
     sinks = IngestSinks(realtime_path=os.path.join(bad_target, "sub"))
     with open(os.path.join(dirs["src"], "b1.jsonl"), "w") as f:
         f.write(_record("r1", _msg("site/a/p/m1/status", "u")))
+    before = persisted_ids()  # other tests' leftovers aren't ours to judge
     src = read_envelope_stream(spark, dirs["src"])
     q = run_ingest_stream(spark, src, lambda: CFG, sinks, dirs["ckpt"])
     with pytest.raises(Exception):
         q.awaitTermination(120)
-    n_persisted = (
-        spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    )
-    assert n_persisted == 0
+    leaked = persisted_ids() - before
+    assert leaked == set()
 
 
 def test_streaming_trending_terms(spark, tmp_path):
