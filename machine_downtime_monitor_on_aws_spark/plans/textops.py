@@ -994,3 +994,89 @@ def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "agreement"
         ),
     )
+
+
+def _lang_mismatch_oracle() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    counts = ", ".join(f"{_marker_count_sql(l)} AS c_{l}" for l in langs)
+    best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    pred = "CASE "
+    for l in langs:
+        pred += f"WHEN c_{l} = {best} AND {best} > 0 THEN '{l}' "
+    pred += "ELSE 'unknown' END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, source, {counts} FROM documents),
+p AS (SELECT doc_id, lang, source, {pred} AS predicted_lang FROM scored)
+SELECT doc_id, lang AS declared_lang, predicted_lang, source
+FROM p
+WHERE predicted_lang <> 'unknown' AND predicted_lang <> lang
+"""
+
+
+@register("lang_metadata_mismatches", oracle=_lang_mismatch_oracle())
+def lang_metadata_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose DECLARED language metadata disagrees with the
+    marker-word classifier (confident predictions only) - the
+    metadata-QA pass that catches mislabeled crawl segments before
+    they poison per-language sampling ratios. Scan-level expressions
+    plus one filter; at 100 TB this is a mapper, nothing shuffles."""
+    from ..functions.text import lang_id
+
+    d = _docs(spark, sf_dir)
+    pred = lang_id(F.col("text"))
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("declared_lang"),
+            pred.alias("predicted_lang"),
+            "source",
+        )
+        .filter(
+            (F.col("predicted_lang") != "unknown")
+            & (F.col("predicted_lang") != F.col("declared_lang"))
+        )
+    )
+
+
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+WITH buckets AS ({_bucket_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+GROUP BY 1, 2
+""",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication provenance: near-dup candidate pairs rolled up by
+    (source, source) - which sources copy from which (mirrors,
+    scrapers, syndication). The content-governance view a corpus
+    owner reads before deciding what to drop. The pair set never
+    shuffles (candidate_pairs_exact); the source lookup is two joins
+    against an id->source projection, then an integer rollup."""
+    d = _docs(spark, sf_dir)
+    pairs = _minhash_pairs(spark, sf_dir)
+    src = d.select("doc_id", "source")
+    pa = src.selectExpr("doc_id AS doc_a", "source AS __sa")
+    pb = src.selectExpr("doc_id AS doc_b", "source AS __sb")
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
