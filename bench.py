@@ -205,8 +205,6 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
     claim, measured. Index build is untimed setup (it amortizes over
     every future batch); both measured paths end in the same
     count-the-pairs action."""
-    import time as _t
-
     from machine_downtime_monitor_on_aws_spark.operators.dedup import (
         DEFAULT_NUM_BANDS,
         candidate_pairs_exact,
@@ -231,12 +229,12 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
         # structural claim in noise-free units.
         full_sec, n_full = float("inf"), 0
         for _ in range(2):
-            t0 = _t.perf_counter()
+            t0 = time.perf_counter()
             n_full = candidate_pairs_exact(
                 minhash_band_arrays(d, "doc_id", "text", parallelism=par),
                 DEFAULT_NUM_BANDS,
             ).count()
-            full_sec = min(full_sec, _t.perf_counter() - t0)
+            full_sec = min(full_sec, time.perf_counter() - t0)
 
         write_minhash_index(
             minhash_band_arrays(d.filter(~is_batch), "doc_id", "text", parallelism=par),
@@ -244,7 +242,7 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
         )
         inc_sec, n_inc = float("inf"), 0
         for _ in range(2):
-            t0 = _t.perf_counter()
+            t0 = time.perf_counter()
             n_inc = incremental_candidate_pairs(
                 spark,
                 minhash_band_arrays(
@@ -253,7 +251,7 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
                 table,
                 DEFAULT_NUM_BANDS,
             ).count()
-            inc_sec = min(inc_sec, _t.perf_counter() - t0)
+            inc_sec = min(inc_sec, time.perf_counter() - t0)
         return {
             "full_rerun_sec": round(full_sec, 3),
             "incremental_sec": round(inc_sec, 3),

@@ -468,7 +468,10 @@ def returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            F.sum(high.cast("long")).alias("n_high_priority"),
+            # count(when(...)) not sum(cast): an all-NULL priority
+            # group would make the sum NULL where the oracle's
+            # count(*) FILTER yields 0
+            F.count(F.when(high, F.lit(1))).alias("n_high_priority"),
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )

@@ -855,16 +855,31 @@ def _marker_count_sql(lang: str) -> str:
     return f"len(list_filter({_TOKENS_SQL}, x -> x IN ({markers})))"
 
 
-def _langid_oracle() -> str:
+def _argmax_pred_sql(langs: list[str], col_prefix: str) -> str:
+    """The shared argmax-with-confidence CASE: predicted language =
+    alphabetically-first language whose count column equals the max,
+    'unknown' when all counts are zero. ONE builder for every lang-ID
+    oracle (marker, trigram, mismatch) so a tie-break or confidence
+    change can never drift between them."""
+    best = "greatest(" + ", ".join(f"{col_prefix}{l}" for l in langs) + ")"
+    pred = "CASE "
+    for l in langs:
+        pred += f"WHEN {col_prefix}{l} = {best} AND {best} > 0 THEN '{l}' "
+    return pred + "ELSE 'unknown' END"
+
+
+def _marker_parts() -> tuple[list[str], str, str]:
+    """(langs, count-projection SQL, prediction SQL) for the
+    marker-word classifier."""
     from ..functions.text import LANG_MARKERS
 
     langs = sorted(LANG_MARKERS)
     counts = ", ".join(f"{_marker_count_sql(l)} AS c_{l}" for l in langs)
-    best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
-    pred = "CASE "
-    for l in langs:
-        pred += f"WHEN c_{l} = {best} AND {best} > 0 THEN '{l}' "
-    pred += "ELSE 'unknown' END"
+    return langs, counts, _argmax_pred_sql(langs, "c_")
+
+
+def _langid_oracle() -> str:
+    langs, counts, pred = _marker_parts()
     return f"""
 WITH scored AS (SELECT doc_id, {counts} FROM documents)
 SELECT doc_id, {', '.join('CAST(c_' + l + ' AS INT) AS c_' + l for l in langs)},
@@ -889,11 +904,7 @@ def _ngram_langid_oracle() -> str:
         counts.append(
             f"len(list_filter({_TRIGRAMS_SQL}, g -> g IN ({markers}))) AS g_{lang}"
         )
-    best = "greatest(" + ", ".join(f"g_{l}" for l in langs) + ")"
-    pred = "CASE "
-    for lang in langs:
-        pred += f"WHEN g_{lang} = {best} AND {best} > 0 THEN '{lang}' "
-    pred += "ELSE 'unknown' END"
+    pred = _argmax_pred_sql(langs, "g_")
     return f"""
 WITH scored AS (SELECT doc_id, {", ".join(counts)} FROM documents)
 SELECT doc_id, {", ".join("CAST(g_" + l + " AS INT) AS g_" + l for l in langs)},
@@ -937,15 +948,9 @@ def lang_id_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_agreement_oracle() -> str:
-    from ..functions.text import LANG_MARKERS, LANG_TRIGRAMS
+    from ..functions.text import LANG_TRIGRAMS
 
-    langs = sorted(LANG_MARKERS)
-    mk_counts = ", ".join(f"{_marker_count_sql(l)} AS c_{l}" for l in langs)
-    mk_best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
-    mk_pred = "CASE "
-    for l in langs:
-        mk_pred += f"WHEN c_{l} = {mk_best} AND {mk_best} > 0 THEN '{l}' "
-    mk_pred += "ELSE 'unknown' END"
+    langs, mk_counts, mk_pred = _marker_parts()
 
     tg_counts = []
     for lang in sorted(LANG_TRIGRAMS):
@@ -953,11 +958,7 @@ def _langid_agreement_oracle() -> str:
         tg_counts.append(
             f"len(list_filter({_TRIGRAMS_SQL}, g -> g IN ({markers}))) AS g_{lang}"
         )
-    tg_best = "greatest(" + ", ".join(f"g_{l}" for l in langs) + ")"
-    tg_pred = "CASE "
-    for l in langs:
-        tg_pred += f"WHEN g_{l} = {tg_best} AND {tg_best} > 0 THEN '{l}' "
-    tg_pred += "ELSE 'unknown' END"
+    tg_pred = _argmax_pred_sql(langs, "g_")
 
     return f"""
 WITH scored AS (
@@ -997,15 +998,7 @@ def lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_mismatch_oracle() -> str:
-    from ..functions.text import LANG_MARKERS
-
-    langs = sorted(LANG_MARKERS)
-    counts = ", ".join(f"{_marker_count_sql(l)} AS c_{l}" for l in langs)
-    best = "greatest(" + ", ".join(f"c_{l}" for l in langs) + ")"
-    pred = "CASE "
-    for l in langs:
-        pred += f"WHEN c_{l} = {best} AND {best} > 0 THEN '{l}' "
-    pred += "ELSE 'unknown' END"
+    langs, counts, pred = _marker_parts()
     return f"""
 WITH scored AS (SELECT doc_id, lang, source, {counts} FROM documents),
 p AS (SELECT doc_id, lang, source, {pred} AS predicted_lang FROM scored)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count, tokens
+from ..functions.text import non_space_chars, token_count, tokens
 
 
 def streaming_trending_terms(
@@ -61,9 +61,15 @@ def streaming_source_quality(
     sum, and the integer inputs of the avg-token-length ratio (the
     gibberish signal doc_token_length_outliers fences in batch).
     Sums and counts only - algebraic aggregates, map-side combined;
-    one state row per (window, source)."""
+    one state row per (window, source).
+
+    The char count uses the SAME functions.text.non_space_chars the
+    batch fence uses (literal spaces stripped, tabs/newlines
+    retained) - a different whitespace definition here would make
+    streaming ratios systematically diverge from the batch fences an
+    operator compares them against."""
     n_tok = token_count(F.col(text_col))
-    non_space = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    non_space = non_space_chars(F.col(text_col))
     return (
         docs.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window), F.col(source_col).alias("source"))
