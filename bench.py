@@ -239,6 +239,9 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
         write_minhash_index(
             minhash_band_arrays(d.filter(~is_batch), "doc_id", "text", parallelism=par),
             table,
+            num_perms=8,
+            num_bands=DEFAULT_NUM_BANDS,
+            shingle_n=5,
         )
         inc_sec, n_inc = float("inf"), 0
         for _ in range(2):
@@ -267,7 +270,10 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from machine_downtime_monitor_on_aws_spark.plans import catalog
-    from machine_downtime_monitor_on_aws_spark.session import get_spark
+    from machine_downtime_monitor_on_aws_spark.session import (
+        get_spark,
+        unpersist_all_rdds,
+    )
 
     spark = get_spark("bench")
 
@@ -302,11 +308,7 @@ def main() -> None:
             # (simhash_neardup_pairs: 2.7s inside a full bench run vs
             # 1.3s standalone until this sweep).
             spark.catalog.clearCache()
-            it = (
-                spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
-            )
-            while it.hasNext():
-                it.next().unpersist(False)
+            unpersist_all_rdds(spark)
         query_runs[name] = n_runs
         print(f"# {name}: {n} rows in {best:.2f}s (best of {n_runs})", file=sys.stderr)
         return best

@@ -153,6 +153,11 @@ def sign_bucket(vec: Column | str, planes: list[list[int]]) -> Column:
     documented on :func:`dot`. With a column *name* the whole bucket
     expression is ONE ``F.expr`` string - one py4j round-trip per
     plane set, not per coefficient."""
+    if not planes:
+        # fail fast Python-side: an empty plane set would otherwise
+        # build `concat()` SQL that dies at analysis with an opaque
+        # engine error (matching _check_dim's style)
+        raise ValueError("sign_bucket: planes must be non-empty")
     if isinstance(vec, str):
         qv = _qident(vec)
         bits = []

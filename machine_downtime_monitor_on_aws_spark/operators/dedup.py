@@ -313,6 +313,7 @@ def connected_components(
     max_iterations: int = 25,
     hops_per_round: int = 3,
     driver_threshold: int = 200_000,
+    size_hint: str | None = None,
 ) -> DataFrame:
     """``(doc_id, component)`` for every node appearing in ``pairs``;
     ``component`` is the minimum id reachable through shared-bucket
@@ -336,6 +337,13 @@ def connected_components(
     large-star/small-star variant would bound rounds at O(log^2 n);
     duplicate graphs don't have that shape, so the simpler propagation
     wins on constant factors.
+
+    ``size_hint="large"`` skips the driver-threshold probe and goes
+    straight to distributed propagation - pass it when the edge count
+    is known to exceed ``driver_threshold`` (production scale), where
+    the probe's collect would execute the full upstream pair pipeline
+    once only to discard the result and run it again into the
+    checkpoint.
     """
     el = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Size-based strategy switch (the same decision AQE makes for
@@ -352,12 +360,19 @@ def connected_components(
     # the expensive upstream pair pipeline twice (the r3 regression:
     # neardup_duplicate_clusters 1.6s -> 4.4s driver-measured). No
     # checkpoint on this path: nothing ever re-reads the edges, and
-    # persisting them during the collect is pure overhead. Only the
-    # distributed fall-through (which re-runs the pipeline once more
-    # into a checkpoint it then iterates on) pays the second run -
-    # amortized over the propagation rounds it feeds.
-    head = el.limit(driver_threshold + 1).collect()
-    if len(head) <= driver_threshold:
+    # persisting them during the collect is pure overhead. The
+    # distributed fall-through re-runs the pipeline once more into a
+    # checkpoint it then iterates on - that second run is the price of
+    # auto-dispatch, so callers who KNOW the graph exceeds the
+    # threshold (the expected case at production scale) pass
+    # size_hint="large" to skip the probe entirely and run the
+    # upstream pipeline exactly once (r4 advice).
+    if size_hint not in (None, "auto", "large"):
+        raise ValueError(f"size_hint must be None/'auto'/'large', got {size_hint!r}")
+    head = (
+        [] if size_hint == "large" else el.limit(driver_threshold + 1).collect()
+    )
+    if size_hint != "large" and len(head) <= driver_threshold:
         # Union-find is direction-agnostic: raw (u, v) rows suffice -
         # no symmetric union, no distinct shuffle for sliver graphs.
         rows = head
@@ -761,8 +776,60 @@ def _minhash_index_rows(band_arrays: DataFrame) -> DataFrame:
     )
 
 
+# Table-property keys recording the signature parameters a persisted
+# MinHash index was built with. Probing with different num_perms or
+# shingle_n (but matching num_bands) produces incomparable band hashes
+# and SILENTLY finds no cross-history duplicates (r4 advice) - so the
+# params are stamped on the table at write time and validated before
+# every probe/append.
+_IDX_PROPS = ("num_perms", "num_bands", "shingle_n")
+
+
+def _stamp_index_params(spark, table_name: str, **params: int | None) -> None:
+    kv = ", ".join(
+        f"'spark_graft.{k}'='{int(v)}'" for k, v in params.items() if v is not None
+    )
+    if kv:
+        spark.sql(f"ALTER TABLE {table_name} SET TBLPROPERTIES ({kv})")
+
+
+def read_minhash_index_params(spark, table_name: str) -> dict[str, int]:
+    """Signature params recorded on a persisted index (empty for
+    pre-metadata tables)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    out = {}
+    for r in rows:
+        if r.key.startswith("spark_graft."):
+            k = r.key[len("spark_graft."):]
+            if k in _IDX_PROPS:
+                out[k] = int(r.value)
+    return out
+
+
+def _check_index_params(spark, table_name: str, **given: int | None) -> None:
+    """Raise if a caller-declared signature param contradicts what the
+    index was built with. Only validates params BOTH sides know:
+    an unstamped legacy table or an un-declared param passes (the
+    guard is advisory-strict, never lossy)."""
+    recorded = read_minhash_index_params(spark, table_name)
+    for k, v in given.items():
+        if v is not None and k in recorded and recorded[k] != int(v):
+            raise ValueError(
+                f"MinHash index {table_name!r} was built with {k}="
+                f"{recorded[k]} but this batch declares {k}={v}; "
+                "mismatched signature params make band hashes "
+                "incomparable and the probe would silently find no "
+                "cross-history duplicates"
+            )
+
+
 def write_minhash_index(
-    band_arrays: DataFrame, table_name: str, num_buckets: int = 64
+    band_arrays: DataFrame,
+    table_name: str,
+    num_buckets: int = 64,
+    num_perms: int | None = None,
+    num_bands: int | None = None,
+    shingle_n: int | None = None,
 ) -> None:
     """Persist a corpus's MinHash band assignments as a bucketed table
     keyed on ``band_hash`` - the layout that makes INCREMENTAL
@@ -782,23 +849,51 @@ def write_minhash_index(
     nightly dedup probe from a full history shuffle into local
     hash-bucket lookups. Grow the index with
     :func:`append_to_minhash_index` - never by re-running this
-    (overwrite) on a batch."""
+    (overwrite) on a batch.
+
+    Pass the signature params (``num_perms``/``num_bands``/
+    ``shingle_n``) the band arrays were hashed with: they are stamped
+    as table properties and validated on every probe/append, so a
+    batch hashed with drifted params fails loudly instead of silently
+    missing every cross-history duplicate (r4 advice)."""
     from ..sources.lake import write_bucketed_table
 
     write_bucketed_table(
         _minhash_index_rows(band_arrays), table_name, "band_key", num_buckets
     )
+    _stamp_index_params(
+        band_arrays.sparkSession,
+        table_name,
+        num_perms=num_perms,
+        num_bands=num_bands,
+        shingle_n=shingle_n,
+    )
 
 
 def append_to_minhash_index(
-    band_arrays: DataFrame, table_name: str, num_buckets: int = 64
+    band_arrays: DataFrame,
+    table_name: str,
+    num_buckets: int = 64,
+    num_perms: int | None = None,
+    num_bands: int | None = None,
+    shingle_n: int | None = None,
 ) -> None:
     """Append a processed batch's band rows to the historical index -
     the O(batch) maintenance step after :func:`incremental_candidate_pairs`
     has deduped the batch. Spark validates the bucket spec against the
-    existing table, so an append can never corrupt the layout."""
+    existing table, so an append can never corrupt the layout; any
+    signature params the caller declares are validated against the
+    table's stamped metadata first (a drifted batch would poison the
+    index with incomparable hashes)."""
     from ..sources.lake import write_bucketed_table
 
+    _check_index_params(
+        band_arrays.sparkSession,
+        table_name,
+        num_perms=num_perms,
+        num_bands=num_bands,
+        shingle_n=shingle_n,
+    )
     write_bucketed_table(
         _minhash_index_rows(band_arrays),
         table_name,
@@ -813,6 +908,8 @@ def incremental_candidate_pairs(
     new_band_arrays: DataFrame,
     table_name: str,
     num_bands: int,
+    num_perms: int | None = None,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """Candidate pairs for a NEW batch of documents against (a) the
     persisted historical corpus index and (b) itself - the steady-state
@@ -836,7 +933,16 @@ def incremental_candidate_pairs(
     Feed the union into :func:`connected_components` /
     :func:`drop_neardup_docs` as usual; then grow the index with
     :func:`append_to_minhash_index` (NOT write_minhash_index, which
-    overwrites)."""
+    overwrites).
+
+    ``num_bands`` is always validated against the index's stamped
+    metadata, and ``num_perms``/``shingle_n`` when declared: a batch
+    hashed with drifted signature params produces incomparable band
+    hashes and would otherwise SILENTLY find zero cross-history
+    duplicates (r4 advice)."""
+    _check_index_params(
+        spark, table_name, num_perms=num_perms, num_bands=num_bands, shingle_n=shingle_n
+    )
     hist = spark.table(table_name)
     new_banded = new_band_arrays.select(
         "doc_id",

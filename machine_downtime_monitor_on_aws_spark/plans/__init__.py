@@ -16,72 +16,75 @@ def _load_all() -> None:
     )
 
 
-# Names that already carry an all-green row in CORRECTNESS_r02.json.
-# The driver's r2 record truncated after the first 50 registry
-# entries, so registration order is evidence-scheduling: queries with
-# NO driver row yet (r2's unrecorded 23 + anything new) must run
-# first this round so every catalog entry accumulates a driver-green
-# record even if the file truncates again.
-_DRIVER_RECORDED_R02 = frozenset(
+# Evidence-scheduling: the driver records CORRECTNESS rows for the
+# first ~50 registry entries per round, so registration order decides
+# which queries get a fresh driver-green row.  The set below is the
+# r4-recorded sample (CORRECTNESS_r04.json keys) — pushing those LAST
+# makes the 35 queries whose latest driver row is from r3 (the
+# textops/sampling/TPC-H family, whose shared lang-ID oracle builder
+# was rewritten in c3e12f5) run FIRST in round 5, per the r4 verdict's
+# top item.  Union r1-r5 then keeps every catalog query's most recent
+# driver check within two rounds of its last code change.
+_DRIVER_RECORDED_R04 = frozenset(
     {
-        "rle_event_runs",
-        "status_downtime_totals",
-        "state_durations_enriched",
-        "minute_status_rollup",
-        "status_age_seconds",
+        "approx_distinct_and_percentiles",
+        "asof_last_purchase_before_error",
+        "benchmark_contamination",
+        "cross_source_dup_matrix",
+        "customer_segment_setops",
+        "daily_clicks_purchases_full_join",
+        "dedup_normalized_docs",
+        "doc_rarity_stats",
+        "doc_token_length_outliers",
+        "downtime_bi_dataset",
+        "duplicate_cluster_sizes",
+        "embedding_dup_clusters",
+        "embedding_norm_stats",
+        "error_context_counts",
+        "event_type_minute_counts",
+        "ingest_normalize_classify",
+        "ivf_knn_top5",
+        "ivf_recall_at5",
+        "knn_bruteforce_top5",
+        "knn_pandas_udf",
+        "label_centroid_sums",
+        "lang_metadata_mismatches",
+        "latest_event_per_user_type",
         "latest_status_per_user",
+        "line_availability",
+        "lineitem_grouping_sets",
+        "lsh_bucket_assignments",
+        "lsh_neardup_embeddings",
+        "minute_chart_grid",
+        "minute_status_rollup",
+        "order_priority_counts",
+        "orders_above_customer_avg",
+        "orders_status_priority_cube",
+        "part_type_stats",
+        "pivot_event_type_counts",
+        "price_histogram",
+        "price_percentiles_by_flag",
+        "purchase_moving_sum",
+        "purchase_outliers_iqr",
+        "q1_pricing_summary_sql",
+        "returnflag_priority_mix",
+        "rle_event_runs",
         "rollover_production_totals",
         "session_stats",
+        "simhash_fast_fingerprints",
+        "state_durations_enriched",
+        "status_age_seconds",
+        "status_downtime_totals",
         "top3_purchases_per_user",
-        "event_type_minute_counts",
-        "minute_chart_grid",
-        "downtime_bi_dataset",
-        "line_availability",
-        "latest_event_per_user_type",
-        "ingest_normalize_classify",
-        "multimodal_payload_features",
-        "video_frame_samples",
-        "dedup_exact_docs",
-        "doc_token_stats",
-        "doc_quality_scores",
-        "doc_bpe_token_counts",
-        "vocab_top_terms",
-        "vocab_top_bigrams",
-        "vocab_freq_items_approx",
-        "doc_repetition_scores",
-        "doc_pattern_counts",
-        "lang_source_stats",
-        "doc_fingerprints",
-        "minhash_lsh_buckets",
-        "neardup_candidate_pairs",
-        "neardup_jaccard_verified",
-        "neardup_duplicate_clusters",
-        "neardup_canonical_docs",
-        "simhash_fingerprints",
-        "simhash_neardup_pairs",
-        "lang_id_ngram_predictions",
-        "lang_id_predictions",
-        "lang_id_agreement",
-        "corpus_deterministic_sample",
-        "corpus_mixture_sample",
-        "token_packing_assignments",
-        "doc_chunk_windows",
-        "training_corpus_pipeline",
-        "pack_utilization_stats",
-        "quality_weighted_sample",
-        "q1_pricing_summary",
-        "q3_unshipped_orders",
-        "q5_region_revenue",
-        "customers_without_orders",
-        "supplier_part_counts",
+        "top_returned_revenue_customers",
     }
 )
 
 
 def _reorder_for_driver_evidence() -> None:
     reg = catalog.REGISTRY
-    first = [n for n in reg if n not in _DRIVER_RECORDED_R02]
-    rest = [n for n in reg if n in _DRIVER_RECORDED_R02]
+    first = [n for n in reg if n not in _DRIVER_RECORDED_R04]
+    rest = [n for n in reg if n in _DRIVER_RECORDED_R04]
     ordered = {n: reg[n] for n in first + rest}
     reg.clear()
     reg.update(ordered)

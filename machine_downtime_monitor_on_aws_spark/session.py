@@ -50,6 +50,53 @@ def get_spark(app_name: str = "machine_downtime_monitor_on_aws_spark") -> SparkS
     return spark
 
 
+# Spark's RocksDB-backed state store provider (bundled rocksdbjni, no
+# extra install). The default HDFSBackedStateStoreProvider keeps every
+# streaming key's state on the executor HEAP - at 100x key cardinality
+# (per-machine latest-status, per-source watermark aggs over a full
+# fleet) that is an executor OOM. RocksDB spills state to local disk
+# with an in-heap cache, the standard at-scale choice; the reference
+# gets the same effect from DynamoDB's TTL-bounded storage
+# (appsync-api-construct.ts:54). Applied per-query (a runtime SQL conf
+# read at stream start), so batch-only sessions pay nothing.
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> SparkSession:
+    """Route all subsequently-started streaming queries' state to
+    RocksDB (changelog checkpointing on, so commits upload deltas,
+    not full snapshots)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_STATE_STORE)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+    return spark
+
+
+def unpersist_all_rdds(spark: SparkSession, blocking: bool = False) -> int:
+    """Release every persisted RDD (localCheckpoint barriers included,
+    which ``spark.catalog.clearCache()`` does NOT cover). Uses the
+    public JavaSparkContext.getPersistentRDDs() java.util.Map - not
+    the scala-Map iterator the r4 advice flagged as version-brittle.
+    Returns the number of RDDs unpersisted. Bench/test hygiene."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    # py4j exposes java.util.Map with the Python dict protocol
+    for rdd in list(jmap.values()):
+        rdd.unpersist(blocking)
+        n += 1
+    return n
+
+
+def persistent_rdd_ids(spark: SparkSession) -> list[int]:
+    """Ids of currently-persisted RDDs (leak assertions in tests)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return sorted(int(k) for k in jmap.keys())
+
+
 def pin_utc(spark: SparkSession) -> SparkSession:
     """Pin the session TZ to UTC (runtime-settable).
 

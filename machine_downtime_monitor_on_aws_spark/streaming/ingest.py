@@ -316,13 +316,18 @@ def run_ingest_stream(
         # try/finally: a failing sink propagates (so the checkpoint
         # retries the batch), but the cached blocks must not outlive
         # the attempt - retried batches re-persist, and leaked blocks
-        # accumulate across retries.
-        batch_df = batch_df.persist()
+        # accumulate across retries. EVERY persist happens inside the
+        # try (r4 advice: parse_envelopes runs fmt.validate() against
+        # the dynamically-provided config, and a persist issued before
+        # the try leaked its block on a bad-config raise - the exact
+        # accumulation the finally exists to prevent).
         from ..operators.normalize import explode_messages, split_rejects
 
-        parsed = parse_envelopes(batch_df, list(cfg.formats)).persist()
+        parsed = None
         reportable = None
         try:
+            batch_df = batch_df.persist()
+            parsed = parse_envelopes(batch_df, list(cfg.formats)).persist()
             # (c) raw archive first - archives even rejected records
             # (S12: Firehose taps the stream before the filter Lambda)
             if sinks.archive_path:
@@ -383,7 +388,8 @@ def run_ingest_stream(
         finally:
             if reportable is not None:
                 reportable.unpersist()
-            parsed.unpersist()
+            if parsed is not None:
+                parsed.unpersist()
             batch_df.unpersist()
 
     return (

@@ -584,12 +584,10 @@ def test_failed_sink_releases_persisted_blocks(spark, dirs, tmp_path):
     """A sink failure mid-fan-out must propagate (the checkpoint
     retries the batch) WITHOUT leaking the batch's persisted blocks -
     retried batches re-persist, so a leak grows with every retry."""
+    from machine_downtime_monitor_on_aws_spark.session import persistent_rdd_ids
+
     def persisted_ids():
-        ids = set()
-        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
-        while it.hasNext():
-            ids.add(it.next())
-        return ids
+        return set(persistent_rdd_ids(spark))
 
     # make the realtime sink unwritable: point it at an existing FILE
     bad_target = str(tmp_path / "not_a_dir")
