@@ -286,19 +286,21 @@ def main() -> None:
 
     qs = catalog.queries()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     query_runs: dict[str, int] = {}
     total = 0.0
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     def time_query(name: str, n_runs: int) -> float:
         fn = qs[name]
-        best = float("inf")
+        obs: list[float] = []
         n = 0
         for _ in range(n_runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
-            best = min(best, time.perf_counter() - t0)
+            obs.append(time.perf_counter() - t0)
             # drop per-query persisted relations (LSH buckets) so
             # cached state never bleeds into the next measurement.
             # clearCache only covers SQL-cached relations; the
@@ -310,7 +312,21 @@ def main() -> None:
             spark.catalog.clearCache()
             unpersist_all_rdds(spark)
         query_runs[name] = n_runs
-        print(f"# {name}: {n} rows in {best:.2f}s (best of {n_runs})", file=sys.stderr)
+        # median alongside best (r4 verdict #7): on this box a ~1.6x
+        # noise swing makes single-sample regressions unattributable;
+        # round-over-round claims should read the median, capacity
+        # planning the best.
+        med = sorted(obs)[len(obs) // 2] if len(obs) % 2 else sum(
+            sorted(obs)[len(obs) // 2 - 1 : len(obs) // 2 + 1]
+        ) / 2
+        medians[name] = round(med, 3)
+        samples[name] = [round(o, 3) for o in obs]
+        best = min(obs)
+        print(
+            f"# {name}: {n} rows best {best:.2f}s median {med:.2f}s "
+            f"(of {n_runs})",
+            file=sys.stderr,
+        )
         return best
 
     for name in HEADLINE:
@@ -340,6 +356,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "query_medians": medians,
+        "query_samples": samples,
+        "headline_median_total": round(sum(medians[n] for n in HEADLINE), 3),
         "query_runs": query_runs,
         "headline_r3_total": round(sum(timings[n] for n in HEADLINE_R3), 3),
         "total_all_queries": round(sum(timings.values()), 3),
@@ -360,7 +379,13 @@ def main() -> None:
     if len(line) > 1900:
         compact = dict(full)
         compact["queries"] = {k: timings[k] for k in HEADLINE if k in timings}
+        # per-query medians/samples live in bench_out.json; the
+        # printed line keeps only the median headline total (the
+        # driver's stdout window is ~2 KB)
         compact.pop("query_runs", None)
+        compact.pop("query_samples", None)
+        compact.pop("query_medians", None)
+        compact.pop("ingest_bench", None)
         compact["bench_runs"] = runs
         compact["queries_file"] = "bench_out.json"
         line = json.dumps(compact, separators=(",", ":"))

@@ -121,19 +121,19 @@ def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CONTAM_N = 3  # n-gram size: real pipelines use 8-13; the synthetic
-# corpus needs 3 for the check to exercise non-zero overlap
+_CONTAM_N = 3  # n-gram size: the synthetic corpus needs 3 for the
+# check to exercise dense non-zero overlap; published pipelines use
+# 8-13, proven by the 13-gram twin below
 
 
-@register(
-    "benchmark_contamination",
-    oracle=f"""
+def _contam_oracle(n: int) -> str:
+    return f"""
 WITH ev AS (
-  SELECT DISTINCT unnest({_shingles_sql(_CONTAM_N)}) AS g
+  SELECT DISTINCT unnest({_shingles_sql(n)}) AS g
   FROM documents WHERE doc_id % 97 = 0
 ),
 cg AS (
-  SELECT doc_id, unnest(list_distinct({_shingles_sql(_CONTAM_N)})) AS g
+  SELECT doc_id, unnest(list_distinct({_shingles_sql(n)})) AS g
   FROM documents WHERE doc_id % 97 <> 0
 ),
 hits AS (
@@ -144,24 +144,13 @@ SELECT d.doc_id,
        coalesce(h.cnt, 0) >= 1 AS contaminated
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % 97 <> 0
-""",
-)
-def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-set decontamination: per training doc, the count of
-    distinct n-gram shingles it shares with a held-out
-    benchmark set (here the deterministic doc_id % 97 == 0 sliver),
-    plus the contaminated flag a filtering pass would drop on. The
-    canonical pre-training hygiene op: training examples that overlap
-    the eval set inflate benchmark scores.
+"""
 
-    Scale shape: the benchmark side is benchmark-sized (thousands of
-    docs), so its distinct gram set BROADCASTS; the corpus side is
-    scan + explode + broadcast-join + one map-side-combinable count
-    per doc - the 100 TB corpus never shuffles text, only
-    (doc_id, partial-count) rows. Integer counts: oracle-exact."""
+
+def _contamination(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     d = _docs(spark, sf_dir)
     is_eval = F.col("doc_id") % 97 == 0
-    sh = F.array_distinct(shingles(F.col("text"), _CONTAM_N))
+    sh = F.array_distinct(shingles(F.col("text"), n))
     ev = d.filter(is_eval).select(F.explode(sh).alias("g")).distinct()
     cg = d.filter(~is_eval).select("doc_id", F.explode(sh).alias("g"))
     hits = cg.join(F.broadcast(ev), "g").groupBy("doc_id").agg(
@@ -178,6 +167,35 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n_shared >= 1).alias("contaminated"),
         )
     )
+
+
+@register("benchmark_contamination", oracle=_contam_oracle(_CONTAM_N))
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: per training doc, the count of
+    distinct n-gram shingles it shares with a held-out
+    benchmark set (here the deterministic doc_id % 97 == 0 sliver),
+    plus the contaminated flag a filtering pass would drop on. The
+    canonical pre-training hygiene op: training examples that overlap
+    the eval set inflate benchmark scores.
+
+    Scale shape: the benchmark side is benchmark-sized (thousands of
+    docs), so its distinct gram set BROADCASTS; the corpus side is
+    scan + explode + broadcast-join + one map-side-combinable count
+    per doc - the 100 TB corpus never shuffles text, only
+    (doc_id, partial-count) rows. Integer counts: oracle-exact."""
+    return _contamination(spark, sf_dir, _CONTAM_N)
+
+
+@register("benchmark_contamination_13gram", oracle=_contam_oracle(13))
+def benchmark_contamination_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`benchmark_contamination` at the 13-gram window published
+    decontamination pipelines use (e.g. GPT-3's 13-gram overlap
+    filter) - proving the ``n`` knob end-to-end rather than only at
+    the synthetic-corpus-friendly n=3. Overlap at n=13 comes from
+    verbatim duplicates crossing the eval split, exactly the leak the
+    filter exists to catch; most docs legitimately report 0 shared
+    grams with the contaminated flag false."""
+    return _contamination(spark, sf_dir, 13)
 
 
 @register(

@@ -55,7 +55,11 @@ def write_lake(
 
 
 def read_lake(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Lake read; hides the streaming sink's per-epoch bookkeeping
+    partition (``batch_epoch``, see run_ingest_stream's idempotent
+    realtime write) so consumers see a stable schema. drop() of an
+    absent column is a no-op, so non-streaming lakes are unaffected."""
+    return spark.read.parquet(path).drop("batch_epoch")
 
 
 def read_lake_day(spark: SparkSession, path: str, year: int, month: int, day: int) -> DataFrame:
@@ -100,9 +104,15 @@ def compact_retention(
     `DELETE WHERE` + vacuum + OPTIMIZE). Day-partitioned layout means
     expired days drop as whole directories.
     """
-    live = retention_filter(
-        spark.read.parquet(path), retention_hours, now_epoch, epoch_col
-    )
+    raw = spark.read.parquet(path)
+    # a streaming-sink lake carries a trailing batch_epoch partition
+    # (run_ingest_stream's idempotent write); the rewrite must keep
+    # that directory LEVEL - mixing depths across days breaks parquet
+    # partition discovery - but collapses every epoch into one
+    # "compacted" dir per day (the small-file merge). The streaming
+    # sink's numeric epoch ids never collide with the literal.
+    has_epoch = "batch_epoch" in raw.columns
+    live = retention_filter(raw, retention_hours, now_epoch, epoch_col)
     # partition-type inference reads "06" back as integer 6; rewrite
     # with the zero-padded strings write_lake produced or directory
     # names silently change (month=06 -> month=6) and pruned readers
@@ -112,11 +122,15 @@ def compact_retention(
         .withColumn("month", F.format_string("%02d", F.col("month").cast("int")))
         .withColumn("day", F.format_string("%02d", F.col("day").cast("int")))
     )
+    part_cols = ["year", "month", "day"]
+    if has_epoch:
+        live = live.withColumn("batch_epoch", F.lit("compacted"))
+        part_cols.append("batch_epoch")
     tmp = path.rstrip("/") + "__compacting"
     (
         live.repartition("year", "month", "day")
         .write.mode("overwrite")
-        .partitionBy("year", "month", "day")
+        .partitionBy(*part_cols)
         .parquet(tmp)
     )
     import shutil
@@ -130,6 +144,86 @@ def compact_retention(
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
+
+
+def day_file_counts(path: str) -> dict[tuple[str, str, str], int]:
+    """Parquet part-file count per (year, month, day) partition,
+    counting through any per-epoch subdirectories - the metric a
+    sustained-ingest deployment alerts and compacts on. Pure
+    directory listing, no Spark job."""
+    import os
+
+    counts: dict[tuple[str, str, str], int] = {}
+    root = path.rstrip("/")
+    if not os.path.isdir(root):
+        return counts
+    for dirpath, _dirnames, filenames in os.walk(root):
+        n = sum(1 for f in filenames if f.startswith("part-"))
+        if not n:
+            continue
+        rel = os.path.relpath(dirpath, root)
+        parts = dict(
+            seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg
+        )
+        key = (parts.get("year"), parts.get("month"), parts.get("day"))
+        if all(key):
+            counts[key] = counts.get(key, 0) + n
+    return counts
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    max_files_per_day: int = 16,
+) -> list[tuple[str, str, str]]:
+    """Bound the realtime sink's file count under sustained ingest
+    (r4 verdict #6): availableNow/micro-batch appends add files every
+    epoch, and a day that accumulates thousands of small files makes
+    every later read pay per-file open cost. Days at or under
+    ``max_files_per_day`` are left untouched (no write amplification
+    on the 99% of days already compact); each oversized day is
+    rewritten coalesced, preserving the partition layout (and the
+    uniform ``batch_epoch`` level on streaming lakes - see
+    compact_retention). Returns the days compacted.
+
+    Maintenance-window operation, like compact_retention: run it
+    between ingest triggers (availableNow deployments have natural
+    gaps), not concurrently with an in-flight epoch write.
+    """
+    import os
+    import shutil
+
+    root = path.rstrip("/")
+    oversized = [
+        d for d, n in day_file_counts(root).items() if n > max_files_per_day
+    ]
+    if not oversized:
+        return []
+    raw = spark.read.parquet(root)
+    has_epoch = "batch_epoch" in raw.columns
+    for y, m, d in oversized:
+        day_df = raw.filter(
+            (F.col("year") == y) & (F.col("month") == m) & (F.col("day") == d)
+        )
+        out = (
+            day_df.withColumn("year", F.lit(y))
+            .withColumn("month", F.lit(m))
+            .withColumn("day", F.lit(d))
+        )
+        part_cols = ["year", "month", "day"]
+        if has_epoch:
+            out = out.withColumn("batch_epoch", F.lit("compacted"))
+            part_cols.append("batch_epoch")
+        tmp = f"{root}__compacting_day"
+        out.coalesce(1).write.mode("overwrite").partitionBy(*part_cols).parquet(tmp)
+        day_dir = os.path.join(root, f"year={y}", f"month={m}", f"day={d}")
+        new_day_dir = os.path.join(tmp, f"year={y}", f"month={m}", f"day={d}")
+        old = day_dir + "__old"
+        shutil.move(day_dir, old)
+        shutil.move(new_day_dir, day_dir)
+        shutil.rmtree(old)
+        shutil.rmtree(tmp)
+    return oversized
 
 
 def write_bucketed_table(

@@ -345,20 +345,32 @@ def run_ingest_stream(
             )
             reportable = reportable_messages(classified).persist()
 
-            # (a) real-time store: day-partitioned append (S8/S9), TTL
-            # column; rows cluster by machine id inside each day so the
+            # (a) real-time store: day-partitioned (S8/S9), TTL column;
+            # rows cluster by machine id inside each day so the
             # reference's key-range reads (S4) skip row groups within
-            # the day file, not just prune partitions
+            # the day file, not just prune partitions. The write is
+            # IDEMPOTENT per epoch (T9): a trailing batch_epoch
+            # partition + dynamic partition overwrite means a retried
+            # epoch (crash after this sink, before the checkpoint
+            # commit or a later sink) REPLACES its own partial output
+            # instead of appending duplicates. Readers still prune on
+            # year/month/day; read_lake drops the bookkeeping column.
+            # (The raw archive above stays plain append = at-least-
+            # once, matching the reference's Firehose tap semantics.)
             rows = to_real_time_rows(reportable, cfg.retention_hours)
             day_rows = with_day_partitions(
                 rows.withColumn(
                     "event_ts", F.timestamp_seconds(F.col("message_timestamp"))
                 ),
                 "event_ts",
+            ).withColumn("batch_epoch", F.lit(str(epoch_id)))
+            day_rows.sortWithinPartitions(
+                "year", "month", "day", "id"
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("year", "month", "day", "batch_epoch").parquet(
+                sinks.realtime_path
             )
-            day_rows.sortWithinPartitions("year", "month", "day", "id").write.mode(
-                "append"
-            ).partitionBy("year", "month", "day").parquet(sinks.realtime_path)
 
             # (b) latest-status + change-only emission (A1/T3): keyed
             # upsert store - merge touches ONLY the key-hash buckets
@@ -373,11 +385,23 @@ def run_ingest_stream(
                 store = KeyedParquetStore(
                     sinks.snapshot_path, "machine_id", sinks.snapshot_buckets
                 )
-                deltas = store.upsert(latest, compare_col="status")
+                # two-phase upsert: publish the change feed BEFORE
+                # committing the store, epoch-partitioned with dynamic
+                # overwrite. Crash between feed and commit -> retry
+                # recomputes identical deltas and overwrites its own
+                # epoch partition; crash after commit -> retry's
+                # deltas are empty and an empty dynamic overwrite
+                # touches nothing, so the published feed survives.
+                # Exactly-once for BOTH snapshot and feed (the old
+                # upsert-then-append order silently LOST feed rows
+                # when the crash landed between them).
+                deltas, merged = store.plan_upsert(latest, compare_col="status")
                 if sinks.change_feed_path:
-                    deltas.withColumn("__epoch_id", F.lit(epoch_id)).write.mode(
-                        "append"
-                    ).parquet(sinks.change_feed_path)
+                    deltas.withColumn(
+                        "__epoch_id", F.lit(epoch_id)
+                    ).write.mode("overwrite").option(
+                        "partitionOverwriteMode", "dynamic"
+                    ).partitionBy("__epoch_id").parquet(sinks.change_feed_path)
                 if sinks.change_feed is not None:
                     # test-only observability: deltas are one row per
                     # *changed* machine, driver-safe by construction
@@ -385,6 +409,7 @@ def run_ingest_stream(
                     sinks.change_feed.extend(
                         sorted(delta_rows, key=lambda r: r["machine_id"])
                     )
+                store.commit(merged)
         finally:
             if reportable is not None:
                 reportable.unpersist()
@@ -444,11 +469,16 @@ def streaming_latest_status_durable(
     store = KeyedParquetStore(store_path, "machine_id", num_buckets)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        deltas = store.upsert(batch_df, compare_col="status")
+        # feed-before-commit, epoch-keyed dynamic overwrite: same
+        # exactly-once ordering as run_ingest_stream's snapshot leg
+        deltas, merged = store.plan_upsert(batch_df, compare_col="status")
         if change_feed_path:
-            deltas.withColumn("__epoch_id", F.lit(epoch_id)).write.mode(
-                "append"
-            ).parquet(change_feed_path)
+            deltas.withColumn(
+                "__epoch_id", F.lit(epoch_id)
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("__epoch_id").parquet(change_feed_path)
+        store.commit(merged)
 
     agg = source_messages.groupBy("machine_id").agg(
         F.max_by("status", F.col("event_epoch")).alias("status"),

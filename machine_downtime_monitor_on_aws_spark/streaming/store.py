@@ -67,16 +67,25 @@ class KeyedParquetStore:
         """Full store contents (no bucket column)."""
         return spark.read.parquet(self.path).drop(_BUCKET_COL)
 
-    def upsert(self, updates: DataFrame, compare_col: str | None = None) -> DataFrame:
-        """Merge ``updates`` (one row per key) into the store; returns
-        the delta rows (keys that are new or whose ``compare_col``
-        changed; all update rows when ``compare_col`` is None).
+    def plan_upsert(
+        self, updates: DataFrame, compare_col: str | None = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """Phase 1 of the merge: compute (deltas, merged) WITHOUT
+        writing the store. Both are materialized (localCheckpoint) so
+        their lineage doesn't re-read post-write state and the merge
+        plan may legally write to the path it read from; the
+        checkpoints hold only batch-sized and touched-bucket-sized
+        data.
 
-        The returned deltas are materialized (localCheckpoint) BEFORE
-        the overwrite - both so their lineage doesn't re-read
-        post-write state and so the merge plan may legally write to
-        the path it read from. The checkpoint holds only batch-sized
-        and touched-bucket-sized data.
+        The two-phase split exists for exactly-once change feeds: a
+        caller can durably publish the deltas FIRST and only then
+        :meth:`commit` the merged store. On a crash between the two,
+        the retry recomputes the SAME deltas (the store is
+        unchanged); on a crash after commit, the retry computes
+        EMPTY deltas - and an empty dynamic-partition-overwrite feed
+        write touches no partitions, so the previously published
+        feed rows survive. Either way the feed converges to exactly
+        the true change set.
         """
         spark = updates.sparkSession
         u = updates.withColumn(_BUCKET_COL, self._bucket())
@@ -101,10 +110,25 @@ class KeyedParquetStore:
             merged = u
         deltas = deltas.localCheckpoint(eager=True)
         merged = merged.localCheckpoint(eager=True)
+        return deltas, merged
+
+    def commit(self, merged: DataFrame) -> None:
+        """Phase 2: write the merged store (dynamic partition
+        overwrite - untouched buckets are never rewritten)."""
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(_BUCKET_COL)
             .parquet(self.path)
         )
+
+    def upsert(self, updates: DataFrame, compare_col: str | None = None) -> DataFrame:
+        """One-shot merge: :meth:`plan_upsert` + :meth:`commit`;
+        returns the delta rows (keys that are new or whose
+        ``compare_col`` changed; all update rows when ``compare_col``
+        is None). Callers that publish the deltas somewhere durable
+        should use the two-phase API and publish between the
+        phases."""
+        deltas, merged = self.plan_upsert(updates, compare_col)
+        self.commit(merged)
         return deltas

@@ -912,3 +912,210 @@ def test_write_lake_cluster_col_sorts_within_day(spark, tmp_path):
     assert len(parts) == 1  # day coalesced into one task's output
     col = pq.read_table(parts[0], columns=["id"])["id"].to_pylist()
     assert col == sorted(col)
+
+
+def test_partial_epoch_crash_restart_no_duplicates(spark, dirs, monkeypatch):
+    """r4 verdict #5: T9's exactly-once claim under a MID-EPOCH crash,
+    not just the happy path. The realtime sink commits BEFORE the
+    snapshot upsert in the fan-out; crash the snapshot step after the
+    realtime write landed, restart from the checkpoint, and assert the
+    retried epoch REPLACED its partial realtime output (the
+    batch_epoch dynamic-partition-overwrite) instead of appending a
+    duplicate copy - and the snapshot/change-feed completed on the
+    retry."""
+    import machine_downtime_monitor_on_aws_spark.streaming.ingest as ing
+
+    sinks = IngestSinks(
+        realtime_path=dirs["realtime"], snapshot_path=dirs["snapshot"]
+    )
+    with open(os.path.join(dirs["src"], "b1.jsonl"), "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    _record("r1", _msg("site/a/p/m1/status", "u"),
+                            _msg("site/a/p/m1/pc", 100)),
+                    _record("r2", _msg("site/a/p/m1/status", "d", TS2)),
+                ]
+            )
+        )
+
+    real_store = ing.KeyedParquetStore
+    calls = {"n": 0}
+
+    class CrashingStore(real_store):
+        # plan_upsert is the snapshot leg's first store call (the
+        # two-phase feed-before-commit API), so crashing here lands
+        # after the realtime write and before the snapshot commit
+        def plan_upsert(self, *a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected crash after realtime sink")
+            return super().plan_upsert(*a, **k)
+
+    monkeypatch.setattr(ing, "KeyedParquetStore", CrashingStore)
+
+    src = read_envelope_stream(spark, dirs["src"])
+    q = run_ingest_stream(spark, src, lambda: CFG, sinks, dirs["ckpt"])
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+
+    # the crash hit AFTER the realtime write: partial epoch on disk
+    partial = spark.read.parquet(dirs["realtime"])
+    n_partial = partial.count()
+    assert n_partial == 3  # status u, status d, production count
+
+    # restart from the same checkpoint with the sink healthy
+    src2 = read_envelope_stream(spark, dirs["src"])
+    q2 = run_ingest_stream(spark, src2, lambda: CFG, sinks, dirs["ckpt"])
+    _drain(q2)
+
+    rt = read_lake_day(spark, dirs["realtime"], 2021, 3, 5)
+    keyed = [(r.id, r.message_timestamp) for r in rt.collect()]
+    assert len(keyed) == 3  # retried epoch replaced, NOT appended
+    assert len(set(keyed)) == 3
+    assert "batch_epoch" not in rt.columns  # bookkeeping col hidden
+    snap = spark.read.parquet(dirs["snapshot"]).collect()
+    assert len(snap) == 1 and snap[0].status == "DOWN"
+    assert calls["n"] == 2  # crashed once, retried once
+
+
+def test_sustained_ingest_file_count_bounded(spark, dirs):
+    """r4 verdict #6: availableNow appends accumulate files per epoch;
+    compact_small_files must (a) report per-day counts without a
+    Spark job, (b) rewrite ONLY oversized days down to a bounded
+    count, (c) preserve identical data and the day-pruned read path."""
+    from machine_downtime_monitor_on_aws_spark.sources.lake import (
+        compact_small_files,
+        day_file_counts,
+    )
+
+    sinks = IngestSinks(realtime_path=dirs["realtime"])
+    # 5 epochs of sustained ingest = 5 batch_epoch dirs of files
+    for i in range(5):
+        _run_batch(
+            spark, dirs, sinks,
+            [_record(f"r{i}", _msg("site/a/p/m1/status", "u" if i % 2 else "d"))],
+            i,
+        )
+    counts = day_file_counts(dirs["realtime"])
+    assert counts and all(k == ("2021", "03", "05") for k in counts)
+    n_before = counts[("2021", "03", "05")]
+    assert n_before >= 5  # one file minimum per epoch
+
+    before = sorted(
+        (r.id, r.message_timestamp, r.value)
+        for r in read_lake_day(spark, dirs["realtime"], 2021, 3, 5)
+        .select("id", "message_timestamp", "value").collect()
+    )
+
+    # bound above current count: no-op, zero write amplification
+    assert compact_small_files(spark, dirs["realtime"], n_before + 1) == []
+    assert day_file_counts(dirs["realtime"])[("2021", "03", "05")] == n_before
+
+    # bound below: the day is rewritten coalesced
+    done = compact_small_files(spark, dirs["realtime"], 2)
+    assert done == [("2021", "03", "05")]
+    assert day_file_counts(dirs["realtime"])[("2021", "03", "05")] <= 2
+
+    after = sorted(
+        (r.id, r.message_timestamp, r.value)
+        for r in read_lake_day(spark, dirs["realtime"], 2021, 3, 5)
+        .select("id", "message_timestamp", "value").collect()
+    )
+    assert after == before
+
+    # ingest continues cleanly after compaction (uniform layout)
+    _run_batch(
+        spark, dirs, sinks,
+        [_record("r9", _msg("site/a/p/m1/status", "i", TS2))], 9,
+    )
+    assert read_lake_day(spark, dirs["realtime"], 2021, 3, 5).count() == len(before) + 1
+
+
+def test_change_feed_exactly_once_across_commit_crashes(spark, tmp_path, monkeypatch):
+    """The change feed publishes BEFORE the store commit, epoch-keyed
+    with dynamic overwrite. Both crash windows must converge to
+    exactly-once feed contents:
+
+    - crash AFTER store commit (before the checkpoint seals the
+      epoch): the retry's deltas are empty, and an empty dynamic
+      overwrite touches no partitions - published rows survive;
+    - crash BETWEEN feed publish and store commit: the retry
+      recomputes identical deltas and overwrites its own epoch
+      partition - no duplicates. (The previous upsert-then-append
+      order LOST feed rows in the second window.)"""
+    from machine_downtime_monitor_on_aws_spark.streaming.store import (
+        KeyedParquetStore,
+    )
+
+    src_dir = str(tmp_path / "msgs")
+    os.makedirs(src_dir)
+    with open(os.path.join(src_dir, "a.jsonl"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in [
+            {"machine_id": "m1", "status": "UP", "event_epoch": 100},
+            {"machine_id": "m2", "status": "IDLE", "event_epoch": 10},
+        ]))
+    store_path, feed_path, ckpt = (
+        str(tmp_path / "store"), str(tmp_path / "feed"), str(tmp_path / "ckpt")
+    )
+
+    def _stream():
+        return (
+            spark.readStream.schema(
+                "machine_id string, status string, event_epoch long"
+            ).json(src_dir)
+        )
+
+    real_commit = KeyedParquetStore.commit
+
+    # window 1: crash AFTER the store commit succeeded
+    state = {"mode": "after"}
+
+    def crashing_commit(self, merged):
+        if state["mode"] == "after":
+            real_commit(self, merged)
+            state["mode"] = None
+            raise RuntimeError("crash after commit")
+        if state["mode"] == "before":
+            state["mode"] = None
+            raise RuntimeError("crash before commit")
+        return real_commit(self, merged)
+
+    monkeypatch.setattr(KeyedParquetStore, "commit", crashing_commit)
+    q = streaming_latest_status_durable(
+        _stream(), store_path, ckpt, num_buckets=8, change_feed_path=feed_path
+    )
+    with pytest.raises(Exception, match="after commit"):
+        q.awaitTermination(120)
+    assert spark.read.parquet(feed_path).count() == 2  # published pre-crash
+
+    q2 = streaming_latest_status_durable(
+        _stream(), store_path, ckpt, num_buckets=8, change_feed_path=feed_path
+    )
+    _drain(q2)
+    feed = spark.read.parquet(feed_path).collect()
+    assert len(feed) == 2  # retry's empty overwrite preserved them
+    assert {r.machine_id for r in feed} == {"m1", "m2"}
+
+    # window 2: crash BETWEEN feed publish and store commit
+    with open(os.path.join(src_dir, "b.jsonl"), "w") as f:
+        f.write(json.dumps({"machine_id": "m1", "status": "DOWN", "event_epoch": 200}))
+    state["mode"] = "before"
+    q3 = streaming_latest_status_durable(
+        _stream(), store_path, ckpt, num_buckets=8, change_feed_path=feed_path
+    )
+    with pytest.raises(Exception, match="before commit"):
+        q3.awaitTermination(120)
+    q4 = streaming_latest_status_durable(
+        _stream(), store_path, ckpt, num_buckets=8, change_feed_path=feed_path
+    )
+    _drain(q4)
+    feed = spark.read.parquet(feed_path).collect()
+    m1_rows = [r for r in feed if r.machine_id == "m1"]
+    assert sorted(r.status for r in m1_rows) == ["DOWN", "UP"]  # exactly once each
+    assert len(feed) == 3
+    snap = {
+        r.machine_id: r.status
+        for r in KeyedParquetStore(store_path, "machine_id", 8).read(spark).collect()
+    }
+    assert snap == {"m1": "DOWN", "m2": "IDLE"}
