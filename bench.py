@@ -329,6 +329,21 @@ def main() -> None:
         )
         return best
 
+    # Untimed warmup pass over the headline set before ANY timing:
+    # recording medians (r4 verdict #7) exposed that the first 1-2
+    # executions of each heavy family run 3-5x slow (progressive JIT
+    # of shared runtime methods - shuffle/parquet/hash - across the
+    # process, e.g. neardup_candidate_pairs samples 7.5/5.8/1.55s
+    # cold vs ~1.5s warm), so without warmup the median measures JIT
+    # ramp, not the query. One pass warms the shared machinery;
+    # medians then report steady state and best-of-N stays the
+    # capacity number.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        for name in HEADLINE:
+            qs[name](spark, sf_dir).count()
+            spark.catalog.clearCache()
+            unpersist_all_rdds(spark)
+
     for name in HEADLINE:
         best = time_query(name, runs)
         timings[name] = round(best, 3)

@@ -1119,3 +1119,44 @@ def test_change_feed_exactly_once_across_commit_crashes(spark, tmp_path, monkeyp
         for r in KeyedParquetStore(store_path, "machine_id", 8).read(spark).collect()
     }
     assert snap == {"m1": "DOWN", "m2": "IDLE"}
+
+
+def test_hour_granularity_lake(spark, tmp_path):
+    """granularity='hour': the documented 100 TB/day knob. Hour
+    partitions materialize as a deeper directory level, hour-scoped
+    reads prune to one directory, and day-level readers keep working
+    unchanged."""
+    import contextlib
+    import io
+
+    from machine_downtime_monitor_on_aws_spark.sources.lake import (
+        read_lake,
+        write_lake,
+    )
+
+    path = str(tmp_path / "hourly")
+    df = spark.createDataFrame(
+        [(1, 100, "2024-06-01 10:15:00"), (2, 200, "2024-06-01 11:45:00"),
+         (3, 300, "2024-06-02 10:00:00")],
+        "id long, message_timestamp long, ts_s string",
+    ).withColumn("event_ts", F.col("ts_s").cast("timestamp"))
+    write_lake(df, path, granularity="hour", cluster_col="id")
+
+    assert os.path.isdir(
+        os.path.join(path, "year=2024", "month=06", "day=01", "hour=10")
+    )
+    lk = read_lake(spark, path)
+    one_hour = lk.filter(
+        (F.col("year") == "2024") & (F.col("month") == "06")
+        & (F.col("day") == "01") & (F.col("hour") == "10")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_hour.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    assert [r.id for r in one_hour.collect()] == [1]
+    # day-level read spans both hours
+    assert read_lake_day(spark, path, 2024, 6, 1).count() == 2
+
+    with pytest.raises(ValueError, match="granularity"):
+        write_lake(df, path, granularity="minute")
