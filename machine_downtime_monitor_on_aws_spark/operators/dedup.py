@@ -92,7 +92,26 @@ def minhash_band_arrays(
     if num_perms % num_bands != 0:
         raise ValueError("num_perms must be divisible by num_bands")
     rows = num_perms // num_bands
+    sig = _minhash_signature_frame(
+        df, id_col, text_col, num_perms, shingle_n, parallelism
+    )
+    band_cols = []
+    for b in range(num_bands):
+        parts = [F.col(f"m{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)))
+    return sig.select("doc_id", F.array(*band_cols).alias("__bands"))
 
+
+def _minhash_signature_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int,
+    shingle_n: int,
+    parallelism: int | None,
+) -> DataFrame:
+    """(doc_id, m0..m{K-1}) signature columns - the shared core of
+    :func:`minhash_band_arrays` and :func:`minhash_signatures`."""
     toked = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),
@@ -132,14 +151,30 @@ def minhash_band_arrays(
             for k in range(num_perms)
         ],
     )
-    sig = hashed.groupBy("doc_id").agg(
+    return hashed.groupBy("doc_id").agg(
         *[F.min(f"h{k}").alias(f"m{k}") for k in range(num_perms)]
     )
-    band_cols = []
-    for b in range(num_bands):
-        parts = [F.col(f"m{b * rows + r}") for r in range(rows)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)))
-    return sig.select("doc_id", F.array(*band_cols).alias("__bands"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perms: int = 8,
+    shingle_n: int = 5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(doc_id, __sig array<string>) - the raw K-permutation MinHash
+    signature (element k = min over shingles of ``md5('k:' || s)``),
+    oracle-portable by construction. The estimator QA surface: the
+    fraction of agreeing signature elements between two docs is the
+    unbiased MinHash estimate of their shingle Jaccard."""
+    sig = _minhash_signature_frame(
+        df, id_col, text_col, num_perms, shingle_n, parallelism
+    )
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"m{k}") for k in range(num_perms)]).alias("__sig")
+    )
 
 
 def minhash_lsh_buckets(

@@ -29,6 +29,7 @@ from ..operators.dedup import (
     jaccard_verified_pairs,
     minhash_band_arrays,
     minhash_lsh_buckets,
+    minhash_signatures,
     simhash_md5,
     simhash_md5_oracle_sql,
     simhash_neardup_pairs,
@@ -1090,4 +1091,196 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("__sa", "__sb").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+_SIG_SQL = (
+    "SELECT doc_id, ["
+    + ", ".join(_SIG_ELEM_SQL.format(k=k) for k in range(_NUM_PERMS))
+    + f"] AS sig FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)"
+)
+
+
+@register(
+    "minhash_estimate_qa",
+    oracle=f"""
+WITH cand AS ({_PAIR_SQL}),
+sig_t AS ({_SIG_SQL}),
+sh_t AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_filter(generate_series(1, {_NUM_PERMS}),
+                              i -> sa.sig[i] = sb.sig[i])) AS INT) AS n_agree
+  FROM cand c
+  JOIN sig_t sa ON sa.doc_id = c.doc_a
+  JOIN sig_t sb ON sb.doc_id = c.doc_b
+)
+SELECT a.doc_a, a.doc_b,
+       CAST(a.n_agree AS DOUBLE) / {float(_NUM_PERMS)} AS sig_estimate,
+       CAST(len(list_filter(ja.sh, x -> list_contains(jb.sh, x))) AS DOUBLE)
+         / CAST(len(ja.sh) + len(jb.sh)
+                - len(list_filter(ja.sh, x -> list_contains(jb.sh, x))) AS DOUBLE)
+         AS exact_jaccard
+FROM agree a
+JOIN sh_t ja ON ja.doc_id = a.doc_a
+JOIN sh_t jb ON jb.doc_id = a.doc_b
+""",
+)
+def minhash_estimate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator QA for the MinHash family (the dedup analogue of
+    ivf_recall_at5): per LSH candidate pair, the signature-agreement
+    Jaccard ESTIMATE (fraction of agreeing signature elements - the
+    unbiased MinHash estimator) next to the exact shingle-set
+    Jaccard. The report a pipeline owner reads to tune
+    num_perms/num_bands against their real similarity distribution:
+    estimates far off exact values at K=8 mean the banding threshold
+    is not where the formula says it is.
+
+    Scale shape: signatures and shingle sets are computed only for
+    candidate docs (a sliver); the pair set never enters a shuffle
+    (candidate_pairs_exact); all scoring is integer set/element
+    counts over md5 strings divided once - engine-exact."""
+    d = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    pairs = _minhash_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    cand_ids = (
+        pairs.selectExpr("doc_a AS __cid")
+        .unionByName(pairs.selectExpr("doc_b AS __cid"))
+        .distinct()
+    )
+    cand_docs = d.join(
+        cand_ids, F.col("doc_id") == F.col("__cid"), "left_semi"
+    )
+    sig = minhash_signatures(
+        cand_docs, "doc_id", "text", _NUM_PERMS, _SHINGLE_N, parallelism=par
+    ).localCheckpoint(eager=False)
+    sh = cand_docs.select(
+        "doc_id",
+        F.array_distinct(shingles(F.col("text"), _SHINGLE_N)).alias("__sh"),
+    ).localCheckpoint(eager=False)
+    out = (
+        pairs.join(sig.selectExpr("doc_id AS doc_a", "__sig AS sa"), "doc_a")
+        .join(sig.selectExpr("doc_id AS doc_b", "__sig AS sb"), "doc_b")
+        .join(sh.selectExpr("doc_id AS doc_a", "__sh AS ja"), "doc_a")
+        .join(sh.selectExpr("doc_id AS doc_b", "__sh AS jb"), "doc_b")
+    )
+    n_agree = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(_NUM_PERMS)),
+            lambda i: F.element_at("sa", i) == F.element_at("sb", i),
+        )
+    )
+    inter = F.size(F.array_intersect("ja", "jb"))
+    union = F.size("ja") + F.size("jb") - inter
+    return out.select(
+        "doc_a",
+        "doc_b",
+        (n_agree.cast("double") / F.lit(float(_NUM_PERMS))).alias("sig_estimate"),
+        (inter.cast("double") / union.cast("double")).alias("exact_jaccard"),
+    )
+
+
+@register(
+    "neardup_keep_best_quality",
+    oracle=f"""
+WITH RECURSIVE {_cc_clauses()},
+cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+scored AS (
+  SELECT cc.component, d.doc_id,
+         CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens
+  FROM cc JOIN documents d ON d.doc_id = cc.node
+),
+ranked AS (
+  SELECT component, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY component) AS cluster_size
+  FROM scored
+)
+SELECT component, doc_id AS keeper_doc_id, n_tokens,
+       CAST(cluster_size AS INT) AS cluster_size
+FROM ranked WHERE rn = 1
+""",
+)
+def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: per duplicate cluster keep
+    the member with the MOST tokens (deterministic tiebreak: lowest
+    doc_id) instead of the arbitrary min-id representative - what a
+    real pipeline does, since near-dup cluster members differ by
+    truncation/boilerplate and the longest member usually carries the
+    full content. Labels + per-doc token counts only: text never
+    joins into the window."""
+    d = _docs(spark, sf_dir)
+    cc = connected_components(_minhash_pairs(spark, sf_dir))
+    scored = cc.join(
+        d.select("doc_id", token_count(F.col("text")).cast("int").alias("n_tokens")),
+        "doc_id",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("component")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("int"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper_doc_id"),
+            "n_tokens",
+            "cluster_size",
+        )
+    )
+
+
+@register(
+    "contamination_rate_by_source",
+    oracle=f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_shingles_sql(_CONTAM_N)}) AS g
+  FROM documents WHERE doc_id % 97 = 0
+),
+cg AS (
+  SELECT doc_id, unnest(list_distinct({_shingles_sql(_CONTAM_N)})) AS g
+  FROM documents WHERE doc_id % 97 <> 0
+),
+hits AS (SELECT DISTINCT cg.doc_id FROM cg JOIN ev USING (g))
+SELECT d.source,
+       count(*) AS n_docs,
+       count(h.doc_id) AS n_contaminated,
+       CAST(count(h.doc_id) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS contamination_rate
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.source
+""",
+)
+def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination triage rollup: per source, how much of the
+    training split shares an n-gram with the held-out benchmark
+    sliver - the first question after a contamination scan ("which
+    crawl do we quarantine?"). The benchmark gram set broadcasts;
+    per-source counts are one map-side-combinable aggregation;
+    the rate is a single division of the two integer counts."""
+    d = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % 97 == 0
+    sh = F.array_distinct(shingles(F.col("text"), _CONTAM_N))
+    ev = d.filter(is_eval).select(F.explode(sh).alias("g")).distinct()
+    cg = d.filter(~is_eval).select("doc_id", F.explode(sh).alias("g"))
+    hits = cg.join(F.broadcast(ev), "g").select("doc_id").distinct()
+    return (
+        d.filter(~is_eval)
+        .select("doc_id", "source")
+        .join(hits.withColumn("__hit", F.lit(1)), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__hit").alias("n_contaminated"),
+            (
+                F.count("__hit").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("contamination_rate"),
+        )
     )
