@@ -16,76 +16,52 @@ def _load_all() -> None:
     )
 
 
-# Evidence-scheduling: the driver records CORRECTNESS rows for the
-# first ~50 registry entries per round, so registration order decides
-# which queries get a fresh driver-green row.  The set below is the
-# r4-recorded sample (CORRECTNESS_r04.json keys) — pushing those LAST
-# makes the 35 queries whose latest driver row is from r3 (the
-# textops/sampling/TPC-H family, whose shared lang-ID oracle builder
-# was rewritten in c3e12f5) run FIRST in round 5, per the r4 verdict's
-# top item.  Union r1-r5 then keeps every catalog query's most recent
-# driver check within two rounds of its last code change.
-_DRIVER_RECORDED_R04 = frozenset(
-    {
-        "approx_distinct_and_percentiles",
-        "asof_last_purchase_before_error",
-        "benchmark_contamination",
-        "cross_source_dup_matrix",
-        "customer_segment_setops",
-        "daily_clicks_purchases_full_join",
-        "dedup_normalized_docs",
-        "doc_rarity_stats",
-        "doc_token_length_outliers",
-        "downtime_bi_dataset",
-        "duplicate_cluster_sizes",
-        "embedding_dup_clusters",
-        "embedding_norm_stats",
-        "error_context_counts",
-        "event_type_minute_counts",
-        "ingest_normalize_classify",
-        "ivf_knn_top5",
-        "ivf_recall_at5",
-        "knn_bruteforce_top5",
-        "knn_pandas_udf",
-        "label_centroid_sums",
-        "lang_metadata_mismatches",
-        "latest_event_per_user_type",
-        "latest_status_per_user",
-        "line_availability",
-        "lineitem_grouping_sets",
-        "lsh_bucket_assignments",
-        "lsh_neardup_embeddings",
-        "minute_chart_grid",
-        "minute_status_rollup",
-        "order_priority_counts",
-        "orders_above_customer_avg",
-        "orders_status_priority_cube",
-        "part_type_stats",
-        "pivot_event_type_counts",
-        "price_histogram",
-        "price_percentiles_by_flag",
-        "purchase_moving_sum",
-        "purchase_outliers_iqr",
-        "q1_pricing_summary_sql",
-        "returnflag_priority_mix",
-        "rle_event_runs",
-        "rollover_production_totals",
-        "session_stats",
-        "simhash_fast_fingerprints",
-        "state_durations_enriched",
-        "status_age_seconds",
-        "status_downtime_totals",
-        "top3_purchases_per_user",
-        "top_returned_revenue_customers",
-    }
-)
+# Evidence-scheduling: the driver records CORRECTNESS rows for only
+# the first ~50 registry entries per round, so registration order
+# decides which queries get a fresh driver-green row. Order queries
+# LEAST-RECENTLY-DRIVER-CHECKED FIRST, derived automatically from the
+# CORRECTNESS_r*.json records committed at the repo root: a query
+# whose latest driver row is older (or which has never been sampled -
+# new registrations) registers earlier and lands inside the window.
+# Ties preserve module registration order. This replaces the
+# hand-maintained per-round frozenset (r4 verdict item #1) and keeps
+# every query's most recent driver check within ~2 rounds
+# automatically as the catalog grows.
+
+
+def _latest_driver_round() -> dict[str, int]:
+    """query name -> highest round number with a CORRECTNESS row."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    latest: dict[str, int] = {}
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _reorder_for_driver_evidence() -> None:
     reg = catalog.REGISTRY
-    first = [n for n in reg if n not in _DRIVER_RECORDED_R04]
-    rest = [n for n in reg if n in _DRIVER_RECORDED_R04]
-    ordered = {n: reg[n] for n in first + rest}
+    latest = _latest_driver_round()
+    names = list(reg)
+    order = {n: i for i, n in enumerate(names)}
+    names.sort(key=lambda n: (latest.get(n, -1), order[n]))
+    ordered = {n: reg[n] for n in names}
     reg.clear()
     reg.update(ordered)
 

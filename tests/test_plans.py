@@ -203,3 +203,28 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
         shutil.rmtree(f"{wh}/ev_bucketed", ignore_errors=True)
+
+
+def test_catalog_orders_least_recently_checked_first():
+    """Evidence-scheduling: the driver samples only the first ~50
+    registry entries, so registration must order queries by their
+    latest CORRECTNESS_r*.json round ascending (never-sampled first,
+    ties in module order). Pin the invariant directly against the
+    committed driver records."""
+    import glob
+    import json
+    import os
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = {}
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in os.path.basename(p) if ch.isdigit()))
+        for name in json.load(open(p)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    rounds = [latest.get(n, -1) for n in catalog.REGISTRY]
+    assert rounds == sorted(rounds)
+    # and anything the driver has never checked sits at the very front
+    n_never = sum(1 for r in rounds if r == -1)
+    assert all(r == -1 for r in rounds[:n_never])
