@@ -177,6 +177,32 @@ def minhash_signatures(
     )
 
 
+def band_arrays_from_signatures(
+    signatures: DataFrame, num_bands: int, num_perms: int
+) -> DataFrame:
+    """(doc_id, __bands) derived from a ``minhash_signatures`` frame -
+    band b = md5 of its signature slice joined with '|', exactly what
+    :func:`minhash_band_arrays` computes from raw text. Lets a caller
+    that needs BOTH signatures and candidate pairs (the estimator QA)
+    hash each shingle K times ONCE and reuse the signature for
+    banding, instead of running the tokenize+hash pipeline twice.
+    ``num_perms`` is caller-declared (the array length isn't in the
+    schema, and probing it would cost a job)."""
+    if num_perms % num_bands != 0:
+        raise ValueError("signature length must be divisible by num_bands")
+    rows = num_perms // num_bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.element_at("__sig", b * rows + r + 1) for r in range(rows)],
+            )
+        )
+        for b in range(num_bands)
+    ]
+    return signatures.select("doc_id", F.array(*band_cols).alias("__bands"))
+
+
 def minhash_lsh_buckets(
     df: DataFrame,
     id_col: str,

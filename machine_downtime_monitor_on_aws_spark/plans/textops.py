@@ -22,6 +22,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
+    band_arrays_from_signatures,
     candidate_pairs_exact,
     connected_components,
     drop_neardup_docs,
@@ -1136,13 +1137,22 @@ def minhash_estimate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates far off exact values at K=8 mean the banding threshold
     is not where the formula says it is.
 
-    Scale shape: signatures and shingle sets are computed only for
-    candidate docs (a sliver); the pair set never enters a shuffle
-    (candidate_pairs_exact); all scoring is integer set/element
-    counts over md5 strings divided once - engine-exact."""
+    Scale shape: the K-permutation shingle hashing runs ONCE over the
+    corpus - the signature frame is checkpointed and bands derive
+    from it (band_arrays_from_signatures), so pairs and the estimate
+    share one hash pipeline instead of re-tokenizing candidates;
+    shingle sets are computed only for candidate docs (a sliver);
+    the pair set never enters a shuffle (candidate_pairs_exact); all
+    scoring is integer set/element counts over md5 strings divided
+    once - engine-exact."""
     d = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    pairs = _minhash_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    sig = minhash_signatures(
+        d, "doc_id", "text", _NUM_PERMS, _SHINGLE_N, parallelism=par
+    ).localCheckpoint(eager=False)
+    pairs = candidate_pairs_exact(
+        band_arrays_from_signatures(sig, _NUM_BANDS, _NUM_PERMS), _NUM_BANDS
+    ).localCheckpoint(eager=False)
     cand_ids = (
         pairs.selectExpr("doc_a AS __cid")
         .unionByName(pairs.selectExpr("doc_b AS __cid"))
@@ -1151,9 +1161,6 @@ def minhash_estimate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_docs = d.join(
         cand_ids, F.col("doc_id") == F.col("__cid"), "left_semi"
     )
-    sig = minhash_signatures(
-        cand_docs, "doc_id", "text", _NUM_PERMS, _SHINGLE_N, parallelism=par
-    ).localCheckpoint(eager=False)
     sh = cand_docs.select(
         "doc_id",
         F.array_distinct(shingles(F.col("text"), _SHINGLE_N)).alias("__sh"),

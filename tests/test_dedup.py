@@ -467,3 +467,35 @@ def test_skew_resilience_boilerplate_fixture(spark):
         size_hint="large",
     ).collect()
     assert {r.doc_id: r.component for r in dist} == labels
+
+
+def test_band_arrays_from_signatures_equals_text_path(spark):
+    """Bands derived from a signature frame must equal the text-path
+    minhash_band_arrays output row-for-row - the reuse that lets the
+    estimator QA hash each shingle K times once."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        band_arrays_from_signatures,
+        minhash_band_arrays,
+        minhash_signatures,
+    )
+
+    docs = _corpus(
+        spark,
+        [(i, f"some document body number {i} with shared tail words") for i in range(20)]
+        + [(100, ""), (101, "tiny")],  # short-doc fallback path too
+    )
+    via_text = {
+        r["doc_id"]: tuple(r["__bands"])
+        for r in minhash_band_arrays(docs, "doc_id", "body", 8, 4, 5).collect()
+    }
+    sig = minhash_signatures(docs, "doc_id", "body", 8, 5)
+    via_sig = {
+        r["doc_id"]: tuple(r["__bands"])
+        for r in band_arrays_from_signatures(sig, 4, 8).collect()
+    }
+    assert via_text == via_sig and len(via_text) == 22
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        band_arrays_from_signatures(sig, 3, 8)
