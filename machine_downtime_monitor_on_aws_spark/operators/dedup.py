@@ -856,7 +856,11 @@ def _stamp_index_params(spark, table_name: str, **params: int | None) -> None:
 
 def read_minhash_index_params(spark, table_name: str) -> dict[str, int]:
     """Signature params recorded on a persisted index (empty for
-    pre-metadata tables)."""
+    pre-metadata tables, and for a table that does not exist yet -
+    the bootstrap append that CREATES the table has nothing to
+    validate against)."""
+    if not spark.catalog.tableExists(table_name):
+        return {}
     rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
     out = {}
     for r in rows:

@@ -1268,26 +1268,22 @@ def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination triage rollup: per source, how much of the
     training split shares an n-gram with the held-out benchmark
     sliver - the first question after a contamination scan ("which
-    crawl do we quarantine?"). The benchmark gram set broadcasts;
-    per-source counts are one map-side-combinable aggregation;
-    the rate is a single division of the two integer counts."""
+    crawl do we quarantine?"). Rolls up the shared
+    :func:`_contamination` pipeline's per-doc flags by source
+    (broadcast benchmark gram set, map-side-combinable counts - the
+    eval-sliver predicate and gram shape live in ONE place); the
+    rate is a single division of the two integer counts."""
     d = _docs(spark, sf_dir)
-    is_eval = F.col("doc_id") % 97 == 0
-    sh = F.array_distinct(shingles(F.col("text"), _CONTAM_N))
-    ev = d.filter(is_eval).select(F.explode(sh).alias("g")).distinct()
-    cg = d.filter(~is_eval).select("doc_id", F.explode(sh).alias("g"))
-    hits = cg.join(F.broadcast(ev), "g").select("doc_id").distinct()
+    flags = _contamination(spark, sf_dir, _CONTAM_N).select("doc_id", "contaminated")
+    n_contam = F.sum(F.col("contaminated").cast("long"))
     return (
-        d.filter(~is_eval)
-        .select("doc_id", "source")
-        .join(hits.withColumn("__hit", F.lit(1)), "doc_id", "left")
+        flags.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.count("__hit").alias("n_contaminated"),
-            (
-                F.count("__hit").cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("contamination_rate"),
+            n_contam.alias("n_contaminated"),
+            (n_contam.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "contamination_rate"
+            ),
         )
     )

@@ -122,12 +122,16 @@ def compact_retention(
     expired days drop as whole directories.
     """
     raw = spark.read.parquet(path)
-    # a streaming-sink lake carries a trailing batch_epoch partition
-    # (run_ingest_stream's idempotent write); the rewrite must keep
-    # that directory LEVEL - mixing depths across days breaks parquet
-    # partition discovery - but collapses every epoch into one
-    # "compacted" dir per day (the small-file merge). The streaming
-    # sink's numeric epoch ids never collide with the literal.
+    # The rewrite must preserve every partition LEVEL the lake
+    # carries - an hour level (granularity="hour" lakes) and/or the
+    # trailing batch_epoch of a streaming-sink lake - because mixing
+    # directory depths across days breaks parquet partition
+    # discovery for the WHOLE lake ("conflicting directory
+    # structures"). Hour keeps its values (pruning survives); epochs
+    # collapse into one "compacted" dir (the small-file merge - the
+    # streaming sink's checkpoint-token epoch ids never collide with
+    # the literal).
+    has_hour = "hour" in raw.columns
     has_epoch = "batch_epoch" in raw.columns
     live = retention_filter(raw, retention_hours, now_epoch, epoch_col)
     # partition-type inference reads "06" back as integer 6; rewrite
@@ -140,6 +144,11 @@ def compact_retention(
         .withColumn("day", F.format_string("%02d", F.col("day").cast("int")))
     )
     part_cols = ["year", "month", "day"]
+    if has_hour:
+        live = live.withColumn(
+            "hour", F.format_string("%02d", F.col("hour").cast("int"))
+        )
+        part_cols.append("hour")
     if has_epoch:
         live = live.withColumn("batch_epoch", F.lit("compacted"))
         part_cols.append("batch_epoch")
@@ -217,6 +226,11 @@ def compact_small_files(
     if not oversized:
         return []
     raw = spark.read.parquet(root)
+    # preserve every partition level the lake carries (hour and/or
+    # batch_epoch) - a rewrite that drops a level leaves this day at
+    # a different directory depth than its neighbors and parquet
+    # partition discovery fails for the WHOLE lake
+    has_hour = "hour" in raw.columns
     has_epoch = "batch_epoch" in raw.columns
     for y, m, d in oversized:
         day_df = raw.filter(
@@ -228,6 +242,11 @@ def compact_small_files(
             .withColumn("day", F.lit(d))
         )
         part_cols = ["year", "month", "day"]
+        if has_hour:
+            out = out.withColumn(
+                "hour", F.format_string("%02d", F.col("hour").cast("int"))
+            )
+            part_cols.append("hour")
         if has_epoch:
             out = out.withColumn("batch_epoch", F.lit("compacted"))
             part_cols.append("batch_epoch")

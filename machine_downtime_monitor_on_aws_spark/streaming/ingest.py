@@ -43,7 +43,7 @@ from ..operators.classify import (
 from ..operators.latest import latest_by_key
 from ..operators.normalize import parse_envelopes
 from ..sources.lake import with_day_partitions
-from .store import KeyedParquetStore
+from .store import KeyedParquetStore, release_checkpoint
 
 ENVELOPE_SCHEMA = "record_id STRING, partition_key STRING, arrival_ts DOUBLE, data STRING"
 
@@ -154,6 +154,51 @@ def read_envelope_stream_kinesis(
     for k, v in opts.items():
         reader = reader.option(k, v)
     return envelope_from_kinesis_records(reader.load())
+
+
+def _feed_epoch_published(feed_path: str, epoch_val: str) -> bool:
+    """True when the change feed already holds epoch ``epoch_val``.
+
+    Dynamic partition overwrite stages files and commits the
+    partition by rename, so the partition dir with part files exists
+    IFF the publish completed - a partial write never surfaces it.
+    The feed write is therefore write-once per epoch: the FIRST
+    publish is computed against the pre-commit store (the full,
+    correct delta set), and a retry must never rewrite it - a crash
+    midway through the store commit leaves some buckets updated, so
+    the retry's recomputed deltas are a SUBSET and overwriting would
+    silently lose feed rows."""
+    import os
+
+    d = os.path.join(feed_path, f"__epoch_id={epoch_val}")
+    return os.path.isdir(d) and any(f.startswith("part-") for f in os.listdir(d))
+
+
+def _checkpoint_sink_token(checkpoint_dir: str) -> str:
+    """Stable token identifying a checkpoint LINEAGE, persisted inside
+    the checkpoint dir itself. Epoch partition values embed it
+    (``<token>-<epoch_id>``) so the idempotent dynamic-overwrite sinks
+    are scoped to the lineage that generated the epoch ids: a retry
+    against the SAME checkpoint replaces its own partial output
+    (exactly-once), while a FRESH checkpoint pointed at the same sink
+    path restarts epoch ids at 0 under a NEW token and can never
+    clobber data a previous lineage wrote (without the token, new
+    epoch 0 dynamic-overwrites historical epoch-0 partitions -
+    silent data loss, strictly worse than append's duplicates)."""
+    import os
+    import uuid
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    p = os.path.join(checkpoint_dir, "spark_graft_sink_token")
+    if os.path.exists(p):
+        with open(p) as f:
+            return f.read().strip()
+    tok = uuid.uuid4().hex[:12]
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(tok)
+    os.replace(tmp, p)  # atomic: concurrent starts agree on one token
+    return tok
 
 
 @dataclass
@@ -303,7 +348,15 @@ def run_ingest_stream(
     configs land in a broadcast join - both rebuilt per batch, which
     is exactly the reference's reload-on-config-change without the
     env-var plumbing.
+
+    Sink paths must be fresh or already in this pipeline's layout
+    (day partitions + trailing epoch partition): pointing the sinks
+    at a lake written by a flat append-mode pipeline mixes directory
+    depths and parquet partition discovery rejects the whole path -
+    run one `compact_retention` pass over such a lake first (it
+    normalizes the layout).
     """
+    sink_token = _checkpoint_sink_token(checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         cfg = config_provider().validate()
@@ -363,7 +416,7 @@ def run_ingest_stream(
                     "event_ts", F.timestamp_seconds(F.col("message_timestamp"))
                 ),
                 "event_ts",
-            ).withColumn("batch_epoch", F.lit(str(epoch_id)))
+            ).withColumn("batch_epoch", F.lit(f"{sink_token}-{epoch_id}"))
             day_rows.sortWithinPartitions(
                 "year", "month", "day", "id"
             ).write.mode("overwrite").option(
@@ -385,20 +438,25 @@ def run_ingest_stream(
                 store = KeyedParquetStore(
                     sinks.snapshot_path, "machine_id", sinks.snapshot_buckets
                 )
-                # two-phase upsert: publish the change feed BEFORE
-                # committing the store, epoch-partitioned with dynamic
-                # overwrite. Crash between feed and commit -> retry
-                # recomputes identical deltas and overwrites its own
-                # epoch partition; crash after commit -> retry's
-                # deltas are empty and an empty dynamic overwrite
-                # touches nothing, so the published feed survives.
-                # Exactly-once for BOTH snapshot and feed (the old
+                # two-phase upsert, feed published BEFORE the store
+                # commit and WRITE-ONCE per epoch (the old
                 # upsert-then-append order silently LOST feed rows
-                # when the crash landed between them).
+                # when a crash landed between them). Crash windows:
+                # during the feed write -> partition never surfaced,
+                # retry republishes the full set; between feed and
+                # commit (incl. a PARTIAL commit) -> the published
+                # partition survives untouched - the retry's
+                # recomputed deltas can be a subset once some buckets
+                # committed, which is exactly why it must not rewrite
+                # the feed; after commit -> feed already published,
+                # commit re-converges idempotently.
                 deltas, merged = store.plan_upsert(latest, compare_col="status")
-                if sinks.change_feed_path:
+                epoch_val = f"{sink_token}-{epoch_id}"
+                if sinks.change_feed_path and not _feed_epoch_published(
+                    sinks.change_feed_path, epoch_val
+                ):
                     deltas.withColumn(
-                        "__epoch_id", F.lit(epoch_id)
+                        "__epoch_id", F.lit(epoch_val)
                     ).write.mode("overwrite").option(
                         "partitionOverwriteMode", "dynamic"
                     ).partitionBy("__epoch_id").parquet(sinks.change_feed_path)
@@ -410,6 +468,11 @@ def run_ingest_stream(
                         sorted(delta_rows, key=lambda r: r["machine_id"])
                     )
                 store.commit(merged)
+                # the two plan_upsert checkpoints are consumed by the
+                # feed write + commit above; release them or a
+                # long-lived query pins two RDDs per epoch forever
+                release_checkpoint(merged)
+                release_checkpoint(deltas)
         finally:
             if reportable is not None:
                 reportable.unpersist()
@@ -467,18 +530,25 @@ def streaming_latest_status_durable(
     and the state store (one row per machine) guards event-time
     ordering across batches."""
     store = KeyedParquetStore(store_path, "machine_id", num_buckets)
+    sink_token = _checkpoint_sink_token(checkpoint_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        # feed-before-commit, epoch-keyed dynamic overwrite: same
-        # exactly-once ordering as run_ingest_stream's snapshot leg
+        # feed-before-commit, checkpoint-token epoch key, write-once
+        # per epoch: same exactly-once reasoning as
+        # run_ingest_stream's snapshot leg
         deltas, merged = store.plan_upsert(batch_df, compare_col="status")
-        if change_feed_path:
+        epoch_val = f"{sink_token}-{epoch_id}"
+        if change_feed_path and not _feed_epoch_published(
+            change_feed_path, epoch_val
+        ):
             deltas.withColumn(
-                "__epoch_id", F.lit(epoch_id)
+                "__epoch_id", F.lit(epoch_val)
             ).write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("__epoch_id").parquet(change_feed_path)
         store.commit(merged)
+        release_checkpoint(merged)
+        release_checkpoint(deltas)
 
     agg = source_messages.groupBy("machine_id").agg(
         F.max_by("status", F.col("event_epoch")).alias("status"),

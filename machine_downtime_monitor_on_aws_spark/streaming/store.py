@@ -44,6 +44,38 @@ from ..operators.latest import changed_rows
 _BUCKET_COL = "__kb"
 
 
+def _tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that records which RDD ids it pinned
+    (as ``_spark_graft_ckpt_ids`` on the returned frame) so
+    :func:`release_checkpoint` can free them deterministically.
+    Neither ``DataFrame.unpersist()`` nor dropping the Python
+    reference releases a localCheckpoint's blocks (verified on
+    PySpark 4.1), and a long-lived streaming query that checkpoints
+    per micro-batch would otherwise pin two RDDs per epoch for the
+    life of the query."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    out = df.localCheckpoint(eager=True)
+    after = set(sc._jsc.getPersistentRDDs().keys())
+    out._spark_graft_ckpt_ids = tuple(after - before)
+    return out
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the blocks a :func:`_tracked_local_checkpoint` pinned.
+    Call ONLY after every consumer of the frame has executed - a
+    released localCheckpoint cannot be recomputed. No-op for frames
+    without tracking metadata."""
+    ids = getattr(df, "_spark_graft_ckpt_ids", ())
+    if not ids:
+        return
+    jmap = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 @dataclass
 class KeyedParquetStore:
     path: str
@@ -108,8 +140,8 @@ class KeyedParquetStore:
         else:
             deltas = updates
             merged = u
-        deltas = deltas.localCheckpoint(eager=True)
-        merged = merged.localCheckpoint(eager=True)
+        deltas = _tracked_local_checkpoint(deltas)
+        merged = _tracked_local_checkpoint(merged)
         return deltas, merged
 
     def commit(self, merged: DataFrame) -> None:
@@ -127,8 +159,10 @@ class KeyedParquetStore:
         returns the delta rows (keys that are new or whose
         ``compare_col`` changed; all update rows when ``compare_col``
         is None). Callers that publish the deltas somewhere durable
-        should use the two-phase API and publish between the
-        phases."""
+        should use the two-phase API and publish between the phases;
+        long-lived callers should :func:`release_checkpoint` the
+        returned deltas once consumed (merged is released here)."""
         deltas, merged = self.plan_upsert(updates, compare_col)
         self.commit(merged)
+        release_checkpoint(merged)
         return deltas

@@ -499,3 +499,24 @@ def test_band_arrays_from_signatures_equals_text_path(spark):
 
     with _pytest.raises(ValueError, match="divisible"):
         band_arrays_from_signatures(sig, 3, 8)
+
+
+def test_append_bootstraps_fresh_index_table(spark):
+    """append_to_minhash_index against a NOT-yet-existing table is the
+    bootstrap path (mode='append' saveAsTable creates it) - the
+    metadata guard must validate nothing rather than crash."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        append_to_minhash_index,
+        incremental_candidate_pairs,
+        minhash_band_arrays,
+    )
+
+    docs = _corpus(spark, [(i, f"bootstrap doc number {i} body") for i in range(6)])
+    ba = minhash_band_arrays(docs, "doc_id", "body")
+    try:
+        append_to_minhash_index(ba, "mh_bootstrap_test", 4, num_perms=8)
+        # table now exists and is probeable
+        n = incremental_candidate_pairs(spark, ba, "mh_bootstrap_test", 4).count()
+        assert n >= 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_bootstrap_test")

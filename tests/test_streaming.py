@@ -1160,3 +1160,101 @@ def test_hour_granularity_lake(spark, tmp_path):
 
     with pytest.raises(ValueError, match="granularity"):
         write_lake(df, path, granularity="minute")
+
+
+def test_fresh_checkpoint_never_clobbers_prior_lineage(spark, dirs, tmp_path):
+    """Epoch partition values embed a per-checkpoint-lineage token:
+    a NEW checkpoint dir pointed at the same realtime/feed paths
+    restarts epoch ids at 0, and without the token its dynamic
+    overwrite would silently REPLACE the historical epoch-0
+    partitions (data loss where append at worst duplicated)."""
+    sinks = IngestSinks(realtime_path=dirs["realtime"])
+    _run_batch(spark, dirs, sinks, [_record("r1", _msg("site/a/p/m1/status", "u"))], 1)
+    n1 = spark.read.parquet(dirs["realtime"]).count()
+    assert n1 == 1
+    assert os.path.exists(os.path.join(dirs["ckpt"], "spark_graft_sink_token"))
+
+    # same source+realtime, FRESH checkpoint: everything reprocesses
+    # as epoch 0 of a new lineage - and must ADD, not clobber
+    with open(os.path.join(dirs["src"], "batch2.jsonl"), "w") as f:
+        f.write(_record("r2", _msg("site/a/p/m1/status", "d", TS2)))
+    ckpt2 = str(tmp_path / "ckpt2")
+    src = read_envelope_stream(spark, dirs["src"])
+    q = run_ingest_stream(spark, src, lambda: CFG, sinks, ckpt2)
+    _drain(q)
+    rt = read_lake_day(spark, dirs["realtime"], 2021, 3, 5)
+    # lineage 1 wrote r1; lineage 2 reprocessed r1+r2 (its own
+    # exactly-once scope) - the r1 row from lineage 1 must survive
+    assert rt.count() == 3
+    tokens_seen = {
+        r.batch_epoch.rsplit("-", 1)[0]
+        for r in spark.read.parquet(dirs["realtime"]).select("batch_epoch").collect()
+    }
+    assert len(tokens_seen) == 2  # two lineages, two tokens
+
+
+def test_plan_upsert_checkpoints_released_per_epoch(spark, dirs):
+    """A long-lived query must not pin plan_upsert's two
+    localCheckpoint RDDs per epoch: after each micro-batch the
+    tracked blocks are explicitly released (DataFrame.unpersist and
+    Python GC provably do NOT free them on PySpark 4.1)."""
+    from machine_downtime_monitor_on_aws_spark.session import persistent_rdd_ids
+
+    sinks = IngestSinks(realtime_path=dirs["realtime"], snapshot_path=dirs["snapshot"])
+    before = set(persistent_rdd_ids(spark))
+    for i in range(3):
+        _run_batch(
+            spark, dirs, sinks,
+            [_record(f"r{i}", _msg("site/a/p/m1/status", "u" if i % 2 else "d",
+                                   f"2021-03-05 18:1{i}:10.517000+00:00"))],
+            i,
+        )
+    leaked = set(persistent_rdd_ids(spark)) - before
+    assert leaked == set(), leaked
+
+
+def test_hour_lake_compaction_preserves_hour_level(spark, tmp_path):
+    """compact_retention and compact_small_files on an hour-granular
+    lake must keep the hour directory level (a dropped level = mixed
+    depths = 'conflicting directory structures' for the WHOLE lake)
+    and keep hour pruning + appends working."""
+    from machine_downtime_monitor_on_aws_spark.sources.lake import (
+        compact_retention,
+        compact_small_files,
+        day_file_counts,
+        read_lake,
+        write_lake,
+    )
+
+    path = str(tmp_path / "hourly")
+    df = spark.createDataFrame(
+        [(1, 2_000_000, "2024-06-01 10:15:00"), (2, 2_000_100, "2024-06-01 11:45:00"),
+         (3, 1_000_000, "2024-05-01 10:00:00")],  # expired day
+        "id long, message_timestamp long, ts_s string",
+    ).withColumn("event_ts", F.col("ts_s").cast("timestamp"))
+    for _ in range(3):  # small-file accumulation
+        write_lake(df, path, granularity="hour")
+
+    compact_retention(spark, path, retention_hours=24, now_epoch=2_000_000 + 3600)
+    assert os.path.isdir(
+        os.path.join(path, "year=2024", "month=06", "day=01", "hour=10")
+    )
+    assert not os.path.exists(os.path.join(path, "year=2024", "month=05"))
+    lk = read_lake(spark, path)
+    # 3 appends of (1, 2) survive retention; day 05 dropped whole
+    assert sorted(r.id for r in lk.collect()) == [1, 1, 1, 2, 2, 2]
+
+    # grow files again, bound them; hour level must survive
+    for _ in range(3):
+        write_lake(df.filter(F.col("id") != 3), path, granularity="hour")
+    assert day_file_counts(path)[("2024", "06", "01")] > 2
+    done = compact_small_files(spark, path, 2)
+    assert done == [("2024", "06", "01")]
+    assert os.path.isdir(
+        os.path.join(path, "year=2024", "month=06", "day=01", "hour=11")
+    )
+    lk2 = read_lake(spark, path)
+    assert sorted(r.id for r in lk2.collect()) == [1] * 6 + [2] * 6
+    # and further hour appends still discover cleanly
+    write_lake(df.filter(F.col("id") == 1), path, granularity="hour")
+    assert read_lake(spark, path).count() == 13
