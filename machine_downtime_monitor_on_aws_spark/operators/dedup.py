@@ -966,6 +966,12 @@ def append_to_minhash_index(
         num_buckets,
         mode="append",
     )
+    # the writing session's own cache invalidates on saveAsTable, but
+    # OTHER sessions' cached file listings (e.g. the main session when
+    # this append runs inside a foreachBatch clone) go stale and read
+    # the pre-append file set; the reader-side refresh in
+    # incremental_candidate_pairs is the matching guard
+    band_arrays.sparkSession.catalog.refreshTable(table_name)
 
 
 def incremental_candidate_pairs(
@@ -1008,6 +1014,11 @@ def incremental_candidate_pairs(
     _check_index_params(
         spark, table_name, num_perms=num_perms, num_bands=num_bands, shingle_n=shingle_n
     )
+    # a grown-by-append table's file listing may be cached stale in
+    # THIS session when the appends ran in another (foreachBatch
+    # clones) - probing a stale listing silently misses the newest
+    # history; refresh is a metadata-only invalidation
+    spark.catalog.refreshTable(table_name)
     hist = spark.table(table_name)
     new_banded = new_band_arrays.select(
         "doc_id",
@@ -1021,9 +1032,21 @@ def incremental_candidate_pairs(
         F.col("__bands").alias("__bb"),
     )
     batch_ids = new_band_arrays.select(F.col("doc_id").alias("__bid"))
-    build = hist.join(
-        F.broadcast(batch_ids), hist["doc_id"] == F.col("__bid"), "left_anti"
-    ).selectExpr("band_key", "doc_id AS doc_a", "__bands AS __ba")
+    # dropDuplicates on (band_key, doc_a): an append-then-crash
+    # replay re-appends a batch's band rows VERBATIM, and duplicate
+    # history rows would emit each cross-history pair once per copy.
+    # The dedupe is shuffle-free: the table is bucketed on band_key,
+    # and HashPartitioning(band_key) satisfies the grouping's
+    # clustered distribution (same band_key -> same partition ->
+    # same (band_key, doc_a) co-located) - asserted by the bucketed
+    # plan test.
+    build = (
+        hist.join(
+            F.broadcast(batch_ids), hist["doc_id"] == F.col("__bid"), "left_anti"
+        )
+        .selectExpr("band_key", "doc_id AS doc_a", "__bands AS __ba")
+        .dropDuplicates(["band_key", "doc_a"])
+    )
     first = _first_matching_band(
         num_bands,
         lambda k: F.col("__ba")[k],

@@ -1,0 +1,146 @@
+"""Streaming incremental near-dedup: the steady-state corpus-ingest
+loop of a training-data pipeline, wired end-to-end.
+
+Each micro-batch of documents is (1) banded once, (2) paired against
+the persisted historical MinHash index AND itself
+(``incremental_candidate_pairs`` - the history side never leaves its
+band_key buckets), (3) the pairs land in an epoch-partitioned sink,
+and (4) the batch's band rows append to the index so the NEXT batch
+probes against them. Per-batch cost is O(batch + touched buckets),
+never O(corpus) - re-running full-corpus dedup per ingest batch is
+unaffordable at 100 TB (see operators/dedup.py scale notes).
+
+Crash semantics, per sink:
+
+- pairs: epoch-partitioned dynamic OVERWRITE keyed by the
+  checkpoint-lineage token (same mechanism as the realtime lake) -
+  a retried epoch replaces its own partial output, a fresh
+  checkpoint lineage can never clobber a prior one.
+- index: plain bucketed APPEND (bucketed tables cannot dynamic-
+  overwrite), so a crash between the pairs write and the epoch
+  marker re-appends the batch's band rows once per retry. That is
+  SAFE for correctness: ``incremental_candidate_pairs`` dedupes the
+  history side on (band_key, doc_a) shuffle-free, and the history
+  anti-join already excludes the replayed batch's own ids - the
+  duplicate rows cost only storage, reclaimed by rebuilding the
+  index from the deduped corpus at compaction time. The epoch
+  marker (written AFTER the append) bounds the duplication to one
+  re-append per crash, and a fully-committed epoch replay skips all
+  work.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import (
+    DEFAULT_NUM_BANDS,
+    append_to_minhash_index,
+    candidate_pairs_exact,
+    incremental_candidate_pairs,
+    minhash_band_arrays,
+    write_minhash_index,
+)
+from .ingest import _checkpoint_sink_token
+from .store import _tracked_local_checkpoint, release_checkpoint
+
+
+def run_incremental_dedup_stream(
+    doc_stream: DataFrame,
+    index_table: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 8,
+    num_bands: int = DEFAULT_NUM_BANDS,
+    shingle_n: int = 5,
+    num_buckets: int = 64,
+    parallelism: int | None = None,
+) -> StreamingQuery:
+    """Start the streaming dedup loop over a document stream.
+
+    ``pairs_path`` accumulates one epoch partition per micro-batch
+    holding every candidate pair that touches that batch (vs history
+    and batch-internal, ``doc_a < doc_b`` exactly once) - the feed a
+    downstream canonicalization job consumes. ``index_table`` is
+    created on the first batch (full signature metadata stamped) and
+    grown by every subsequent one.
+    """
+    spark = doc_stream.sparkSession
+    token = _checkpoint_sink_token(checkpoint_dir)
+    marker_dir = os.path.join(checkpoint_dir, "dedup_epochs")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_val = f"{token}-{epoch_id}"
+        marker = os.path.join(marker_dir, epoch_val)
+        if os.path.exists(marker):
+            return  # fully committed epoch replayed after restart
+        ba = _tracked_local_checkpoint(
+            minhash_band_arrays(
+                batch_df,
+                id_col,
+                text_col,
+                num_perms,
+                num_bands,
+                shingle_n,
+                parallelism=parallelism,
+            )
+        )
+        try:
+            if spark.catalog.tableExists(index_table):
+                pairs = incremental_candidate_pairs(
+                    spark,
+                    ba,
+                    index_table,
+                    num_bands,
+                    num_perms=num_perms,
+                    shingle_n=shingle_n,
+                )
+            else:
+                pairs = candidate_pairs_exact(ba, num_bands)
+            pairs.withColumn("__epoch_id", F.lit(epoch_val)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "__epoch_id"
+            ).parquet(pairs_path)
+            if spark.catalog.tableExists(index_table):
+                append_to_minhash_index(
+                    ba,
+                    index_table,
+                    num_buckets,
+                    num_perms=num_perms,
+                    num_bands=num_bands,
+                    shingle_n=shingle_n,
+                )
+            else:
+                write_minhash_index(
+                    ba,
+                    index_table,
+                    num_buckets,
+                    num_perms=num_perms,
+                    num_bands=num_bands,
+                    shingle_n=shingle_n,
+                )
+            # the index writes above ran through the micro-batch's
+            # cloned session (ba derives from batch_df); refresh the
+            # MAIN session's cached listing so user reads and the
+            # next batch's probe see the grown table
+            spark.catalog.refreshTable(index_table)
+            with open(marker + ".tmp", "w") as f:
+                f.write(epoch_val)
+            os.replace(marker + ".tmp", marker)
+        finally:
+            release_checkpoint(ba)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

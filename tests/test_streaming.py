@@ -1258,3 +1258,89 @@ def test_hour_lake_compaction_preserves_hour_level(spark, tmp_path):
     # and further hour appends still discover cleanly
     write_lake(df.filter(F.col("id") == 1), path, granularity="hour")
     assert read_lake(spark, path).count() == 13
+
+
+def test_streaming_incremental_dedup_loop(spark, tmp_path):
+    """The steady-state corpus loop: batch 1 bootstraps the index and
+    finds its internal dups; batch 2 finds dups against HISTORY and
+    itself with only the batch hashed; pairs land epoch-partitioned;
+    a duplicate index append (the crash-replay case) changes nothing
+    in the probe result (the (band_key, doc_a) shield)."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        append_to_minhash_index,
+        incremental_candidate_pairs,
+        minhash_band_arrays,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.dedup import (
+        run_incremental_dedup_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    pairs_path = str(tmp_path / "pairs")
+    os.makedirs(src)
+    table = "sdedup_index_test"
+
+    def stream():
+        return spark.readStream.schema("doc_id long, text string").json(src)
+
+    def run():
+        q = run_incremental_dedup_stream(
+            stream(), table, pairs_path, ckpt, num_buckets=8, parallelism=4
+        )
+        q.awaitTermination(120)
+
+    try:
+        # batch 1: one internal dup pair (1, 2)
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in [
+                {"doc_id": 1, "text": "a duplicated body shared within the batch"},
+                {"doc_id": 2, "text": "a duplicated body shared within the batch"},
+                {"doc_id": 3, "text": "something entirely different and unique"},
+            ]))
+        run()
+        p1 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(pairs_path).collect()}
+        assert p1 == {(1, 2)}
+        assert spark.table(table).select("doc_id").distinct().count() == 3
+
+        # batch 2: doc 10 duplicates history's doc 1/2; 11+12 dup each other
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in [
+                {"doc_id": 10, "text": "a duplicated body shared within the batch"},
+                {"doc_id": 11, "text": "fresh new duplicated content here"},
+                {"doc_id": 12, "text": "fresh new duplicated content here"},
+            ]))
+        run()
+        feed = spark.read.parquet(pairs_path)
+        p_all = {(r.doc_a, r.doc_b) for r in feed.collect()}
+        assert p_all == {(1, 2), (1, 10), (2, 10), (11, 12)}
+        assert feed.count() == 4  # exactly once each, across epochs
+        assert spark.table(table).select("doc_id").distinct().count() == 6
+
+        # no-new-data restart: markers + checkpoint make it a no-op
+        run()
+        assert spark.read.parquet(pairs_path).count() == 4
+
+        # crash-replay shield: re-append batch 2's band rows verbatim
+        # (what a crash between pairs write and marker would do) and
+        # probe with a fresh batch - every pair still exactly once
+        b2 = spark.createDataFrame(
+            [(10, "a duplicated body shared within the batch"),
+             (11, "fresh new duplicated content here"),
+             (12, "fresh new duplicated content here")],
+            "doc_id long, text string",
+        )
+        append_to_minhash_index(
+            minhash_band_arrays(b2, "doc_id", "text"), table, 8, num_perms=8
+        )
+        probe = spark.createDataFrame(
+            [(20, "a duplicated body shared within the batch")],
+            "doc_id long, text string",
+        )
+        rows = incremental_candidate_pairs(
+            spark, minhash_band_arrays(probe, "doc_id", "text"), table, 4
+        ).collect()
+        got = sorted((r.doc_a, r.doc_b) for r in rows)
+        assert got == [(1, 20), (2, 20), (10, 20)]  # dup rows -> still once
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
