@@ -92,8 +92,10 @@ def run_incremental_dedup_stream(
                 parallelism=parallelism,
             )
         )
+        pairs = None
         try:
-            if spark.catalog.tableExists(index_table):
+            index_exists = spark.catalog.tableExists(index_table)
+            if index_exists:
                 pairs = incremental_candidate_pairs(
                     spark,
                     ba,
@@ -104,39 +106,53 @@ def run_incremental_dedup_stream(
                 )
             else:
                 pairs = candidate_pairs_exact(ba, num_bands)
-            pairs.withColumn("__epoch_id", F.lit(epoch_val)).write.mode(
-                "overwrite"
-            ).option("partitionOverwriteMode", "dynamic").partitionBy(
-                "__epoch_id"
-            ).parquet(pairs_path)
-            if spark.catalog.tableExists(index_table):
-                append_to_minhash_index(
-                    ba,
-                    index_table,
-                    num_buckets,
-                    num_perms=num_perms,
-                    num_bands=num_bands,
-                    shingle_n=shingle_n,
-                )
-            else:
-                write_minhash_index(
-                    ba,
-                    index_table,
-                    num_buckets,
-                    num_perms=num_perms,
-                    num_bands=num_bands,
-                    shingle_n=shingle_n,
-                )
+            # materialize once: the count gates the write (an
+            # all-unique batch - the common fresh-corpus case - would
+            # otherwise leave pairs_path schema-less: zero part files
+            # means spark.read.parquet cannot infer a schema and the
+            # downstream feed reader crashes; absent-dir-means-empty
+            # is the documented contract instead) and the write then
+            # reads the checkpointed rows, not a recomputed plan
+            pairs = _tracked_local_checkpoint(pairs)
+            if pairs.count() > 0:
+                pairs.withColumn("__epoch_id", F.lit(epoch_val)).write.mode(
+                    "overwrite"
+                ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                    "__epoch_id"
+                ).parquet(pairs_path)
+            writer = append_to_minhash_index if index_exists else write_minhash_index
+            writer(
+                ba,
+                index_table,
+                num_buckets,
+                num_perms=num_perms,
+                num_bands=num_bands,
+                shingle_n=shingle_n,
+            )
             # the index writes above ran through the micro-batch's
             # cloned session (ba derives from batch_df); refresh the
-            # MAIN session's cached listing so user reads and the
-            # next batch's probe see the grown table
+            # MAIN session's cached listing so ad-hoc user reads see
+            # the grown table (the next batch's probe refreshes
+            # itself inside incremental_candidate_pairs)
             spark.catalog.refreshTable(index_table)
             with open(marker + ".tmp", "w") as f:
                 f.write(epoch_val)
             os.replace(marker + ".tmp", marker)
+            # only the latest uncommitted epoch can ever be replayed;
+            # prune older markers so a long-lived loop doesn't grow
+            # one file per micro-batch forever
+            for old in os.listdir(marker_dir):
+                if old != epoch_val and not old.endswith(".tmp"):
+                    old_p = os.path.join(marker_dir, old)
+                    try:
+                        if os.path.getmtime(old_p) < os.path.getmtime(marker):
+                            os.remove(old_p)
+                    except OSError:
+                        pass
         finally:
             release_checkpoint(ba)
+            if pairs is not None:
+                release_checkpoint(pairs)
 
     return (
         doc_stream.writeStream.foreachBatch(process_batch)

@@ -143,6 +143,18 @@ def test_incremental_neardup_matches_full_rerun(spark):
             plan = buf.getvalue()
             assert "Bucketed: true" in plan
             assert "disabled by query planner" not in plan
+            # pin the history side's zero-exchange contract directly:
+            # exactly ONE band_key exchange may exist (the PROBE side
+            # of the history join - batch-sized by design), and the
+            # replay-shield dropDuplicates must ride the bucketing,
+            # never its own hashpartitioning(band_key, doc_a) shuffle
+            band_key_exchanges = [
+                ln
+                for ln in plan.splitlines()
+                if "Arguments: hashpartitioning(band_key" in ln
+            ]
+            assert len(band_key_exchanges) == 1, band_key_exchanges
+            assert not any("doc_a" in ln for ln in band_key_exchanges)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:

@@ -1344,3 +1344,51 @@ def test_streaming_incremental_dedup_loop(spark, tmp_path):
         assert got == [(1, 20), (2, 20), (10, 20)]  # dup rows -> still once
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_dedup_all_unique_batch_defers_feed(spark, tmp_path):
+    """A micro-batch with zero candidate pairs must NOT write a
+    schema-less empty parquet dataset (unreadable by the feed
+    consumer): the contract is absent-path-means-empty until the
+    first non-empty epoch, and markers are pruned to the newest."""
+    from machine_downtime_monitor_on_aws_spark.streaming.dedup import (
+        run_incremental_dedup_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    pairs_path = str(tmp_path / "pairs")
+    os.makedirs(src)
+    table = "sdedup_unique_test"
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").json(src)
+        q = run_incremental_dedup_stream(
+            stream, table, pairs_path, ckpt, num_buckets=8
+        )
+        q.awaitTermination(120)
+
+    try:
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in [
+                {"doc_id": 1, "text": "completely unique first document"},
+                {"doc_id": 2, "text": "another text sharing nothing at all"},
+            ]))
+        run()
+        assert not os.path.exists(pairs_path)  # no schema-less dir
+        assert spark.table(table).select("doc_id").distinct().count() == 2
+
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.write(json.dumps(
+                {"doc_id": 3, "text": "completely unique first document"}
+            ))
+        run()
+        feed = spark.read.parquet(pairs_path)  # now readable
+        assert {(r.doc_a, r.doc_b) for r in feed.collect()} == {(1, 3)}
+        markers = [
+            m for m in os.listdir(os.path.join(ckpt, "dedup_epochs"))
+            if not m.endswith(".tmp")
+        ]
+        assert len(markers) == 1  # older markers pruned
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
