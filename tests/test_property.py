@@ -303,3 +303,44 @@ def test_deterministic_sample_partition_independent(seed):
     ]
     assert kept[0] == kept[1] == kept[2]
     assert 0 < len(kept[0]) < 300
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(0, 10_000))
+def test_minhash_signatures_match_python_model(seed):
+    """minhash_signatures vs the definitional pure-Python model:
+    element k = min over word-5-gram shingles of md5('k:' || s)
+    (docs shorter than one shingle fall back to the trimmed whole
+    text). The estimator QA and banding both stand on this frame."""
+    import hashlib
+
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    docs = []
+    for i in range(rng.randint(1, 12)):
+        n_tok = rng.randint(0, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n_tok))))
+
+    def model_sig(text, num_perms=8, n=5):
+        toks = text.split()
+        if len(toks) >= n:
+            sh = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        else:
+            sh = [text.strip()]
+        return tuple(
+            min(hashlib.md5(f"{k}:{s}".encode()).hexdigest() for s in sh)
+            for k in range(num_perms)
+        )
+
+    expected = {i: model_sig(t) for i, t in docs}
+    spark = _spark()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: tuple(r["__sig"])
+        for r in minhash_signatures(df, "doc_id", "text").collect()
+    }
+    assert got == expected
