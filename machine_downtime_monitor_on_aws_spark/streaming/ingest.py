@@ -156,7 +156,7 @@ def read_envelope_stream_kinesis(
     return envelope_from_kinesis_records(reader.load())
 
 
-def _feed_epoch_published(feed_path: str, epoch_val: str) -> bool:
+def _feed_epoch_published(spark: SparkSession, feed_path: str, epoch_val: str) -> bool:
     """True when the change feed already holds epoch ``epoch_val``.
 
     Dynamic partition overwrite stages files and commits the
@@ -167,14 +167,18 @@ def _feed_epoch_published(feed_path: str, epoch_val: str) -> bool:
     correct delta set), and a retry must never rewrite it - a crash
     midway through the store commit leaves some buckets updated, so
     the retry's recomputed deltas are a SUBSET and overwriting would
-    silently lose feed rows."""
-    import os
+    silently lose feed rows. Routed through the Hadoop FileSystem API
+    (fsio) so the guard holds on s3a://hdfs:// feeds - an
+    os.path.isdir check silently returns False for any URI and the
+    guard would degrade to rewrite-on-retry, reintroducing exactly
+    the subset-loss bug it exists to prevent (r5 advice)."""
+    from .. import fsio
 
-    d = os.path.join(feed_path, f"__epoch_id={epoch_val}")
-    return os.path.isdir(d) and any(f.startswith("part-") for f in os.listdir(d))
+    d = feed_path.rstrip("/") + f"/__epoch_id={epoch_val}"
+    return any(n.startswith("part-") for n in fsio.list_names(spark, d))
 
 
-def _checkpoint_sink_token(checkpoint_dir: str) -> str:
+def _checkpoint_sink_token(spark: SparkSession, checkpoint_dir: str) -> str:
     """Stable token identifying a checkpoint LINEAGE, persisted inside
     the checkpoint dir itself. Epoch partition values embed it
     (``<token>-<epoch_id>``) so the idempotent dynamic-overwrite sinks
@@ -184,21 +188,46 @@ def _checkpoint_sink_token(checkpoint_dir: str) -> str:
     path restarts epoch ids at 0 under a NEW token and can never
     clobber data a previous lineage wrote (without the token, new
     epoch 0 dynamic-overwrites historical epoch-0 partitions -
-    silent data loss, strictly worse than append's duplicates)."""
-    import os
+    silent data loss, strictly worse than append's duplicates).
+
+    Hadoop-FS realization (fsio): the checkpoint dir lives wherever
+    the stream's checkpointLocation does (HDFS/S3 on a cluster), so
+    the token must be durable THERE - publish is write-tmp +
+    fs.rename, and a lost rename race re-reads the winner's token so
+    concurrent starts still agree on one value."""
     import uuid
 
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    p = os.path.join(checkpoint_dir, "spark_graft_sink_token")
-    if os.path.exists(p):
-        with open(p) as f:
-            return f.read().strip()
-    tok = uuid.uuid4().hex[:12]
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(tok)
-    os.replace(tmp, p)  # atomic: concurrent starts agree on one token
-    return tok
+    from .. import fsio
+
+    p = checkpoint_dir.rstrip("/") + "/spark_graft_sink_token"
+    if fsio.exists(spark, p):
+        return fsio.read_text(spark, p).strip()
+    fsio.mkdirs(spark, checkpoint_dir)
+    fsio.write_text_atomic(spark, p, uuid.uuid4().hex[:12])
+    return fsio.read_text(spark, p).strip()
+
+
+def _assert_epoch_layout(spark: SparkSession, realtime_path: str) -> None:
+    """Refuse to point the epoch-partitioned realtime sink at a lake
+    whose existing day directories hold part files WITHOUT a
+    batch_epoch level (a legacy flat append-mode lake). Mixing the
+    two depths breaks parquet partition discovery for the whole path
+    ('conflicting directory structures'), and the breakage only
+    surfaces on the NEXT read - after the first epoch already wrote.
+    compact_retention(add_epoch_level=True) migrates such a lake."""
+    from .. import fsio
+
+    for f in fsio.list_files_recursive(spark, realtime_path):
+        name = f.rsplit("/", 1)[-1]
+        if name.startswith("part-") and "/day=" in f and "/batch_epoch=" not in f:
+            raise ValueError(
+                f"realtime_path {realtime_path!r} holds day-level part "
+                "files without a batch_epoch partition level (flat "
+                "append-mode layout); the epoch-partitioned sink would "
+                "mix directory depths and break partition discovery "
+                "for the whole lake. Run compact_retention(..., "
+                "add_epoch_level=True) over it first."
+            )
 
 
 @dataclass
@@ -353,10 +382,16 @@ def run_ingest_stream(
     (day partitions + trailing epoch partition): pointing the sinks
     at a lake written by a flat append-mode pipeline mixes directory
     depths and parquet partition discovery rejects the whole path -
-    run one `compact_retention` pass over such a lake first (it
-    normalizes the layout).
+    run one ``compact_retention(..., add_epoch_level=True)`` pass
+    over such a lake first to normalize the layout. This start-time
+    guard fails FAST on a flat lake (r5 advice): without it the
+    first epoch's year/month/day/batch_epoch write lands next to
+    day-level part files and 'conflicting directory structures'
+    makes the WHOLE lake unreadable - including by the compaction
+    pass that could have fixed it.
     """
-    sink_token = _checkpoint_sink_token(checkpoint_dir)
+    _assert_epoch_layout(spark, sinks.realtime_path)
+    sink_token = _checkpoint_sink_token(spark, checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         cfg = config_provider().validate()
@@ -453,7 +488,7 @@ def run_ingest_stream(
                 deltas, merged = store.plan_upsert(latest, compare_col="status")
                 epoch_val = f"{sink_token}-{epoch_id}"
                 if sinks.change_feed_path and not _feed_epoch_published(
-                    sinks.change_feed_path, epoch_val
+                    batch_df.sparkSession, sinks.change_feed_path, epoch_val
                 ):
                     deltas.withColumn(
                         "__epoch_id", F.lit(epoch_val)
@@ -530,7 +565,9 @@ def streaming_latest_status_durable(
     and the state store (one row per machine) guards event-time
     ordering across batches."""
     store = KeyedParquetStore(store_path, "machine_id", num_buckets)
-    sink_token = _checkpoint_sink_token(checkpoint_dir)
+    sink_token = _checkpoint_sink_token(
+        source_messages.sparkSession, checkpoint_dir
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         # feed-before-commit, checkpoint-token epoch key, write-once
@@ -539,7 +576,7 @@ def streaming_latest_status_durable(
         deltas, merged = store.plan_upsert(batch_df, compare_col="status")
         epoch_val = f"{sink_token}-{epoch_id}"
         if change_feed_path and not _feed_epoch_published(
-            change_feed_path, epoch_val
+            batch_df.sparkSession, change_feed_path, epoch_val
         ):
             deltas.withColumn(
                 "__epoch_id", F.lit(epoch_val)

@@ -33,7 +33,6 @@ idempotent.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -45,19 +44,32 @@ _BUCKET_COL = "__kb"
 
 
 def _tracked_local_checkpoint(df: DataFrame) -> DataFrame:
-    """Eager localCheckpoint that records which RDD ids it pinned
+    """Eager localCheckpoint that records which RDD id it pinned
     (as ``_spark_graft_ckpt_ids`` on the returned frame) so
-    :func:`release_checkpoint` can free them deterministically.
+    :func:`release_checkpoint` can free it deterministically.
     Neither ``DataFrame.unpersist()`` nor dropping the Python
     reference releases a localCheckpoint's blocks (verified on
     PySpark 4.1), and a long-lived streaming query that checkpoints
     per micro-batch would otherwise pin two RDDs per epoch for the
-    life of the query."""
-    sc = df.sparkSession.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keys())
+    life of the query.
+
+    The pinned id is read DIRECTLY off the returned frame's plan -
+    ``Dataset.localCheckpoint`` wraps exactly the RDD it persisted in
+    a ``LogicalRDD`` node - never by diffing the context-global
+    persistent-RDD set: with two concurrent streaming queries on one
+    SparkContext (ingest + incremental dedup both run through here),
+    a diff window can capture the OTHER thread's in-flight persist
+    and release_checkpoint would then unpersist a foreign
+    localCheckpoint that cannot be recomputed (r5 advice)."""
     out = df.localCheckpoint(eager=True)
-    after = set(sc._jsc.getPersistentRDDs().keys())
-    out._spark_graft_ckpt_ids = tuple(after - before)
+    try:
+        rid = int(out._jdf.queryExecution().analyzed().rdd().id())
+        out._spark_graft_ckpt_ids = (rid,)
+    except Exception:
+        # plan-shape drift in a future Spark: leave the frame
+        # untracked (release becomes a no-op; bench/session sweeps
+        # still reclaim) rather than risk freeing the wrong RDD
+        out._spark_graft_ckpt_ids = ()
     return out
 
 
@@ -87,13 +99,19 @@ class KeyedParquetStore:
             F.xxhash64(F.col(self.key_col).cast("string")), F.lit(self.num_buckets)
         ).cast("int")
 
-    def exists(self) -> bool:
-        if not os.path.isdir(self.path):
-            return False
-        for _, _, files in os.walk(self.path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
+    def exists(self, spark: SparkSession) -> bool:
+        """True when the store holds any committed parquet file.
+        Routed through the Hadoop FileSystem API (fsio) so the check
+        is correct when the store path is hdfs://s3a:// - an
+        os.path.isdir probe returns False for any URI and the merge
+        would silently treat an existing store as empty, dropping
+        every key the batch doesn't carry (r5 verdict)."""
+        from .. import fsio
+
+        return any(
+            f.endswith(".parquet")
+            for f in fsio.list_files_recursive(spark, self.path)
+        )
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Full store contents (no bucket column)."""
@@ -121,7 +139,7 @@ class KeyedParquetStore:
         """
         spark = updates.sparkSession
         u = updates.withColumn(_BUCKET_COL, self._bucket())
-        if self.exists():
+        if self.exists(spark):
             touched = [
                 r[0] for r in u.select(_BUCKET_COL).distinct().collect()
             ]  # bounded by num_buckets, not by data

@@ -1,0 +1,179 @@
+"""Hadoop-FS control-plane seam (r5 verdict item #1).
+
+The exactly-once tokens/markers/feed gates and the compaction passes
+run through machine_downtime_monitor_on_aws_spark.fsio (the Hadoop
+FileSystem API) so the same code path works on file://, hdfs://, and
+s3a://. These tests exercise the primitives AND the token/marker
+consumers through EXPLICIT ``file:`` URIs - the seam a real
+object-store deployment needs: with the old os.path realization every
+one of these calls silently returned False/failed for any URI.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_downtime_monitor_on_aws_spark import fsio
+
+
+def test_fsio_primitives_roundtrip_file_uri(spark, tmp_path):
+    root = "file:" + str(tmp_path / "ctl")
+    assert not fsio.exists(spark, root)
+    fsio.mkdirs(spark, root)
+    assert fsio.is_dir(spark, root)
+
+    p = root + "/token"
+    assert fsio.write_text_atomic(spark, p, "abc123")
+    assert fsio.read_text(spark, p) == "abc123"
+    # tmp staging file must not survive the publish
+    assert not fsio.exists(spark, p + ".tmp")
+    names = [n for n in fsio.list_names(spark, root) if not n.startswith(".")]
+    assert names == ["token"]
+
+    assert fsio.rename(spark, p, root + "/token2")
+    assert not fsio.exists(spark, p)
+    assert fsio.read_text(spark, root + "/token2") == "abc123"
+
+    files = fsio.list_files_recursive(spark, root)
+    assert any(f.endswith("/token2") for f in files)
+    assert fsio.delete(spark, root + "/token2", recursive=False)
+    assert fsio.list_files_recursive(spark, root + "/absent") == []
+
+
+def test_checkpoint_token_stable_through_file_uri(spark, tmp_path):
+    """The lineage token written via a file: URI must be re-read
+    identically by a plain-path caller and vice versa - both resolve
+    to the same file through the Hadoop local filesystem."""
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        _checkpoint_sink_token,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    t1 = _checkpoint_sink_token(spark, "file:" + str(ckpt))
+    t2 = _checkpoint_sink_token(spark, str(ckpt))
+    t3 = _checkpoint_sink_token(spark, "file:" + str(ckpt))
+    assert t1 == t2 == t3
+    assert len(t1) == 12
+
+
+def test_feed_epoch_published_gate_file_uri(spark, tmp_path):
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        _feed_epoch_published,
+    )
+
+    feed = "file:" + str(tmp_path / "feed")
+    assert not _feed_epoch_published(spark, feed, "tok-0")
+    (
+        spark.range(3)
+        .withColumn("__epoch_id", F.lit("tok-0"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__epoch_id")
+        .parquet(feed)
+    )
+    assert _feed_epoch_published(spark, feed, "tok-0")
+    # an epoch that never published stays unpublished - the write-once
+    # guard's exact discrimination
+    assert not _feed_epoch_published(spark, feed, "tok-1")
+
+
+def test_ingest_fails_fast_on_flat_lake(spark, tmp_path):
+    """r5 ADVICE (medium): pointing the epoch-partitioned realtime
+    sink at a legacy FLAT day-partitioned lake must fail at start -
+    not corrupt partition discovery for the whole lake on epoch 1 -
+    and compact_retention(add_epoch_level=True) is the migration."""
+    from machine_downtime_monitor_on_aws_spark.sources.lake import (
+        compact_retention,
+        write_lake,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
+        _assert_epoch_layout,
+    )
+
+    lake = str(tmp_path / "lake")
+    flat = spark.createDataFrame(
+        [(1, 2_000_000)], "id INT, message_timestamp LONG"
+    ).withColumn("event_ts", F.timestamp_seconds(F.col("message_timestamp")))
+    write_lake(flat, lake)  # flat layout: year/month/day, no epoch level
+
+    with pytest.raises(ValueError, match="batch_epoch"):
+        _assert_epoch_layout(spark, lake)
+
+    # migration pass: unconditional batch_epoch=compacted level
+    compact_retention(
+        spark, lake, retention_hours=24, now_epoch=2_000_000, add_epoch_level=True
+    )
+    _assert_epoch_layout(spark, lake)  # now accepted
+    dirs = {
+        d
+        for root, ds, _ in os.walk(lake)
+        for d in ds
+        if d.startswith("batch_epoch=")
+    }
+    assert dirs == {"batch_epoch=compacted"}
+    # and the migrated lake is readable with the layout consumers expect
+    out = spark.read.parquet(lake)
+    assert out.count() == 1 and "batch_epoch" in out.columns
+
+
+def test_streaming_dedup_markers_through_file_uri(spark, tmp_path):
+    """End-to-end: the incremental dedup loop with its CHECKPOINT DIR
+    (token + epoch markers + pruning) addressed as a file: URI - the
+    exact seam an s3a:// checkpointLocation exercises."""
+    from machine_downtime_monitor_on_aws_spark.streaming.dedup import (
+        run_incremental_dedup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b1.jsonl", "w") as f:
+        f.write(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"},
+                    {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog again and again"},
+                ]
+            )
+        )
+    table = "t_fsio_dedup_idx"
+    ckpt_uri = "file:" + str(tmp_path / "ckpt")
+    pairs = str(tmp_path / "pairs")
+    try:
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = run_incremental_dedup_stream(
+            stream, table, pairs, ckpt_uri, num_perms=4, num_bands=2, num_buckets=4
+        )
+        q.awaitTermination()
+        got = {
+            (r.doc_a, r.doc_b) for r in spark.read.parquet(pairs).collect()
+        }
+        assert got == {(1, 2)}
+        markers = [
+            m
+            for m in os.listdir(tmp_path / "ckpt" / "dedup_epochs")
+            if not m.endswith(".tmp") and not m.startswith(".")
+        ]
+        assert len(markers) == 1
+        # restart over the same URI checkpoint: fully-committed epoch
+        # replay is a no-op (marker read back through the URI)
+        stream2 = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q2 = run_incremental_dedup_stream(
+            stream2, table, pairs, ckpt_uri, num_perms=4, num_bands=2, num_buckets=4
+        )
+        q2.awaitTermination()
+        assert spark.table(table).select("doc_id").distinct().count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

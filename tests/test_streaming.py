@@ -997,7 +997,7 @@ def test_sustained_ingest_file_count_bounded(spark, dirs):
             [_record(f"r{i}", _msg("site/a/p/m1/status", "u" if i % 2 else "d"))],
             i,
         )
-    counts = day_file_counts(dirs["realtime"])
+    counts = day_file_counts(spark, dirs["realtime"])
     assert counts and all(k == ("2021", "03", "05") for k in counts)
     n_before = counts[("2021", "03", "05")]
     assert n_before >= 5  # one file minimum per epoch
@@ -1010,12 +1010,12 @@ def test_sustained_ingest_file_count_bounded(spark, dirs):
 
     # bound above current count: no-op, zero write amplification
     assert compact_small_files(spark, dirs["realtime"], n_before + 1) == []
-    assert day_file_counts(dirs["realtime"])[("2021", "03", "05")] == n_before
+    assert day_file_counts(spark, dirs["realtime"])[("2021", "03", "05")] == n_before
 
     # bound below: the day is rewritten coalesced
     done = compact_small_files(spark, dirs["realtime"], 2)
     assert done == [("2021", "03", "05")]
-    assert day_file_counts(dirs["realtime"])[("2021", "03", "05")] <= 2
+    assert day_file_counts(spark, dirs["realtime"])[("2021", "03", "05")] <= 2
 
     after = sorted(
         (r.id, r.message_timestamp, r.value)
@@ -1247,7 +1247,7 @@ def test_hour_lake_compaction_preserves_hour_level(spark, tmp_path):
     # grow files again, bound them; hour level must survive
     for _ in range(3):
         write_lake(df.filter(F.col("id") != 3), path, granularity="hour")
-    assert day_file_counts(path)[("2024", "06", "01")] > 2
+    assert day_file_counts(spark, path)[("2024", "06", "01")] > 2
     done = compact_small_files(spark, path, 2)
     assert done == [("2024", "06", "01")]
     assert os.path.isdir(
@@ -1387,7 +1387,8 @@ def test_streaming_dedup_all_unique_batch_defers_feed(spark, tmp_path):
         assert {(r.doc_a, r.doc_b) for r in feed.collect()} == {(1, 3)}
         markers = [
             m for m in os.listdir(os.path.join(ckpt, "dedup_epochs"))
-            if not m.endswith(".tmp")
+            # skip Hadoop local-FS .crc sidecars + tmp staging
+            if not m.endswith(".tmp") and not m.startswith(".")
         ]
         assert len(markers) == 1  # older markers pruned
     finally:
