@@ -8,6 +8,15 @@ oracle side-by-side and hash-compares values, so builders here must:
   double expressions), never order-dependent float accumulations;
 - pin the session to UTC (timestamps in parquet are naive-UTC and
   DuckDB reads them TZ-naive).
+
+Resource contract: a few builders (minhash_estimate_qa) take lazy
+localCheckpoint barriers so one hash pipeline feeds several legs;
+the pinned RDD ids ride the returned frame as
+``_spark_graft_ckpt_ids``. Long-lived callers should free them after
+consuming the frame - ``streaming.store.release_checkpoint(df)``
+(deterministic, per-frame) or ``session.unpersist_all_rdds(spark)``
+(the sweep bench.py runs between measurements). Short-lived sessions
+can ignore this; the blocks die with the context.
 """
 
 from __future__ import annotations

@@ -1147,12 +1147,27 @@ def minhash_estimate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     once - engine-exact."""
     d = _docs(spark, sf_dir)
     par = spark.sparkContext.defaultParallelism
-    sig = minhash_signatures(
-        d, "doc_id", "text", _NUM_PERMS, _SHINGLE_N, parallelism=par
-    ).localCheckpoint(eager=False)
-    pairs = candidate_pairs_exact(
-        band_arrays_from_signatures(sig, _NUM_BANDS, _NUM_PERMS), _NUM_BANDS
-    ).localCheckpoint(eager=False)
+    # lazy TRACKED checkpoints (r5 advice): the three barrier frames
+    # pin RDD blocks once materialized, and an untracked
+    # localCheckpoint is releasable only by the blunt
+    # unpersist_all_rdds sweep. Tracking propagates the pinned ids to
+    # the returned frame so any long-lived caller can free them
+    # deterministically with release_checkpoint(result) after
+    # consuming it (see the catalog module contract).
+    from ..streaming.store import _tracked_local_checkpoint
+
+    sig = _tracked_local_checkpoint(
+        minhash_signatures(
+            d, "doc_id", "text", _NUM_PERMS, _SHINGLE_N, parallelism=par
+        ),
+        eager=False,
+    )
+    pairs = _tracked_local_checkpoint(
+        candidate_pairs_exact(
+            band_arrays_from_signatures(sig, _NUM_BANDS, _NUM_PERMS), _NUM_BANDS
+        ),
+        eager=False,
+    )
     cand_ids = (
         pairs.selectExpr("doc_a AS __cid")
         .unionByName(pairs.selectExpr("doc_b AS __cid"))
@@ -1161,10 +1176,13 @@ def minhash_estimate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_docs = d.join(
         cand_ids, F.col("doc_id") == F.col("__cid"), "left_semi"
     )
-    sh = cand_docs.select(
-        "doc_id",
-        F.array_distinct(shingles(F.col("text"), _SHINGLE_N)).alias("__sh"),
-    ).localCheckpoint(eager=False)
+    sh = _tracked_local_checkpoint(
+        cand_docs.select(
+            "doc_id",
+            F.array_distinct(shingles(F.col("text"), _SHINGLE_N)).alias("__sh"),
+        ),
+        eager=False,
+    )
     out = (
         pairs.join(sig.selectExpr("doc_id AS doc_a", "__sig AS sa"), "doc_a")
         .join(sig.selectExpr("doc_id AS doc_b", "__sig AS sb"), "doc_b")
@@ -1179,12 +1197,20 @@ def minhash_estimate_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect("ja", "jb"))
     union = F.size("ja") + F.size("jb") - inter
-    return out.select(
+    result = out.select(
         "doc_a",
         "doc_b",
         (n_agree.cast("double") / F.lit(float(_NUM_PERMS))).alias("sig_estimate"),
         (inter.cast("double") / union.cast("double")).alias("exact_jaccard"),
     )
+    # hand the three barrier frames' pinned ids to the caller:
+    # release_checkpoint(result) frees them after consumption
+    result._spark_graft_ckpt_ids = (
+        getattr(sig, "_spark_graft_ckpt_ids", ())
+        + getattr(pairs, "_spark_graft_ckpt_ids", ())
+        + getattr(sh, "_spark_graft_ckpt_ids", ())
+    )
+    return result
 
 
 @register(

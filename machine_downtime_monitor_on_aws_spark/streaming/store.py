@@ -43,7 +43,7 @@ from ..operators.latest import changed_rows
 _BUCKET_COL = "__kb"
 
 
-def _tracked_local_checkpoint(df: DataFrame) -> DataFrame:
+def _tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Eager localCheckpoint that records which RDD id it pinned
     (as ``_spark_graft_ckpt_ids`` on the returned frame) so
     :func:`release_checkpoint` can free it deterministically.
@@ -60,8 +60,13 @@ def _tracked_local_checkpoint(df: DataFrame) -> DataFrame:
     SparkContext (ingest + incremental dedup both run through here),
     a diff window can capture the OTHER thread's in-flight persist
     and release_checkpoint would then unpersist a foreign
-    localCheckpoint that cannot be recomputed (r5 advice)."""
-    out = df.localCheckpoint(eager=True)
+    localCheckpoint that cannot be recomputed (r5 advice).
+
+    ``eager=False`` defers materialization to the first action (the
+    id is still registered at mark time) - for query builders that
+    must stay lazy (the catalog contract) while keeping their
+    barrier frames releasable."""
+    out = df.localCheckpoint(eager=eager)
     try:
         rid = int(out._jdf.queryExecution().analyzed().rdd().id())
         out._spark_graft_ckpt_ids = (rid,)
