@@ -228,3 +228,43 @@ def test_catalog_orders_least_recently_checked_first():
     # and anything the driver has never checked sits at the very front
     n_never = sum(1 for r in rounds if r == -1)
     assert all(r == -1 for r in rounds[:n_never])
+
+
+def test_driver_evidence_staleness_bounded():
+    """r5 verdict item #7: with an N-query catalog and a ~50-row
+    driver window, least-recently-checked-first rotation bounds any
+    oracle-paired query's staleness to ceil(N/50) rounds. Compute the
+    ACTUAL max staleness from the committed CORRECTNESS records (the
+    ordering test above pins the mechanism; this pins the outcome)
+    and require every never-sampled query to sit inside the next
+    round's window."""
+    import glob
+    import json
+    import math
+    import os
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    WINDOW = 50  # driver samples the first ~50 registry entries
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = {}
+    max_round = 0
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        rnd = int("".join(ch for ch in os.path.basename(p) if ch.isdigit()))
+        max_round = max(max_round, rnd)
+        for name in json.load(open(p)):
+            latest[name] = max(latest.get(name, 0), rnd)
+    assert max_round > 0
+    names = list(catalog.REGISTRY)
+    bound = math.ceil(len(names) / WINDOW)
+    sampled = [n for n in names if n in latest]
+    worst = max(max_round - latest[n] for n in sampled)
+    assert worst <= bound, (
+        f"stalest driver row is {worst} rounds old (> ceil("
+        f"{len(names)}/{WINDOW}) = {bound}); rotation is not keeping up"
+    )
+    # never-sampled queries (new registrations) must all land inside
+    # the upcoming round's window or they would START stale
+    never = [n for n in names if n not in latest]
+    assert len(never) <= WINDOW
+    assert all(names.index(n) < WINDOW for n in never)
