@@ -974,6 +974,115 @@ def append_to_minhash_index(
     band_arrays.sparkSession.catalog.refreshTable(table_name)
 
 
+def minhash_index_stats(spark, table_name: str) -> dict:
+    """Physical-layout facts a maintenance pass decides on:
+    ``num_buckets``/``bucket_columns`` (the probe's shuffle-free
+    contract), ``location``, and ``n_files`` (counted through the
+    Hadoop FileSystem API - one recursive LIST, no Spark job). Every
+    append adds ~num_buckets files, so n_files grows linearly with
+    epochs until :func:`compact_minhash_index` folds them."""
+    from .. import fsio
+
+    info: dict[str, str] = {}
+    for r in spark.sql(f"DESC FORMATTED {table_name}").collect():
+        k = (r.col_name or "").strip()
+        if k and k not in info:
+            info[k] = (r.data_type or "").strip()
+    location = info.get("Location", "")
+    n_files = sum(
+        1
+        for f in fsio.list_files_recursive(spark, location)
+        if f.rsplit("/", 1)[-1].startswith("part-")
+    )
+    return {
+        "location": location,
+        "num_buckets": int(info.get("Num Buckets", "0") or 0),
+        "bucket_columns": info.get("Bucket Columns", ""),
+        "n_files": n_files,
+    }
+
+
+def recover_minhash_index(spark, table_name: str) -> bool:
+    """Heal a compaction interrupted mid-swap. The swap is two
+    catalog renames (table -> __old, __compacting -> table); a crash
+    between them leaves the live name missing while a COMPLETE copy
+    exists under one of the side names. Prefers the compacted copy
+    (data + params fully written before the swap starts), falls back
+    to the original. Returns True when a recovery happened. No-op
+    when the live table exists."""
+    if spark.catalog.tableExists(table_name):
+        return False
+    for side in (f"{table_name}__compacting", f"{table_name}__old"):
+        if spark.catalog.tableExists(side):
+            spark.sql(f"ALTER TABLE {side} RENAME TO {table_name}")
+            return True
+    return False
+
+
+def compact_minhash_index(spark, table_name: str) -> None:
+    """Fold a sustained-append index back to ONE file per bucket,
+    dropping verbatim duplicate rows (crash re-appends), PRESERVING
+    the ``CLUSTERED BY (band_key)`` bucket spec and the stamped
+    signature params - the two properties the shuffle-free probe
+    stands on (an unbucketed rewrite would silently re-enable the
+    full history shuffle on every later probe; plan-asserted in
+    tests).
+
+    One shuffle total: rows repartition by band_key (Spark's bucket
+    hash), exact-duplicate removal rides that partitioning
+    (HashPartitioning(band_key) satisfies the dedup's clustered
+    distribution - equal rows share a band_key), and each task then
+    holds exactly one bucket -> one output file per bucket. The
+    rewrite is O(index): schedule it by file count
+    (:func:`compact_minhash_index_if_needed`), not per batch.
+
+    Crash safety: the compacted copy is fully written and stamped
+    under ``__compacting`` BEFORE the two-rename swap; the only
+    vulnerable window is between the renames (metadata-only, and
+    :func:`recover_minhash_index` heals it)."""
+    params = read_minhash_index_params(spark, table_name)
+    stats = minhash_index_stats(spark, table_name)
+    nb = stats["num_buckets"]
+    if nb <= 0:
+        raise ValueError(f"{table_name!r} is not a bucketed minhash index")
+    tmp = f"{table_name}__compacting"
+    old = f"{table_name}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    (
+        spark.table(table_name)
+        .repartition(nb, "band_key")
+        .dropDuplicates()
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(nb, "band_key")
+        .saveAsTable(tmp)
+    )
+    _stamp_index_params(spark, tmp, **{k: params.get(k) for k in _IDX_PROPS})
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE {old}")
+    spark.catalog.refreshTable(table_name)
+
+
+def compact_minhash_index_if_needed(
+    spark, table_name: str, max_files_per_bucket: int = 8
+) -> bool:
+    """File-count-bounded maintenance gate: compact when the index
+    holds more than ``max_files_per_bucket`` files per bucket. The
+    check is one filesystem listing (cheap every trigger); the
+    compaction it gates is O(index), so the threshold sets the
+    amortized cost - at the default, ~1/8th of a rewrite per append.
+    Heals an interrupted prior swap first. Returns True when a
+    compaction ran."""
+    recover_minhash_index(spark, table_name)
+    stats = minhash_index_stats(spark, table_name)
+    if stats["n_files"] <= max_files_per_bucket * max(stats["num_buckets"], 1):
+        return False
+    compact_minhash_index(spark, table_name)
+    return True
+
+
 def incremental_candidate_pairs(
     spark,
     new_band_arrays: DataFrame,
@@ -981,6 +1090,7 @@ def incremental_candidate_pairs(
     num_bands: int,
     num_perms: int | None = None,
     shingle_n: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs for a NEW batch of documents against (a) the
     persisted historical corpus index and (b) itself - the steady-state
@@ -1010,7 +1120,23 @@ def incremental_candidate_pairs(
     metadata, and ``num_perms``/``shingle_n`` when declared: a batch
     hashed with drifted signature params produces incomparable band
     hashes and would otherwise SILENTLY find zero cross-history
-    duplicates (r4 advice)."""
+    duplicates (r4 advice).
+
+    ``max_bucket_size`` is the skew valve (r5 verdict item #6): a
+    boilerplate band bucket accumulates history members every epoch,
+    and the uncapped probe would emit O(index-bucket) pairs per
+    arriving boilerplate doc - per-trigger output growing with
+    corpus age, not batch size. With the cap, history buckets larger
+    than it pair each batch doc ONLY against the bucket's min-id
+    representative (the same star degradation as
+    :func:`candidate_pairs`): one pair per batch doc per oversized
+    bucket, so per-trigger output stays O(batch). The bucket stats
+    ride the bucketed layout (window over band_key - no exchange).
+    Recall tradeoff, identical in kind to the batch star: a non-rep
+    pair whose FIRST matching band is oversized is not emitted, but
+    both members stay connected through the rep, so
+    connected-component dedup is unchanged. None (default) = exact
+    enumeration - the mode oracle-paired queries use."""
     _check_index_params(
         spark, table_name, num_perms=num_perms, num_bands=num_bands, shingle_n=shingle_n
     )
@@ -1052,14 +1178,36 @@ def incremental_candidate_pairs(
         lambda k: F.col("__ba")[k],
         lambda k: F.col("__bb")[k],
     )
-    vs_history = (
-        build.join(probe, "band_key")
-        .filter(first)
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
+    if max_bucket_size is not None:
+        # per-band_key history size + representative, computed WHERE
+        # the rows already live: HashPartitioning(band_key) from the
+        # bucketed scan satisfies the window's clustered distribution,
+        # so this adds a local sort, never an exchange (plan-asserted)
+        w = Window.partitionBy("band_key")
+        build = build.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+            "__rep", F.min("doc_a").over(w)
         )
-    )
+        capped = (F.col("__n") <= max_bucket_size) | (
+            F.col("doc_a") == F.col("__rep")
+        )
+        vs_history = (
+            build.join(probe, "band_key")
+            .filter(first)
+            .filter(capped)
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+        )
+    else:
+        vs_history = (
+            build.join(probe, "band_key")
+            .filter(first)
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+            )
+        )
     vs_self = candidate_pairs_exact(new_band_arrays, num_bands)
     return vs_history.unionByName(vs_self)
 

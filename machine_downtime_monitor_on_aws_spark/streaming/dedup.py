@@ -40,8 +40,10 @@ from ..operators.dedup import (
     DEFAULT_NUM_BANDS,
     append_to_minhash_index,
     candidate_pairs_exact,
+    compact_minhash_index_if_needed,
     incremental_candidate_pairs,
     minhash_band_arrays,
+    recover_minhash_index,
     write_minhash_index,
 )
 from .ingest import _checkpoint_sink_token
@@ -60,6 +62,8 @@ def run_incremental_dedup_stream(
     shingle_n: int = 5,
     num_buckets: int = 64,
     parallelism: int | None = None,
+    compact_max_files_per_bucket: int | None = None,
+    max_bucket_size: int | None = 256,
 ) -> StreamingQuery:
     """Start the streaming dedup loop over a document stream.
 
@@ -69,8 +73,30 @@ def run_incremental_dedup_stream(
     downstream canonicalization job consumes. ``index_table`` is
     created on the first batch (full signature metadata stamped) and
     grown by every subsequent one.
+
+    ``compact_max_files_per_bucket`` bounds index file growth under
+    sustained appends (every epoch adds ~num_buckets files; an
+    unbounded loop makes every probe pay per-file open cost): after
+    each committed epoch a one-listing check runs, and past the
+    bound the index is rewritten bucketing-preserved
+    (compact_minhash_index - the probe's single-exchange plan is
+    asserted to survive in tests). None (default) leaves compaction
+    to an external maintenance window.
+
+    ``max_bucket_size`` caps per-trigger pair output under boilerplate
+    skew: the index's hot band bucket grows every epoch, and the
+    uncapped probe would emit O(index-bucket) pairs per arriving
+    boilerplate doc - past the cap, oversized history buckets star
+    against their min-id representative (incremental_candidate_pairs),
+    keeping per-trigger output O(batch) with connected-component
+    dedup unchanged. Default 256 matches the batch path; None = exact
+    enumeration (unbounded under skew).
     """
     spark = doc_stream.sparkSession
+    # heal a maintenance compaction a previous run left mid-swap -
+    # otherwise the first probe would bootstrap a FRESH index and
+    # silently forget the whole history
+    recover_minhash_index(spark, index_table)
     token = _checkpoint_sink_token(spark, checkpoint_dir)
     # Epoch markers live INSIDE the checkpoint dir and are read and
     # written through the Hadoop FileSystem API (fsio): the checkpoint
@@ -106,6 +132,7 @@ def run_incremental_dedup_stream(
                     ba,
                     index_table,
                     num_bands,
+                    max_bucket_size=max_bucket_size,
                     num_perms=num_perms,
                     shingle_n=shingle_n,
                 )
@@ -163,6 +190,14 @@ def run_incremental_dedup_stream(
                 )
                 if stale:
                     fsio.delete(spark, f"{marker_dir}/{old}", recursive=False)
+            # maintenance AFTER the epoch committed: compaction never
+            # races the epoch's own append, and a crash mid-compaction
+            # is healed by recover_minhash_index on the next trigger
+            # (or loop start) without touching the epoch's results
+            if compact_max_files_per_bucket is not None:
+                compact_minhash_index_if_needed(
+                    spark, index_table, compact_max_files_per_bucket
+                )
         finally:
             release_checkpoint(ba)
             if pairs is not None:

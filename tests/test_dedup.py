@@ -532,3 +532,210 @@ def test_append_bootstraps_fresh_index_table(spark):
         assert n >= 0
     finally:
         spark.sql("DROP TABLE IF EXISTS mh_bootstrap_test")
+
+
+def _probe_plan(spark, ba_new, table, num_bands=4):
+    """Formatted plan of the incremental probe with broadcast off -
+    the harness for the single-exchange contract asserts."""
+    import contextlib
+    import io
+
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        incremental_candidate_pairs,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            incremental_candidate_pairs(spark, ba_new, table, num_bands).explain(
+                "formatted"
+            )
+        return buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _assert_single_exchange(plan):
+    assert "Bucketed: true" in plan
+    assert "disabled by query planner" not in plan
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Arguments: hashpartitioning(band_key" in ln
+    ]
+    assert len(ex) == 1 and not any("doc_a" in ln for ln in ex), ex
+
+
+def test_minhash_index_compaction_preserves_probe_contract(spark):
+    """r5 verdict item #3: sustained appends grow the index by
+    ~num_buckets files per epoch forever; compaction must fold them
+    back, drop verbatim crash-replay duplicate rows, and PRESERVE
+    (a) the bucket spec (probe stays single-exchange - asserted on
+    the plan), (b) the stamped signature params, (c) the probe's
+    exact results."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        append_to_minhash_index,
+        compact_minhash_index,
+        compact_minhash_index_if_needed,
+        incremental_candidate_pairs,
+        minhash_band_arrays,
+        minhash_index_stats,
+        read_minhash_index_params,
+        write_minhash_index,
+    )
+
+    table = "mh_compact_test"
+    hist = _corpus(
+        spark,
+        [(i, f"historical doc {i} with shared tail words") for i in range(20)]
+        + [(50, "a duplicated body shared across history")],
+    )
+    more = _corpus(
+        spark, [(60 + i, f"second wave doc {i} body text") for i in range(10)]
+    )
+    probe_docs = _corpus(spark, [(100, "a duplicated body shared across history")])
+    try:
+        ba = minhash_band_arrays(hist, "doc_id", "body", parallelism=4)
+        write_minhash_index(ba, table, 8, num_perms=8, num_bands=4, shingle_n=5)
+        ba_more = minhash_band_arrays(more, "doc_id", "body", parallelism=4)
+        append_to_minhash_index(ba_more, table, 8, num_perms=8)
+        # crash-replay: the SAME batch re-appended verbatim
+        append_to_minhash_index(ba_more, table, 8, num_perms=8)
+
+        stats0 = minhash_index_stats(spark, table)
+        assert stats0["num_buckets"] == 8 and stats0["n_files"] > 8
+        params0 = read_minhash_index_params(spark, table)
+        ba_probe = minhash_band_arrays(probe_docs, "doc_id", "body", parallelism=4)
+        before = sorted(
+            tuple(r)
+            for r in incremental_candidate_pairs(spark, ba_probe, table, 4).collect()
+        )
+        n_rows_before_distinct = spark.table(table).distinct().count()
+
+        compact_minhash_index(spark, table)
+
+        stats1 = minhash_index_stats(spark, table)
+        assert stats1["num_buckets"] == 8  # bucket spec survived
+        assert stats1["n_files"] == 8  # one file per bucket
+        assert read_minhash_index_params(spark, table) == params0
+        # verbatim duplicates gone, nothing else lost
+        assert spark.table(table).count() == n_rows_before_distinct
+        after = sorted(
+            tuple(r)
+            for r in incremental_candidate_pairs(spark, ba_probe, table, 4).collect()
+        )
+        assert after == before and before
+        _assert_single_exchange(_probe_plan(spark, ba_probe, table))
+
+        # the gate: freshly compacted index is under any sane bound
+        assert not compact_minhash_index_if_needed(spark, table, 8)
+        # drive it over the bound again and let the gate fire
+        for _ in range(9):
+            append_to_minhash_index(ba_more, table, 8, num_perms=8)
+        assert compact_minhash_index_if_needed(spark, table, 8)
+        assert minhash_index_stats(spark, table)["n_files"] == 8
+    finally:
+        for t in (table, f"{table}__compacting", f"{table}__old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_minhash_index_compaction_crash_recovery(spark):
+    """A crash between the swap's two renames leaves the live name
+    missing; recover_minhash_index must restore from whichever side
+    name survives (preferring the complete compacted copy)."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        minhash_band_arrays,
+        recover_minhash_index,
+        write_minhash_index,
+    )
+
+    table = "mh_recover_test"
+    docs = _corpus(spark, [(i, f"recovery doc {i} body words") for i in range(6)])
+    ba = minhash_band_arrays(docs, "doc_id", "body", parallelism=2)
+    try:
+        for side in ("__old", "__compacting"):
+            write_minhash_index(ba, table, 4, num_perms=8)
+            spark.sql(f"ALTER TABLE {table} RENAME TO {table}{side}")
+            assert not spark.catalog.tableExists(table)
+            assert recover_minhash_index(spark, table)
+            assert spark.catalog.tableExists(table)
+            assert spark.table(table).select("doc_id").distinct().count() == 6
+            assert not recover_minhash_index(spark, table)  # healthy: no-op
+            spark.sql(f"DROP TABLE {table}")
+    finally:
+        for t in (table, f"{table}__compacting", f"{table}__old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_incremental_probe_capped_star_bounds_skew(spark):
+    """r5 verdict item #6 (operator leg): with max_bucket_size set,
+    an oversized HISTORY band bucket pairs each batch doc only
+    against the bucket's min-id representative - per-trigger output
+    O(batch), not O(index-bucket) - while connected-component dedup
+    is unchanged, and the capped plan still takes exactly one
+    band_key exchange (the window rides the bucketed layout)."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        connected_components,
+        incremental_candidate_pairs,
+        minhash_band_arrays,
+        write_minhash_index,
+    )
+
+    table = "mh_capped_probe_test"
+    boiler = "all rights reserved standard footer text appended to every page"
+    n_hist = 40
+    hist = _corpus(
+        spark,
+        [(i, boiler) for i in range(n_hist)]
+        + [(500 + i, f"distinct history article {i} body words") for i in range(20)],
+    )
+    batch = _corpus(
+        spark,
+        [(1000, boiler), (1001, boiler),
+         (1002, "a genuinely new unique document body")],
+    )
+    try:
+        write_minhash_index(
+            minhash_band_arrays(hist, "doc_id", "body", parallelism=4),
+            table, 8, num_perms=8, num_bands=4,
+        )
+        ba = minhash_band_arrays(batch, "doc_id", "body", parallelism=4)
+
+        uncapped = incremental_candidate_pairs(spark, ba, table, 4).collect()
+        # every history boilerplate doc pairs with both batch docs
+        assert len(uncapped) == 2 * n_hist + 1  # + internal (1000,1001)
+
+        capped_df = incremental_candidate_pairs(
+            spark, ba, table, 4, max_bucket_size=8
+        )
+        capped = {tuple(r) for r in capped_df.collect()}
+        # star: batch boilerplate docs pair ONLY with rep doc 0
+        assert capped == {(0, 1000), (0, 1001), (1000, 1001)}
+
+        # CC equivalence: both pair sets put all boilerplate docs that
+        # touch the batch in one component with the rep
+        comp = connected_components(
+            spark.createDataFrame(sorted(capped), "doc_a long, doc_b long")
+        ).collect()
+        assert len({r.component for r in comp}) == 1
+
+        # plan: the cap's window adds NO exchange - still exactly one
+        # band_key exchange (the probe side), history never moves
+        import contextlib
+        import io
+
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                incremental_candidate_pairs(
+                    spark, ba, table, 4, max_bucket_size=8
+                ).explain("formatted")
+            _assert_single_exchange(buf.getvalue())
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
