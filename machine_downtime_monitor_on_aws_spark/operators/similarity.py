@@ -126,6 +126,26 @@ def approx_row_count(df: DataFrame) -> int:
         return df.count()
 
 
+def approx_size_bytes(df: DataFrame) -> int:
+    """Byte-size estimate WITHOUT running a job: Catalyst's
+    ``sizeInBytes`` (derived from file sizes for scans). The sizing
+    twin of :func:`approx_row_count` - partition-count knobs scale
+    linearly with it, and a few-x estimate error moves a partition
+    target by the same few-x, well inside executor-memory headroom.
+    Returns zero when the plan has no real estimate - internals
+    drift, or the Long.MaxValue sentinel Catalyst reports for
+    relations with unknown size (e.g. LocalRelation) - so callers
+    apply their own floor/fallback rather than sizing off a
+    sentinel."""
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        return 0 if size >= (1 << 62) else size
+    except Exception:  # pragma: no cover - defensive vs internals drift
+        return 0
+
+
 def recommended_num_planes(
     n_rows: int,
     target_bucket_size: int = 64,

@@ -85,3 +85,38 @@ def test_repartition_bounds_skewed_payloads(spark):
     )
     bound = target + 1_000_000
     assert all(r.bytes <= bound for r in sizes), sorted(r.bytes for r in sizes)
+
+
+def test_repartition_sizes_from_scan_stats_job_free(spark, tmp_path):
+    """r5 verdict nit: parquet-backed media frames size their
+    repartition from Catalyst scan statistics (file bytes) - no
+    sizing job runs - and incompressible payloads make the estimate
+    track actual bytes, so the partition count lands within 2x of
+    the exact-bytes ideal."""
+    import random
+
+    from machine_downtime_monitor_on_aws_spark.operators.similarity import (
+        approx_size_bytes,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, "image", "image/png", bytearray(rng.randbytes(100_000)), 2, 2, None)
+        for i in range(40)
+    ]
+    path = str(tmp_path / "media")
+    _media(spark, rows).write.parquet(path)
+    df = spark.read.parquet(path)
+
+    est = approx_size_bytes(df)
+    total = 40 * 100_000
+    assert total / 2 <= est <= total * 2  # incompressible ≈ raw
+
+    target = 512 * 1024
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    out = repartition_by_payload(df, target_bytes=target)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before  # sizing ran zero jobs
+    ideal = total // target
+    assert ideal // 2 <= out.rdd.getNumPartitions() <= ideal * 2 + 1
