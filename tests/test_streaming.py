@@ -724,7 +724,43 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(r.record_id for r in out) == ["r1", "r2"]
 
 
-def test_streaming_minute_rollup(spark, tmp_path):
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_provider(request, spark):
+    """r5 verdict item #5: every stateful streaming surface runs the
+    test matrix on BOTH providers - the HDFS-heap default and the
+    RocksDB provider a 100x-cardinality deployment needs (heap state
+    at that scale is an executor OOM; see session.py). The rocksdb
+    leg asserts real provider artifacts so a silently-ignored conf
+    can't fake coverage."""
+    if request.param == "rocksdb":
+        from machine_downtime_monitor_on_aws_spark.session import (
+            use_rocksdb_state_store,
+        )
+
+        use_rocksdb_state_store(spark)
+        yield "rocksdb"
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+    else:
+        yield "hdfs"
+
+
+def _assert_provider_artifacts(provider, ckpt_dir):
+    """RocksDB leaves .changelog/.zip state artifacts (and no HDFS
+    provider .delta files); the heap provider the inverse."""
+    import glob as _glob
+
+    files = _glob.glob(os.path.join(ckpt_dir, "state", "**", "*"), recursive=True)
+    if provider == "rocksdb":
+        assert any(f.endswith((".changelog", ".zip")) for f in files), files
+        assert not any(f.endswith(".delta") for f in files), files
+    else:
+        assert any(f.endswith(".delta") for f in files), files
+
+
+def test_streaming_minute_rollup(spark, tmp_path, state_provider):
     """W4/T8 streaming twin: tumbling-minute DOWN-dominance over an
     event-time stream with watermark; append mode emits finalized
     windows once."""
@@ -757,7 +793,7 @@ def test_streaming_minute_rollup(spark, tmp_path):
     out = streaming_minute_rollup(stream)
     q = (
         out.writeStream.format("memory")
-        .queryName("minute_rollup_stream")
+        .queryName(f"minute_rollup_stream_{state_provider}")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
@@ -766,14 +802,17 @@ def test_streaming_minute_rollup(spark, tmp_path):
     q.awaitTermination(120)
     got = {
         (r.id, str(r.minute_start)): r.status
-        for r in spark.sql("SELECT * FROM minute_rollup_stream").collect()
+        for r in spark.sql(
+            f"SELECT * FROM minute_rollup_stream_{state_provider}"
+        ).collect()
     }
+    _assert_provider_artifacts(state_provider, str(tmp_path / "ckpt"))
     assert got[("m1", "2021-03-05 18:00:00")] == "DOWN"
     assert got[("m1", "2021-03-05 18:01:00")] == "UP"
     assert got[("m2", "2021-03-05 18:00:00")] == "UP"
 
 
-def test_interval_join_streams(spark, tmp_path):
+def test_interval_join_streams(spark, tmp_path, state_provider):
     """Stream-stream interval join: errors pick up purchases within
     the preceding 10 minutes for the same user; outside-window and
     other-user purchases don't join."""
@@ -797,14 +836,15 @@ def test_interval_join_streams(spark, tmp_path):
               .json(edir).withColumn("ets", F.to_timestamp("ets")))
     joined = interval_join_streams(purchases, errors, "user", "pts", "ets")
     q = (joined.select("l.user", "amount").writeStream.format("memory")
-         .queryName("ivj_test").option("checkpointLocation", str(tmp_path / "ck"))
+         .queryName(f"ivj_test_{state_provider}").option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
-    rows = spark.sql("SELECT * FROM ivj_test").collect()
+    rows = spark.sql(f"SELECT * FROM ivj_test_{state_provider}").collect()
     assert [(r.user, r.amount) for r in rows] == [("u1", 10)]
+    _assert_provider_artifacts(state_provider, str(tmp_path / "ck"))
 
 
-def test_streaming_session_windows(spark, tmp_path):
+def test_streaming_session_windows(spark, tmp_path, state_provider):
     """Dynamic session windows: a >5min gap splits sessions; the
     watermark finalizes completed sessions in append mode."""
     from machine_downtime_monitor_on_aws_spark.streaming.ingest import (
@@ -823,12 +863,13 @@ def test_streaming_session_windows(spark, tmp_path):
     stream = (spark.readStream.schema("machine_id string, event_ts string")
               .json(src).withColumn("event_ts", F.to_timestamp("event_ts")))
     out = streaming_session_windows(stream)
-    q = (out.writeStream.format("memory").queryName("sess_test")
+    q = (out.writeStream.format("memory").queryName(f"sess_test_{state_provider}")
          .outputMode("append").option("checkpointLocation", str(tmp_path / "ck"))
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
     got = {(r.id, str(r.session_start)): r.n_events
-           for r in spark.sql("SELECT * FROM sess_test").collect()}
+           for r in spark.sql(f"SELECT * FROM sess_test_{state_provider}").collect()}
+    _assert_provider_artifacts(state_provider, str(tmp_path / "ck"))
     assert got[("m1", "2021-03-05 18:00:00")] == 2
     assert got[("m1", "2021-03-05 18:15:00")] == 1
 
