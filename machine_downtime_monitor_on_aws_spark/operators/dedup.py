@@ -533,6 +533,85 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), "component")
 
 
+def update_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Incremental connected-component maintenance: fold one epoch's
+    NEW candidate pairs into existing cluster labels without
+    re-walking the historical pair graph - the labels-side companion
+    of :func:`incremental_candidate_pairs` (which bounds per-epoch
+    pair production; this bounds per-epoch label maintenance). At
+    100 TB the historical pair graph is years of accumulated edges;
+    re-running :func:`connected_components` over all of it per
+    ingest batch is O(history), this is O(new pairs + touched
+    components).
+
+    Contraction: every existing component acts as one super-node
+    (its label), so each new pair maps its endpoints through the
+    label table (endpoints the labels have never seen stand for
+    themselves), pairs whose endpoints land in the SAME super-node
+    drop out, and CC runs over the contracted delta graph - a
+    sliver bounded by the batch. The result relabels exactly the
+    touched components plus the batch's new nodes.
+
+    EXACT, not approximate: labels are min-member ids (the
+    connected_components contract), the contracted CC takes mins of
+    mins, so the merged labels equal a full CC over
+    (historical ∪ new) pairs - property-tested against full reruns
+    and oracle-paired in the catalog (neardup_clusters_incremental).
+    Requires ids unique across the corpus (a component label can
+    then never collide with a new doc id)."""
+    l_a = labels.select(
+        F.col(id_col).alias("__ia"), F.col(comp_col).alias("__ca")
+    )
+    l_b = labels.select(
+        F.col(id_col).alias("__ib"), F.col(comp_col).alias("__cb")
+    )
+    contracted = (
+        new_pairs.join(l_a, F.col(src) == F.col("__ia"), "left")
+        .join(l_b, F.col(dst) == F.col("__ib"), "left")
+        .select(
+            F.coalesce("__ca", F.col(src)).alias("doc_a"),
+            F.coalesce("__cb", F.col(dst)).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    delta = connected_components(contracted, **cc_kwargs).selectExpr(
+        "doc_id AS __node", "component AS __new"
+    )
+    # relabel touched components (labels whose component is a
+    # contracted node that got a smaller min) ...
+    merged = (
+        labels.join(delta, F.col(comp_col) == F.col("__node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("__new", F.col(comp_col)).alias(comp_col),
+        )
+    )
+    # ... plus the batch's brand-new nodes: their contracted node is
+    # their own id (they were never labeled); singletons whose every
+    # pair collapsed inside one super-node keep themselves
+    new_nodes = (
+        new_pairs.select(F.col(src).alias(id_col))
+        .unionByName(new_pairs.select(F.col(dst).alias(id_col)))
+        .distinct()
+        .join(labels.select(id_col), id_col, "left_anti")
+    )
+    new_labeled = new_nodes.join(
+        delta, new_nodes[id_col] == F.col("__node"), "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("__new", F.col(id_col)).alias(comp_col),
+    )
+    return merged.unionByName(new_labeled)
+
+
 def drop_neardup_docs(
     df: DataFrame, components: DataFrame, id_col: str
 ) -> DataFrame:

@@ -34,7 +34,9 @@ from ..operators.dedup import (
     simhash_md5,
     simhash_md5_oracle_sql,
     simhash_neardup_pairs,
+    update_components,
 )
+from ..operators.sampling import sample_hash, sample_hash_sql
 from ..session import pin_utc
 from ..tables import load_table
 from .catalog import register
@@ -1312,4 +1314,87 @@ def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "contamination_rate"
             ),
         )
+    )
+
+
+@register("neardup_clusters_incremental", oracle=_CC_SQL)
+def neardup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT cluster labels of neardup_duplicate_clusters,
+    produced INCREMENTALLY: the candidate pairs are split into two
+    "epochs" by a deterministic pair hash, epoch 1 is labeled with a
+    full connected-components pass, and epoch 2 is folded in through
+    operators/dedup.update_components - the labels-side maintenance
+    step of the streaming dedup loop (pairs feed -> cluster labels)
+    that never re-walks the historical graph. Sharing the full-CC
+    oracle pins the operator's exactness claim (mins of mins = the
+    global min) under the driver's hash compare.
+
+    Scale shape: the historical leg runs CC once (amortized - in
+    production those labels are a persisted table); the incremental
+    leg contracts each new pair through a labels join and runs CC on
+    the DELTA graph only - O(new pairs + touched components) per
+    epoch, vs O(all pairs ever) for a rerun."""
+    pairs = _minhash_pairs(spark, sf_dir)
+    # deterministic epoch split; portability doesn't matter (the
+    # oracle sees only the merged result), stability across runs does
+    epoch2 = F.pmod(
+        F.xxhash64(F.concat_ws(":", F.col("doc_a"), F.col("doc_b"))), F.lit(2)
+    ) == 1
+    from ..streaming.store import _tracked_local_checkpoint
+
+    p = _tracked_local_checkpoint(pairs, eager=False)
+    historical = connected_components(p.filter(~epoch2))
+    merged = update_components(historical, p.filter(epoch2))
+    out = merged.select("doc_id", "component")
+    out._spark_graft_ckpt_ids = getattr(p, "_spark_graft_ckpt_ids", ())
+    return out
+
+
+_SPLIT_SQL = (
+    "CASE WHEN " + sample_hash_sql("doc_id", "split") + " < 1000 "
+    "THEN 'test' ELSE 'train' END"
+)
+
+
+@register(
+    "split_leakage_pairs",
+    oracle=f"""
+WITH cand AS ({_PAIR_SQL}),
+s AS (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents)
+SELECT c.doc_a, c.doc_b, sa.split AS split_a, sb.split AS split_b
+FROM cand c
+JOIN s sa ON sa.doc_id = c.doc_a
+JOIN s sb ON sb.doc_id = c.doc_b
+WHERE sa.split <> sb.split
+""",
+)
+def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: deterministic 10% hash split of the
+    corpus (sampling.sample_hash - reproducible across runs,
+    partitionings, and engines), then every near-dup candidate pair
+    that CROSSES the split boundary. A near-duplicate of a test
+    document sitting in train is silent eval contamination that
+    n-gram decontamination misses (paraphrases, truncations); this
+    is the audit a pipeline runs before freezing a split.
+
+    Scale shape: the split is a per-row hash expression (no shuffle,
+    pushes to the scan); the pair pipeline is the shared
+    first-matching-band enumeration (pairs filtered where produced);
+    the split labels join onto PAIR ids only - document text never
+    moves."""
+    d = _docs(spark, sf_dir)
+    split = d.select(
+        "doc_id",
+        F.when(sample_hash(F.col("doc_id"), "split") < 1000, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    pairs = _minhash_pairs(spark, sf_dir)
+    return (
+        pairs.join(
+            split.selectExpr("doc_id AS doc_a", "split AS split_a"), "doc_a"
+        )
+        .join(split.selectExpr("doc_id AS doc_b", "split AS split_b"), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b")
     )

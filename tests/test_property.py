@@ -344,3 +344,60 @@ def test_minhash_signatures_match_python_model(seed):
         for r in minhash_signatures(df, "doc_id", "text").collect()
     }
     assert got == expected
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_update_components_matches_full_cc(seed):
+    """Incremental CC maintenance (update_components) must equal a
+    full connected_components rerun over (historical ∪ new) pairs for
+    ANY random graph and ANY epoch split - the exactness claim the
+    oracle-paired neardup_clusters_incremental stands on. The model
+    is a pure-Python union-find with min-id labels."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        connected_components,
+        update_components,
+    )
+
+    rng = random.Random(seed)
+    n_nodes = rng.randint(2, 30)
+    nodes = rng.sample(range(1000), n_nodes)
+    n_edges = rng.randint(0, 40)
+    edges = []
+    for _ in range(n_edges):
+        a, b = rng.sample(nodes, 2)
+        edges.append((min(a, b), max(a, b)))
+    cut = rng.randint(0, len(edges))
+    hist, new = edges[:cut], edges[cut:]
+    if not hist or not new:
+        return  # degenerate split: nothing incremental to test
+
+    # pure-Python union-find model over ALL edges
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    spark = _spark()
+    hist_df = spark.createDataFrame(hist, "doc_a long, doc_b long")
+    new_df = spark.createDataFrame(new, "doc_a long, doc_b long")
+    labels = connected_components(hist_df)
+    merged = update_components(labels, new_df)
+    got = {r.doc_id: r.component for r in merged.collect()}
+    assert got == expected
+    # idempotence: folding the same epoch again changes nothing
+    again = update_components(merged, new_df)
+    assert {r.doc_id: r.component for r in again.collect()} == expected
