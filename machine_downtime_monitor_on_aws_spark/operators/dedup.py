@@ -586,7 +586,11 @@ def update_components(
         "doc_id AS __node", "component AS __new"
     )
     # relabel touched components (labels whose component is a
-    # contracted node that got a smaller min) ...
+    # contracted node that got a smaller min). delta is bounded by
+    # the BATCH (touched components + new nodes), the labels table by
+    # the corpus - broadcast the sliver so the historical labels
+    # never shuffle for the relabel ...
+    delta = F.broadcast(delta)
     merged = (
         labels.join(delta, F.col(comp_col) == F.col("__node"), "left")
         .select(
@@ -671,6 +675,98 @@ def jaccard_verified_pairs(
 
 
 _HEX = "0123456789abcdef"
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    the rolling-hash document fingerprinting that detects PARTIAL
+    overlap - a paragraph lifted into an otherwise-different document
+    - which whole-document MinHash/SimHash dilute away. One row per
+    (doc_id, distinct fingerprint).
+
+    Pipeline (all built-ins, one row-local expression chain - zero
+    shuffles before the caller's aggregation): token k-grams ->
+    24-bit md5-derived hash per gram (the sampling.sample_hash
+    digest scheme: engine-portable, so the DuckDB oracle reproduces
+    it digit-for-digit) -> sliding window of ``w`` consecutive gram
+    hashes -> min per window -> distinct per doc. The winnowing
+    guarantee: any shared token run of length >= w+k-1 produces at
+    least one shared fingerprint, and fingerprint density is
+    ~2/(w+1) per gram - the fixed sampling rate that makes the
+    downstream inverted join corpus-size-, not document-size-,
+    shaped. Docs shorter than one k-gram fall back to the trimmed
+    whole text (the shingles convention). Ties inside a window
+    collapse by VALUE (the fingerprint is a set of hash values, so
+    positional tie rules cannot change it)."""
+    from ..functions.text import tokens as _tokens
+
+    t = _tokens(F.col(text_col))
+    grams = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        ),
+    ).otherwise(F.array(F.trim(F.col(text_col))))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("long"),
+    )
+    m = F.size(hashes)
+    mins = F.when(
+        m >= w,
+        F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(mins)).alias("fingerprint"),
+    )
+
+
+def winnow_overlap_pairs(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    max_docs_per_fingerprint: int | None = 50,
+) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing fingerprints:
+    docs sharing >= ``min_shared`` fingerprints, with the shared
+    count as evidence strength. The plagiarism/boilerplate-lift
+    detector MinHash's whole-doc Jaccard misses.
+
+    ``max_docs_per_fingerprint`` drops fingerprints present in more
+    docs than the cap BEFORE the self-join - ubiquitous fingerprints
+    are boilerplate (license headers, nav text) whose buckets would
+    expand quadratically, the same pathology candidate_pairs caps;
+    dropping them is the standard winnowing practice (they carry no
+    overlap signal) and bounds the join at O(cap * docs-per-fp).
+    The frequency filter reuses the join's own (fingerprint)
+    hash partitioning - a window count, no extra exchange."""
+    fp = fingerprints
+    if max_docs_per_fingerprint is not None:
+        wnd = Window.partitionBy("fingerprint")
+        fp = (
+            fp.withColumn("__n", F.count(F.lit(1)).over(wnd))
+            .filter(F.col("__n") <= max_docs_per_fingerprint)
+            .drop("__n")
+        )
+    a = fp.selectExpr("fingerprint", "doc_id AS doc_a")
+    b = fp.selectExpr("fingerprint", "doc_id AS doc_b")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
 
 
 def simhash_md5(

@@ -35,6 +35,7 @@ from ..operators.dedup import (
     simhash_md5_oracle_sql,
     simhash_neardup_pairs,
     update_components,
+    winnow_fingerprints,
 )
 from ..operators.sampling import sample_hash, sample_hash_sql
 from ..session import pin_utc
@@ -1398,3 +1399,76 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "split_a", "split_b")
     )
+
+
+def _md5_24bit_sql(expr: str) -> str:
+    """DuckDB twin of Spark's ``conv(substring(md5(x),1,6),16,10)``:
+    the 24-bit integer from the first 6 hex digits, rebuilt
+    positionally (DuckDB has no conv())."""
+    md5 = f"md5({expr})"
+    return " + ".join(
+        f"(instr('0123456789abcdef', substring({md5}, {j + 1}, 1)) - 1)"
+        f" * {16 ** (5 - j)}"
+        for j in range(6)
+    )
+
+
+_WINNOW_FP_SQL = f"""
+WITH wg AS (
+  SELECT doc_id,
+    CASE WHEN len({_TOKENS_SQL}) >= 4
+         THEN list_transform(generate_series(1, len({_TOKENS_SQL}) - 3),
+                             i -> array_to_string(list_slice({_TOKENS_SQL}, i, i + 3), ' '))
+         ELSE [trim(text)] END AS grams
+  FROM documents
+),
+wh AS (
+  SELECT doc_id, list_transform(grams, s -> {_md5_24bit_sql('s')}) AS hs FROM wg
+),
+wmin AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_transform(generate_series(1, len(hs) - 3),
+                                  i -> list_min(list_slice(hs, i, i + 3)))
+              ELSE [list_min(hs)] END AS mins
+  FROM wh
+)
+SELECT doc_id, CAST(unnest(list_distinct(mins)) AS BIGINT) AS fingerprint
+FROM wmin
+"""
+
+
+@register("doc_winnowing_fingerprints", oracle=_WINNOW_FP_SQL)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (k=4-token
+    grams, window w=4): the partial-overlap fingerprinting modality
+    next to MinHash (whole-doc Jaccard) and SimHash (hamming
+    distance) - operators/dedup.winnow_fingerprints. Any shared
+    token run of >= w+k-1 tokens is guaranteed a shared fingerprint;
+    density ~2/(w+1) keeps the fingerprint table a fixed fraction of
+    corpus grams."""
+    return winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@register(
+    "winnowing_overlap_pairs",
+    oracle=f"""
+WITH fp AS ({_WINNOW_FP_SQL}),
+keep AS (SELECT fingerprint FROM fp GROUP BY fingerprint HAVING count(*) <= 50),
+flt AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keep USING (fingerprint))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS INT) AS n_shared
+FROM flt a JOIN flt b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+""",
+)
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap detection: doc pairs sharing >= 2 winnowing
+    fingerprints, ubiquitous fingerprints (> 50 docs - boilerplate)
+    dropped BEFORE the inverted self-join so the hot buckets never
+    expand quadratically (operators/dedup.winnow_overlap_pairs; the
+    frequency filter rides the join's own hash partitioning). Finds
+    the lifted-paragraph case whole-document near-dup misses."""
+    from ..operators.dedup import winnow_overlap_pairs as _wop
+
+    return _wop(winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text"))

@@ -739,3 +739,51 @@ def test_incremental_probe_capped_star_bounds_skew(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_winnowing_guarantee_and_cap(spark):
+    """Winnowing's core guarantee (SIGMOD'03): any shared token run
+    of length >= w+k-1 (= 7 at k=4,w=4) yields at least one shared
+    fingerprint, even when the surrounding documents are entirely
+    different - the partial-overlap case whole-doc MinHash dilutes.
+    Docs with disjoint vocab share nothing; the ubiquity cap drops
+    boilerplate fingerprints before the self-join."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    lifted = "the quick brown fox jumps over lazy"  # 7 tokens
+    docs = _corpus(
+        spark,
+        [
+            (1, f"alpha bravo charlie {lifted} delta echo foxtrot"),
+            (2, f"uno dos tres cuatro {lifted} cinco seis siete ocho"),
+            (3, "completely disjoint vocabulary here nothing shared at all"),
+            (4, ""),  # empty doc: whole-text fallback, no crash
+        ],
+    )
+    fp = winnow_fingerprints(docs, "doc_id", "body")
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]  # the guarantee
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+    pairs = {(r.doc_a, r.doc_b): r.n_shared
+             for r in winnow_overlap_pairs(fp, min_shared=1).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+    # ubiquity cap: the same boilerplate in 60 docs > cap 50 -> its
+    # fingerprints carry no pairs (they are dropped pre-join)
+    boiler = _corpus(
+        spark,
+        [(100 + i, "all rights reserved footer text appended here today ok")
+         for i in range(60)],
+    )
+    bfp = winnow_fingerprints(boiler, "doc_id", "body")
+    assert winnow_overlap_pairs(bfp, min_shared=1).count() == 0
+    # raising the cap restores them - the filter, not the data
+    assert winnow_overlap_pairs(
+        bfp, min_shared=1, max_docs_per_fingerprint=100
+    ).count() == 60 * 59 // 2
