@@ -1472,3 +1472,57 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import winnow_overlap_pairs as _wop
 
     return _wop(winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text"))
+
+
+_DRATIO_SQL = (
+    f"CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)"
+    f" / CAST(len({_TOKENS_SQL}) AS DOUBLE)"
+)
+
+
+@register(
+    "adaptive_quality_filter",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, source, {_DRATIO_SQL} AS distinct_ratio
+  FROM documents WHERE len({_TOKENS_SQL}) > 0
+),
+c AS (
+  SELECT source, quantile_cont(distinct_ratio, 0.25) AS cutoff
+  FROM s GROUP BY source
+)
+SELECT s.doc_id, s.source, s.distinct_ratio, c.cutoff
+FROM s JOIN c USING (source)
+WHERE s.distinct_ratio >= c.cutoff
+""",
+)
+def adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality thresholding: keep docs at or above their
+    SOURCE's 25th-percentile lexical-diversity ratio - per-source
+    cutoffs instead of one global constant, because quality
+    distributions differ wildly by crawl (a fixed threshold
+    over-prunes clean sources and under-prunes noisy ones). The
+    standard corpus-curation step between scoring and sampling.
+
+    Scale shape: cutoffs are one exact-percentile aggregation to a
+    per-source table (sources ≪ corpus) broadcast back over the
+    scored stream - the fact table never shuffles for the filter.
+    Engine-exact: Spark `percentile` and DuckDB `quantile_cont`
+    share the linear-interpolation formula, and both sides compare
+    the identical IEEE division, so the kept set matches
+    bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_tok = token_count(t)
+    ratio = distinct_token_count(t).cast("double") / n_tok.cast("double")
+    scored = d.filter(n_tok > 0).select(
+        "doc_id", "source", ratio.alias("distinct_ratio")
+    )
+    cuts = scored.groupBy("source").agg(
+        F.percentile(F.col("distinct_ratio"), F.lit(0.25)).alias("cutoff")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "source")
+        .filter(F.col("distinct_ratio") >= F.col("cutoff"))
+        .select("doc_id", "source", "distinct_ratio", "cutoff")
+    )

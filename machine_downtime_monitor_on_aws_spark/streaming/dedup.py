@@ -41,13 +41,19 @@ from ..operators.dedup import (
     append_to_minhash_index,
     candidate_pairs_exact,
     compact_minhash_index_if_needed,
+    connected_components,
     incremental_candidate_pairs,
     minhash_band_arrays,
     recover_minhash_index,
+    update_components,
     write_minhash_index,
 )
 from .ingest import _checkpoint_sink_token
-from .store import _tracked_local_checkpoint, release_checkpoint
+from .store import (
+    KeyedParquetStore,
+    _tracked_local_checkpoint,
+    release_checkpoint,
+)
 
 
 def run_incremental_dedup_stream(
@@ -64,6 +70,8 @@ def run_incremental_dedup_stream(
     parallelism: int | None = None,
     compact_max_files_per_bucket: int | None = None,
     max_bucket_size: int | None = 256,
+    labels_store_path: str | None = None,
+    labels_buckets: int = 64,
 ) -> StreamingQuery:
     """Start the streaming dedup loop over a document stream.
 
@@ -91,6 +99,19 @@ def run_incremental_dedup_stream(
     keeping per-trigger output O(batch) with connected-component
     dedup unchanged. Default 256 matches the batch path; None = exact
     enumeration (unbounded under skew).
+
+    ``labels_store_path`` completes the loop in-stream: a
+    KeyedParquetStore of ``(doc_id, component)`` cluster labels,
+    maintained per epoch through
+    :func:`~..operators.dedup.update_components` - labels cover only
+    docs appearing in some pair (the duplicate sliver, not the
+    corpus), the per-epoch update contracts new pairs against them
+    (O(batch + touched components)), and the upsert touches only the
+    key buckets whose labels changed. Crash replay is convergent:
+    labels are DERIVED state, and folding the same epoch's pairs in
+    twice is a no-op (update_components idempotence is
+    property-tested). None (default) leaves labeling to a downstream
+    consumer of the pairs feed.
     """
     spark = doc_stream.sparkSession
     # heal a maintenance compaction a previous run left mid-swap -
@@ -146,12 +167,49 @@ def run_incremental_dedup_stream(
             # is the documented contract instead) and the write then
             # reads the checkpointed rows, not a recomputed plan
             pairs = _tracked_local_checkpoint(pairs)
-            if pairs.count() > 0:
+            n_pairs = pairs.count()
+            if n_pairs > 0:
                 pairs.withColumn("__epoch_id", F.lit(epoch_val)).write.mode(
                     "overwrite"
                 ).option("partitionOverwriteMode", "dynamic").partitionBy(
                     "__epoch_id"
                 ).parquet(pairs_path)
+            if labels_store_path is not None and n_pairs > 0:
+                # labels leg: cluster labels maintained incrementally.
+                # The store holds labels ONLY for docs seen in some
+                # pair - the duplicate sliver - so the contraction
+                # join scans a sliver, the delta graph is
+                # batch-bounded (broadcast inside update_components),
+                # and the upsert prunes to the changed keys' buckets.
+                # Replay-safe without its own marker: re-folding an
+                # epoch's pairs into already-updated labels is a
+                # no-op (update_components idempotence).
+                lstore = KeyedParquetStore(
+                    labels_store_path, "doc_id", labels_buckets
+                )
+                if lstore.exists(spark):
+                    prior = lstore.read(spark)
+                    merged = _tracked_local_checkpoint(
+                        update_components(prior, pairs)
+                    )
+                    changed = (
+                        merged.join(
+                            prior.withColumnRenamed("component", "__old"),
+                            "doc_id",
+                            "left",
+                        )
+                        .filter(
+                            F.col("__old").isNull()
+                            | (F.col("__old") != F.col("component"))
+                        )
+                        .select("doc_id", "component")
+                    )
+                    release_checkpoint(lstore.upsert(changed))
+                    release_checkpoint(merged)
+                else:
+                    release_checkpoint(
+                        lstore.upsert(connected_components(pairs))
+                    )
             writer = append_to_minhash_index if index_exists else write_minhash_index
             writer(
                 ba,

@@ -1616,3 +1616,79 @@ def test_streaming_dedup_skew_bounded_per_trigger(spark, tmp_path):
     finally:
         for t in (table, f"{table}__compacting", f"{table}__old"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_dedup_labels_store_incremental(spark, tmp_path):
+    """The labels leg of the streaming dedup loop: a KeyedParquetStore
+    of cluster labels maintained per epoch via update_components must
+    converge to EXACTLY the labels a full connected-components pass
+    over every pair ever emitted produces - including a cross-epoch
+    merge (two clusters joined by a later bridge doc) - and a replay
+    restart must change nothing."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        connected_components,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.dedup import (
+        run_incremental_dedup_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    table = "sdedup_labels_idx"
+    labels_path = str(tmp_path / "labels")
+    # epoch 0 forms cluster A {1,2}; epoch 1 forms cluster B
+    # {10,11}; epoch 2's docs join one cluster each ACROSS epochs
+    # (20 -> A, 21 -> B) - the touched-component relabel case
+    epochs = [
+        [(1, "shared body text alpha beta gamma delta"),
+         (2, "shared body text alpha beta gamma delta"),
+         (3, "unique text one two three four five")],
+        [(10, "another duplicated body entirely different words"),
+         (11, "another duplicated body entirely different words")],
+        [(20, "shared body text alpha beta gamma delta"),
+         (21, "another duplicated body entirely different words")],
+    ]
+    for e, rows in enumerate(epochs):
+        with open(os.path.join(src, f"b{e}.jsonl"), "w") as f:
+            f.write("\n".join(
+                json.dumps({"doc_id": i, "text": t}) for i, t in rows
+            ))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = run_incremental_dedup_stream(
+            stream, table, str(tmp_path / "pairs"), str(tmp_path / "ckpt"),
+            num_buckets=4, parallelism=4, labels_store_path=labels_path,
+        )
+        q.awaitTermination(300)
+
+    try:
+        run()
+        got = {
+            r.doc_id: r.component
+            for r in spark.read.parquet(labels_path).collect()
+        }
+        all_pairs = spark.read.parquet(str(tmp_path / "pairs")).select(
+            "doc_a", "doc_b"
+        )
+        expected = {
+            r.doc_id: r.component
+            for r in connected_components(all_pairs).collect()
+        }
+        assert got.keys() == {1, 2, 10, 11, 20, 21}  # only docs in pairs
+        assert {r for r in got} and got == expected
+        assert got[20] == got[1] == 1 and got[21] == got[10] == 10
+
+        run()  # restart, no new data: markers short-circuit, no change
+        got2 = {
+            r.doc_id: r.component
+            for r in spark.read.parquet(labels_path).collect()
+        }
+        assert got2 == got
+    finally:
+        for t in (table, f"{table}__compacting", f"{table}__old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
