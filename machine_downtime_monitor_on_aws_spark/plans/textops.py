@@ -1526,3 +1526,83 @@ def adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("distinct_ratio") >= F.col("cutoff"))
         .select("doc_id", "source", "distinct_ratio", "cutoff")
     )
+
+
+# blocklist terms the catalog's masking stage scrubs - chosen to be
+# PRESENT in the synthetic corpus so the oracle hash actually
+# exercises the transform (the PII regexes, correct as they are,
+# never fire on the digit-free word-salad test corpus)
+_MASK_TERMS = ("customer", "supplier")
+_MASK_IN = ", ".join(f"'{t}'" for t in _MASK_TERMS)
+
+
+@register(
+    "redacted_documents",
+    oracle=f"""
+WITH pii AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_URL_RE}', '<URL>', 'g'),
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_LONG_NUM_RE}', '<NUM>', 'g') AS t1,
+         CAST(len(regexp_extract_all(text, '{_URL_RE}'))
+            + len(regexp_extract_all(text, '{_EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{_LONG_NUM_RE}')) AS INT)
+           AS n_pii
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(
+         list_transform({_TOKENS_SQL.replace("text", "t1")},
+                        x -> CASE WHEN x IN ({_MASK_IN})
+                                  THEN '<ENTITY>' ELSE x END), ' ')
+         AS redacted_text,
+       n_pii + CAST(len(list_filter({_TOKENS_SQL.replace("text", "t1")},
+                                    x -> x IN ({_MASK_IN}))) AS INT)
+         AS n_redactions
+FROM pii
+""",
+)
+def redacted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-term scrubbing as a TRANSFORM (the counting
+    twin is doc_pattern_counts). Two stages, fixed order so output
+    is deterministic across engines: (1) regex placeholders for
+    URLs, then emails, then long digit runs (the same restricted
+    Java/RE2-identical patterns); (2) blocklist term masking at
+    token level - the redaction a pipeline applies for configured
+    sensitive vocabulary (usernames, internal project names), which
+    also rewrites text through the token join, i.e. normalizes
+    whitespace (documented semantics, not an accident). Per-doc
+    redaction counts ride along for the privacy-audit rollup.
+    Everything is scan-speed expression work - no UDF, no shuffle
+    before the caller's aggregation."""
+    d = _docs(spark, sf_dir)
+    t1 = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _URL_RE, "<URL>"),
+            _EMAIL_RE,
+            "<EMAIL>",
+        ),
+        _LONG_NUM_RE,
+        "<NUM>",
+    )
+    n_pii = (
+        F.regexp_count(F.col("text"), F.lit(_URL_RE))
+        + F.regexp_count(F.col("text"), F.lit(_EMAIL_RE))
+        + F.regexp_count(F.col("text"), F.lit(_LONG_NUM_RE))
+    )
+    toks = tokens(t1)
+    masked = F.array_join(
+        F.transform(
+            toks,
+            lambda x: F.when(x.isin(*_MASK_TERMS), "<ENTITY>").otherwise(x),
+        ),
+        " ",
+    )
+    n_mask = F.size(F.filter(toks, lambda x: x.isin(*_MASK_TERMS)))
+    return d.select(
+        "doc_id",
+        masked.alias("redacted_text"),
+        (n_pii + n_mask).cast("int").alias("n_redactions"),
+    )
