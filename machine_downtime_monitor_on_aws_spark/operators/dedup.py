@@ -743,26 +743,53 @@ def winnow_overlap_pairs(
     detector MinHash's whole-doc Jaccard misses.
 
     ``max_docs_per_fingerprint`` drops fingerprints present in more
-    docs than the cap BEFORE the self-join - ubiquitous fingerprints
-    are boilerplate (license headers, nav text) whose buckets would
-    expand quadratically, the same pathology candidate_pairs caps;
-    dropping them is the standard winnowing practice (they carry no
-    overlap signal) and bounds the join at O(cap * docs-per-fp).
-    The frequency filter reuses the join's own (fingerprint)
-    hash partitioning - a window count, no extra exchange."""
-    fp = fingerprints
-    if max_docs_per_fingerprint is not None:
-        wnd = Window.partitionBy("fingerprint")
-        fp = (
-            fp.withColumn("__n", F.count(F.lit(1)).over(wnd))
-            .filter(F.col("__n") <= max_docs_per_fingerprint)
-            .drop("__n")
+    docs than the cap - ubiquitous fingerprints are boilerplate
+    (license headers, nav text) whose buckets expand quadratically,
+    the same pathology candidate_pairs caps; dropping them is
+    standard winnowing practice (they carry no overlap signal).
+
+    Shape (mirrors candidate_pairs' grouped mode): ONE exchange
+    gathers each fingerprint's doc-id set (32-byte-hash-sized rows,
+    never text), the size filter and the pair expansion happen
+    in-row (bounded by cap^2/2 structs per row - the cap makes the
+    expansion safe), and one more exchange counts shared
+    fingerprints per pair. A window+self-join formulation costs a
+    THIRD full shuffle of the fingerprint table and recomputes the
+    fingerprint pipeline on both join sides (measured: no exchange
+    reuse) - this is strictly less data movement.
+    ``max_docs_per_fingerprint=None`` switches to the exact
+    self-join formulation (no cap, quadratic work spread by the
+    join) for corpora known boilerplate-free."""
+    if max_docs_per_fingerprint is None:
+        a = fingerprints.selectExpr("fingerprint", "doc_id AS doc_a")
+        b = fingerprints.selectExpr("fingerprint", "doc_id AS doc_b")
+        return (
+            a.join(b, "fingerprint")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
+            .filter(F.col("n_shared") >= min_shared)
         )
-    a = fp.selectExpr("fingerprint", "doc_id AS doc_a")
-    b = fp.selectExpr("fingerprint", "doc_id AS doc_b")
+    grouped = (
+        fingerprints.groupBy("fingerprint")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("__ids"))
+        .filter(
+            (F.size("__ids") >= 2)
+            & (F.size("__ids") <= max_docs_per_fingerprint)
+        )
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("__ids"), i + F.lit(2), F.size(F.col("__ids"))),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fingerprint")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("int").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
