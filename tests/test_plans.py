@@ -268,3 +268,56 @@ def test_driver_evidence_staleness_bounded():
     never = [n for n in names if n not in latest]
     assert len(never) <= WINDOW
     assert all(names.index(n) < WINDOW for n in never)
+
+
+def _formatted_plan(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_adaptive_quality_filter_broadcasts_cutoffs(spark):
+    """The per-source cutoff table must come back over the scored
+    stream as a BROADCAST join - the fact side never shuffles for
+    the filter (one exchange total: the cutoff aggregation)."""
+    from conftest import SF_ORACLE
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    plan = _formatted_plan(
+        catalog.REGISTRY["adaptive_quality_filter"].fn(spark, SF_ORACLE)
+    )
+    assert "BroadcastHashJoin" in plan
+    ex = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ") Exchange" in ln
+    ]
+    assert len(ex) == 1, ex  # only the groupBy(source) aggregation
+
+
+def test_winnowing_overlap_two_exchanges(spark):
+    """The capped overlap join's executed plan is exactly two
+    exchanges - fingerprint group + pair count; the window+self-join
+    formulation this replaced cost a third full fingerprint shuffle
+    AND recomputed the fingerprint pipeline per side."""
+    from conftest import SF_ORACLE
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = catalog.REGISTRY["winnowing_overlap_pairs"].fn(spark, SF_ORACLE)
+        executed = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    ex = [
+        ln for ln in executed.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(ex) == 2, ex
+    assert any("fingerprint" in ln for ln in ex)
+    assert any("doc_a" in ln and "doc_b" in ln for ln in ex)
