@@ -208,8 +208,10 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
     from machine_downtime_monitor_on_aws_spark.operators.dedup import (
         DEFAULT_NUM_BANDS,
         candidate_pairs_exact,
+        connected_components,
         incremental_candidate_pairs,
         minhash_band_arrays,
+        update_components,
         write_minhash_index,
     )
     from machine_downtime_monitor_on_aws_spark.tables import load_table
@@ -255,6 +257,28 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
                 DEFAULT_NUM_BANDS,
             ).count()
             inc_sec = min(inc_sec, time.perf_counter() - t0)
+        # labels leg: fold the batch's pairs into historical labels
+        # (update_components) vs re-running CC over ALL pairs - the
+        # O(batch + touched components) vs O(all pairs ever) claim
+        hist_pairs = candidate_pairs_exact(
+            minhash_band_arrays(d.filter(~is_batch), "doc_id", "text", parallelism=par),
+            DEFAULT_NUM_BANDS,
+        ).localCheckpoint(eager=True)
+        labels = connected_components(hist_pairs).localCheckpoint(eager=True)
+        batch_pairs = incremental_candidate_pairs(
+            spark,
+            minhash_band_arrays(d.filter(is_batch), "doc_id", "text", parallelism=par),
+            table,
+            DEFAULT_NUM_BANDS,
+        ).localCheckpoint(eager=True)
+        lab_full_sec = lab_inc_sec = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            connected_components(hist_pairs.unionByName(batch_pairs)).count()
+            lab_full_sec = min(lab_full_sec, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            update_components(labels, batch_pairs).count()
+            lab_inc_sec = min(lab_inc_sec, time.perf_counter() - t0)
         return {
             "full_rerun_sec": round(full_sec, 3),
             "incremental_sec": round(inc_sec, 3),
@@ -262,9 +286,16 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
             "docs_hashed_incremental": n_batch,
             "full_pairs": n_full,
             "batch_touching_pairs": n_inc,
+            "labels_full_cc_sec": round(lab_full_sec, 3),
+            "labels_incremental_sec": round(lab_inc_sec, 3),
         }
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+        from machine_downtime_monitor_on_aws_spark.session import (
+            unpersist_all_rdds,
+        )
+
+        unpersist_all_rdds(spark)  # the three localCheckpoints above
 
 
 def main() -> None:

@@ -194,3 +194,96 @@ def weighted_sample(
         sample_hash(F.col(id_col), salt)
         < F.floor(rate_pct_col * 100).cast("long")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundary_mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking: chunk boundaries fall AFTER any token
+    whose portable 24-bit hash is divisible by ``boundary_mod``
+    (expected chunk length = boundary_mod tokens), so boundaries
+    depend on CONTENT, not position. The property fixed-size
+    chunking (:func:`chunk_documents`) lacks: inserting one sentence
+    shifts every downstream fixed window, but content-defined
+    boundaries re-synchronize immediately - identical text runs
+    produce identical chunks wherever they sit, which is what makes
+    cross-document chunk-level dedup (and incremental re-embedding
+    of edited documents) work.
+
+    The rolling window is the token BIGRAM ending at each position
+    (boundary after token i when hash(t_i ' ' t_{i+1}) divides
+    evenly): hashing a 2-token window instead of single tokens keeps
+    boundaries content-defined while being robust to tiny
+    vocabularies, where a single-token rule can degenerate to zero
+    boundaries corpus-wide (every doc = one chunk) if no vocabulary
+    word happens to hash to the residue.
+
+    Output: (doc_id, chunk_idx, start_token, n_tokens, chunk_md5) -
+    the md5 is over the chunk's space-joined tokens, the join key
+    for chunk-store dedup. All row-local higher-order expressions
+    (hash/filter/zip/slice over the token array): each doc expands
+    independently, no shuffle, and the md5-derived gram hash is the
+    same digest scheme the winnowing/sampling oracles reproduce
+    digit-for-digit. Docs with no tokens produce no chunks.
+    Production deployments usually add min/max chunk-length clamps;
+    the unclamped form keeps the oracle expression shared and the
+    boundary semantics pure."""
+    from ..functions.text import tokens as _tokens
+
+    if boundary_mod < 1:
+        raise ValueError(f"boundary_mod must be >= 1, got {boundary_mod}")
+    t = _tokens(F.col(text_col))
+    n = F.size(t)
+    hs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.element_at(t, i), F.element_at(t, i + F.lit(1))
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    bpos = F.when(
+        n >= 2,
+        F.filter(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.element_at(hs, i) % boundary_mod == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(
+        F.array(F.lit(1)), F.transform(bpos, lambda i: i + F.lit(1))
+    )
+    ends = F.concat(bpos, F.array(n))
+    spans = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda p: p["s"] <= p["e"],
+    )
+    rows = df.filter(n > 0).select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("__toks"),
+        F.posexplode(spans).alias("__i", "__span"),
+    )
+    chunk_toks = F.slice(
+        F.col("__toks"),
+        F.col("__span.s"),
+        F.col("__span.e") - F.col("__span.s") + F.lit(1),
+    )
+    return rows.select(
+        "doc_id",
+        (F.col("__i") + 1).cast("int").alias("chunk_idx"),
+        F.col("__span.s").cast("int").alias("start_token"),
+        (F.col("__span.e") - F.col("__span.s") + 1).cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk_toks)).alias("chunk_md5"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import non_space_chars, token_count
 from ..operators.sampling import (
+    cdc_chunks,
     chunk_documents,
     deterministic_sample,
     pack_sequences,
@@ -315,4 +316,95 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return weighted_sample(
         scored, "doc_id", F.col("distinct_ratio") * 100.0, salt="wsample"
+    )
+
+
+from .textops import _md5_24bit_sql  # noqa: E402  (shared digest scheme)
+
+_CDC_MOD = 16
+_CDC_SQL = f"""
+WITH cdt AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+  WHERE len({_TOKENS_SQL}) > 0
+),
+cdh AS (
+  SELECT doc_id, toks,
+         list_transform(generate_series(1, len(toks) - 1),
+                        i -> {_md5_24bit_sql("toks[i] || ' ' || toks[i + 1]")})
+           AS hs
+  FROM cdt
+),
+cdb AS (
+  SELECT doc_id, toks,
+         list_filter(generate_series(1, len(hs)),
+                     i -> hs[i] % {_CDC_MOD} = 0) AS bpos
+  FROM cdh
+),
+cds AS (
+  SELECT doc_id, toks,
+         list_prepend(1, list_transform(bpos, i -> i + 1)) AS starts,
+         list_append(bpos, len(toks)) AS ends
+  FROM cdb
+),
+cdj AS (
+  SELECT doc_id, toks, starts, ends,
+         list_filter(generate_series(1, len(starts)),
+                     j -> starts[j] <= ends[j]) AS js
+  FROM cds
+),
+cdu AS (
+  SELECT doc_id, toks,
+         unnest(list_transform(generate_series(1, len(js)),
+                               k -> {{'chunk_idx': k,
+                                      's': starts[js[k]],
+                                      'e': ends[js[k]]}})) AS u
+  FROM cdj
+)
+SELECT doc_id,
+       CAST(u.chunk_idx AS INT) AS chunk_idx,
+       CAST(u.s AS INT) AS start_token,
+       CAST(u.e - u.s + 1 AS INT) AS n_tokens,
+       md5(array_to_string(list_slice(toks, u.s, u.e), ' ')) AS chunk_md5
+FROM cdu
+"""
+
+
+@register("doc_cdc_chunks", oracle=_CDC_SQL)
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/sampling.cdc_chunks):
+    boundaries after tokens whose portable 24-bit hash divides
+    evenly - identical text runs chunk identically wherever they
+    sit, unlike the fixed windows of doc_chunk_windows (one inserted
+    sentence shifts every later fixed window; CDC re-synchronizes).
+    The chunk_md5 column is the join key chunk-level dedup and
+    incremental re-embedding stand on."""
+    return cdc_chunks(_docs(spark, sf_dir), "doc_id", "text", _CDC_MOD)
+
+
+@register(
+    "cdc_chunk_dups",
+    oracle=f"""
+WITH chunks AS ({_CDC_SQL})
+SELECT chunk_md5,
+       CAST(count(DISTINCT doc_id) AS INT) AS n_docs,
+       CAST(count(*) AS INT) AS n_occurrences
+FROM chunks
+GROUP BY chunk_md5
+HAVING count(DISTINCT doc_id) >= 2
+""",
+)
+def cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated chunks: CDC chunk hashes appearing
+    in >= 2 docs - the storage/compute-dedup opportunity report
+    (embed each shared chunk once; near-dup docs share most chunks
+    because content-defined boundaries re-synchronize). One digest
+    aggregation; chunk text never leaves its row."""
+    ch = cdc_chunks(_docs(spark, sf_dir), "doc_id", "text", _CDC_MOD)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+            F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
     )

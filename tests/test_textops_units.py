@@ -36,3 +36,40 @@ def test_redaction_regex_stage_fires_on_real_pii(spark, tmp_path):
     assert got[3].redacted_text == "the <ENTITY> called the <ENTITY> twice"
     assert got[3].n_redactions == 2
     assert got[4].redacted_text == rows[3][1] and got[4].n_redactions == 0
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """The content-defined property: prepending one token shifts
+    every FIXED window, but CDC boundaries re-synchronize at the
+    first content boundary, so the shifted document shares all
+    downstream chunk hashes with the original. Identical docs chunk
+    identically; empty and single-token docs don't crash."""
+    import random
+
+    from machine_downtime_monitor_on_aws_spark.operators.sampling import (
+        cdc_chunks,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(200)]
+    body = " ".join(rng.choice(vocab) for _ in range(120))
+    rows = [
+        (1, body),
+        (2, "inserted " + body),  # one-token prefix edit
+        (3, body),                # exact duplicate of 1
+        (4, "solo"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ch = cdc_chunks(df, "doc_id", "text", boundary_mod=8)
+    by_doc = {}
+    for r in ch.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.chunk_md5)
+    assert len(by_doc[1]) >= 3  # fixture sanity: multiple chunks
+    assert by_doc[1] == by_doc[3]  # identical docs -> identical chunks
+    shared = by_doc[1] & by_doc[2]
+    # every chunk after the first boundary re-synchronizes: only the
+    # head chunk differs
+    assert len(shared) >= len(by_doc[1]) - 1 and shared
+    assert len(by_doc[4]) == 1  # single-token doc -> one chunk
+    assert 5 not in by_doc  # empty doc -> no chunks
