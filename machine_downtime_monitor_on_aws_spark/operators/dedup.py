@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import band_hashes, minhash_signature, shingles, tokens
+from ..functions.text import shingles, tokens
 
 # The one band count every default-band call site shares: the band
 # generator (minhash_band_arrays), the first-matching-band filter, and
@@ -683,6 +683,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 4,
     w: int = 4,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     the rolling-hash document fingerprinting that detects PARTIAL
@@ -690,45 +691,69 @@ def winnow_fingerprints(
     - which whole-document MinHash/SimHash dilute away. One row per
     (doc_id, distinct fingerprint).
 
-    Pipeline (all built-ins, one row-local expression chain - zero
-    shuffles before the caller's aggregation): token k-grams ->
-    24-bit md5-derived hash per gram (the sampling.sample_hash
-    digest scheme: engine-portable, so the DuckDB oracle reproduces
-    it digit-for-digit) -> sliding window of ``w`` consecutive gram
-    hashes -> min per window -> distinct per doc. The winnowing
-    guarantee: any shared token run of length >= w+k-1 produces at
-    least one shared fingerprint, and fingerprint density is
-    ~2/(w+1) per gram - the fixed sampling rate that makes the
-    downstream inverted join corpus-size-, not document-size-,
-    shaped. Docs shorter than one k-gram fall back to the trimmed
-    whole text (the shingles convention). Ties inside a window
-    collapse by VALUE (the fingerprint is a set of hash values, so
-    positional tie rules cannot change it)."""
+    Pipeline: token k-grams -> 24-bit md5-derived hash per gram (the
+    sampling.sample_hash digest scheme, so the DuckDB oracle
+    reproduces it digit-for-digit) -> min over each sliding window
+    of ``w`` consecutive gram hashes -> distinct per doc. The
+    winnowing guarantee: any shared token run of length >= w+k-1
+    produces at least one shared fingerprint, and density ~2/(w+1)
+    per gram makes the downstream inverted join corpus-size-, not
+    document-size-, shaped. Docs shorter than one k-gram fall back
+    to the trimmed whole text (the shingles convention). Ties inside
+    a window collapse by VALUE (the fingerprint is a set).
+
+    Shape: EXPLODE grams to rows (one md5 per gram), then the window
+    min rides a per-doc window frame - the same one-keyed-exchange
+    shape as the MinHash pipeline, and the distinct rides that
+    exchange too (hashpartitioning(doc_id) satisfies its
+    clustering). An earlier array-lambda formulation looked
+    shuffle-free but was O(grams^2) md5 calls per doc: Spark does no
+    common-subexpression elimination inside higher-order-function
+    lambdas, so every window's slice() re-evaluated the WHOLE
+    gram-hash array expression (measured: minutes per 5k docs vs
+    seconds for this shape)."""
     from ..functions.text import tokens as _tokens
 
-    t = _tokens(F.col(text_col))
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    if parallelism:
+        src = src.repartition(parallelism, "doc_id")
+    t = _tokens(F.col("__text"))
     grams = F.when(
         F.size(t) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (k - 1)),
             lambda i: F.concat_ws(" ", F.slice(t, i, k)),
         ),
-    ).otherwise(F.array(F.trim(F.col(text_col))))
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("long"),
+    ).otherwise(F.array(F.trim(F.col("__text"))))
+    g = src.select("doc_id", F.posexplode(grams).alias("__gpos", "__gram"))
+    h = g.select(
+        "doc_id",
+        "__gpos",
+        F.conv(F.substring(F.md5(F.col("__gram")), 1, 6), 16, 10)
+        .cast("long")
+        .alias("__h"),
     )
-    m = F.size(hashes)
-    mins = F.when(
-        m >= w,
-        F.transform(
-            F.sequence(F.lit(1), m - (w - 1)),
-            lambda i: F.array_min(F.slice(hashes, i, w)),
-        ),
-    ).otherwise(F.array(F.array_min(hashes)))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.array_distinct(mins)).alias("fingerprint"),
+    wnd = (
+        Window.partitionBy("doc_id")
+        .orderBy("__gpos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    # a window starting at position p is REAL iff it has w grams in
+    # its frame - or the doc is shorter than w grams and p is the
+    # first position (one whole-doc window)
+    mins = h.select(
+        "doc_id",
+        "__gpos",
+        F.min("__h").over(wnd).alias("fingerprint"),
+        F.count(F.lit(1)).over(wnd).alias("__span"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("__m"),
+    )
+    return (
+        mins.filter(
+            (F.col("__span") == w) | ((F.col("__m") < w) & (F.col("__gpos") == 0))
+        )
+        .select("doc_id", "fingerprint")
+        .distinct()
     )
 
 

@@ -223,67 +223,84 @@ def cdc_chunks(
 
     Output: (doc_id, chunk_idx, start_token, n_tokens, chunk_md5) -
     the md5 is over the chunk's space-joined tokens, the join key
-    for chunk-store dedup. All row-local higher-order expressions
-    (hash/filter/zip/slice over the token array): each doc expands
-    independently, no shuffle, and the md5-derived gram hash is the
-    same digest scheme the winnowing/sampling oracles reproduce
-    digit-for-digit. Docs with no tokens produce no chunks.
+    for chunk-store dedup. Docs with no tokens produce no chunks.
     Production deployments usually add min/max chunk-length clamps;
     the unclamped form keeps the oracle expression shared and the
-    boundary semantics pure."""
+    boundary semantics pure.
+
+    Shape: tokens EXPLODE to rows, the bigram hash is one md5 per
+    row (lead() supplies the next token), the chunk id is a running
+    boundary count, and chunks reassemble with a grouped sort_array
+    - window, running sum, and groupBy all ride ONE doc_id exchange
+    (hashpartitioning(doc_id) satisfies every downstream
+    clustering). An array-lambda formulation would look shuffle-free
+    but costs O(tokens^2) md5 calls per doc: Spark does no
+    common-subexpression elimination inside higher-order-function
+    lambdas, so each element_at(hs, i) re-evaluates the whole hash
+    array (the winnow_fingerprints lesson)."""
     from ..functions.text import tokens as _tokens
 
     if boundary_mod < 1:
         raise ValueError(f"boundary_mod must be >= 1, got {boundary_mod}")
     t = _tokens(F.col(text_col))
-    n = F.size(t)
-    hs = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ", F.element_at(t, i), F.element_at(t, i + F.lit(1))
-                    )
-                ),
-                1,
-                6,
-            ),
-            16,
-            10,
-        ).cast("long"),
+    tok_rows = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(t).alias("__pos", "__tok")
     )
-    bpos = F.when(
-        n >= 2,
-        F.filter(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.element_at(hs, i) % boundary_mod == 0,
+    by_doc = Window.partitionBy("doc_id").orderBy("__pos")
+    bigram_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(" ", F.col("__tok"), F.lead("__tok", 1).over(by_doc))),
+            1,
+            6,
         ),
-    ).otherwise(F.array().cast("array<int>"))
-    starts = F.concat(
-        F.array(F.lit(1)), F.transform(bpos, lambda i: i + F.lit(1))
-    )
-    ends = F.concat(bpos, F.array(n))
-    spans = F.filter(
-        F.zip_with(
-            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
-        ),
-        lambda p: p["s"] <= p["e"],
-    )
-    rows = df.filter(n > 0).select(
-        F.col(id_col).alias("doc_id"),
-        t.alias("__toks"),
-        F.posexplode(spans).alias("__i", "__span"),
-    )
-    chunk_toks = F.slice(
-        F.col("__toks"),
-        F.col("__span.s"),
-        F.col("__span.e") - F.col("__span.s") + F.lit(1),
-    )
-    return rows.select(
+        16,
+        10,
+    ).cast("long")
+    # boundary AFTER token at __pos when the bigram (tok, next) hash
+    # divides evenly; the last token never opens a new chunk
+    marked = tok_rows.select(
         "doc_id",
-        (F.col("__i") + 1).cast("int").alias("chunk_idx"),
-        F.col("__span.s").cast("int").alias("start_token"),
-        (F.col("__span.e") - F.col("__span.s") + 1).cast("int").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", chunk_toks)).alias("chunk_md5"),
+        "__pos",
+        "__tok",
+        F.when(
+            F.lead("__tok", 1).over(by_doc).isNotNull()
+            & (bigram_hash % boundary_mod == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("__is_boundary"),
+    )
+    # chunk of a token = 1 + boundaries strictly BEFORE it: running
+    # sum shifted by one row - rides the same doc_id window
+    chunked = marked.select(
+        "doc_id",
+        "__pos",
+        "__tok",
+        (
+            F.coalesce(
+                F.sum("__is_boundary").over(
+                    by_doc.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            + 1
+        )
+        .cast("int")
+        .alias("chunk_idx"),
+    )
+    grouped = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.min("__pos").alias("__start0"),
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sort_array(F.collect_list(F.struct("__pos", "__tok"))).alias("__ord"),
+    )
+    return grouped.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("__start0") + 1).cast("int").alias("start_token"),
+        "n_tokens",
+        F.md5(
+            F.concat_ws(
+                " ", F.transform(F.col("__ord"), lambda s: s["__tok"])
+            )
+        ).alias("chunk_md5"),
     )

@@ -299,11 +299,13 @@ def test_adaptive_quality_filter_broadcasts_cutoffs(spark):
     assert len(ex) == 1, ex  # only the groupBy(source) aggregation
 
 
-def test_winnowing_overlap_two_exchanges(spark):
-    """The capped overlap join's executed plan is exactly two
-    exchanges - fingerprint group + pair count; the window+self-join
-    formulation this replaced cost a third full fingerprint shuffle
-    AND recomputed the fingerprint pipeline per side."""
+def test_winnowing_overlap_three_exchanges(spark):
+    """The capped overlap join's executed plan is exactly three
+    exchanges - the fingerprint stage's per-doc window (the
+    explode+window shape that keeps md5 count linear), the
+    fingerprint group, and the pair count. The window+self-join
+    formulation this replaced cost an extra full fingerprint-table
+    shuffle AND recomputed the fingerprint pipeline per side."""
     from conftest import SF_ORACLE
 
     from machine_downtime_monitor_on_aws_spark.plans import catalog
@@ -318,6 +320,7 @@ def test_winnowing_overlap_two_exchanges(spark):
     ex = [
         ln for ln in executed.splitlines() if "Exchange hashpartitioning" in ln
     ]
-    assert len(ex) == 2, ex
+    assert len(ex) == 3, ex
+    assert any("doc_id" in ln for ln in ex)  # winnowing window
     assert any("fingerprint" in ln for ln in ex)
     assert any("doc_a" in ln and "doc_b" in ln for ln in ex)
