@@ -738,20 +738,18 @@ def winnow_fingerprints(
         .orderBy("__gpos")
         .rowsBetween(Window.currentRow, w - 1)
     )
-    # a window starting at position p is REAL iff it has w grams in
-    # its frame - or the doc is shorter than w grams and p is the
-    # first position (one whole-doc window)
+    # a window starting at position p is REAL iff its frame holds w
+    # grams - except position 0, which always fingerprints (for docs
+    # shorter than w grams its frame IS the whole doc). One window
+    # pass: both the min and the frame size ride the same frame spec
     mins = h.select(
         "doc_id",
         "__gpos",
         F.min("__h").over(wnd).alias("fingerprint"),
         F.count(F.lit(1)).over(wnd).alias("__span"),
-        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("__m"),
     )
     return (
-        mins.filter(
-            (F.col("__span") == w) | ((F.col("__m") < w) & (F.col("__gpos") == 0))
-        )
+        mins.filter((F.col("__span") == w) | (F.col("__gpos") == 0))
         .select("doc_id", "fingerprint")
         .distinct()
     )

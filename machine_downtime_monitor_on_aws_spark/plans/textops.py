@@ -1447,7 +1447,10 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     token run of >= w+k-1 tokens is guaranteed a shared fingerprint;
     density ~2/(w+1) keeps the fingerprint table a fixed fraction of
     corpus grams."""
-    return winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text")
+    return winnow_fingerprints(
+        _docs(spark, sf_dir), "doc_id", "text",
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -1471,7 +1474,12 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lifted-paragraph case whole-document near-dup misses."""
     from ..operators.dedup import winnow_overlap_pairs as _wop
 
-    return _wop(winnow_fingerprints(_docs(spark, sf_dir), "doc_id", "text"))
+    return _wop(
+        winnow_fingerprints(
+            _docs(spark, sf_dir), "doc_id", "text",
+            parallelism=spark.sparkContext.defaultParallelism,
+        )
+    )
 
 
 _DRATIO_SQL = (
