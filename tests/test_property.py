@@ -401,3 +401,101 @@ def test_update_components_matches_full_cc(seed):
     # idempotence: folding the same epoch again changes nothing
     again = update_components(merged, new_df)
     assert {r.doc_id: r.component for r in again.collect()} == expected
+
+
+def _md5_24bit(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:6], 16)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_winnow_fingerprints_match_python_model(seed):
+    """winnow_fingerprints vs the definitional model: min 24-bit
+    md5 gram hash per sliding window of w consecutive k-grams,
+    distinct per doc; docs shorter than one k-gram hash the trimmed
+    whole text; shorter than w grams yield one whole-doc window."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 15))))
+        for i in range(rng.randint(1, 10))
+    ]
+
+    def model(text, k=4, w=4):
+        toks = text.split()
+        grams = (
+            [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k
+            else [text.strip()]
+        )
+        hs = [_md5_24bit(g) for g in grams]
+        if len(hs) >= w:
+            return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+        return {min(hs)}
+
+    expected = {i: model(t) for i, t in docs}
+    spark = _spark()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_cdc_chunks_match_python_model(seed):
+    """cdc_chunks vs the definitional model: a boundary after token i
+    when the 24-bit md5 of the bigram (t_i ' ' t_{i+1}) divides the
+    modulus; chunks are the spans between boundaries, keyed by the
+    md5 of their space-joined tokens."""
+    import hashlib
+
+    from machine_downtime_monitor_on_aws_spark.operators.sampling import (
+        cdc_chunks,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"v{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(rng.randint(1, 10))
+    ]
+
+    def model(text, mod=4):
+        toks = text.split()
+        if not toks:
+            return []
+        bpos = [
+            i + 1
+            for i in range(len(toks) - 1)
+            if _md5_24bit(toks[i] + " " + toks[i + 1]) % mod == 0
+        ]
+        starts = [1] + [p + 1 for p in bpos]
+        ends = bpos + [len(toks)]
+        out = []
+        for idx, (s, e) in enumerate(zip(starts, ends), start=1):
+            chunk = toks[s - 1 : e]
+            out.append(
+                (idx, s, len(chunk),
+                 hashlib.md5(" ".join(chunk).encode()).hexdigest())
+            )
+        return out
+
+    expected = {i: model(t) for i, t in docs}
+    spark = _spark()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in cdc_chunks(df, "doc_id", "text", boundary_mod=4).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_token, r.n_tokens, r.chunk_md5)
+        )
+    got = {k: sorted(v) for k, v in got.items()}
+    expected = {k: sorted(v) for k, v in expected.items() if v}
+    assert got == expected
