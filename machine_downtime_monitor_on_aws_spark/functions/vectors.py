@@ -185,3 +185,17 @@ def sign_bucket(vec: Column | str, planes: list[list[int]]) -> Column:
         for plane in planes
     ]
     return F.concat(*bits)
+
+
+def sq_l2(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance, same left-fold shape (and DuckDB parity:
+    ``list_sum(list_transform(list_zip(a, b), x ->
+    (x[1]-x[2])*(x[1]-x[2])))``) as :func:`dot` - the subspace /
+    reconstruction distance product quantization scores with."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -438,3 +438,91 @@ def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _emb(spark, sf_dir)
     return lsh_buckets(e, _NUM_PLANES, _DIM).select("vec_id", "bucket")
+
+
+_PQ_M = 8
+_PQ_K = 16
+_PQ_SUB = _DIM // _PQ_M
+
+
+def _sq_l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "x -> (x[1]-x[2])*(x[1]-x[2])))"
+    )
+
+
+_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_PQ_K}),
+sd AS (
+  SELECT e.vec_id, s.j, c.cid,
+         {_sq_l2_sql(f'list_slice(e.v, s.j*{_PQ_SUB}+1, s.j*{_PQ_SUB}+{_PQ_SUB})',
+                     f'list_slice(c.cv, s.j*{_PQ_SUB}+1, s.j*{_PQ_SUB}+{_PQ_SUB})')} AS d
+  FROM e, generate_series(0, {_PQ_M - 1}) s(j), cent c
+),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d ASC, cid ASC) AS rn
+    FROM sd) WHERE rn = 1
+),
+recon AS (
+  SELECT k.vec_id,
+         flatten(list(list_slice(c.cv, k.j*{_PQ_SUB}+1, k.j*{_PQ_SUB}+{_PQ_SUB})
+                      ORDER BY k.j)) AS rv
+  FROM codes k JOIN cent c ON c.cid = k.cid
+  GROUP BY k.vec_id
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, r.vec_id AS neighbor_id,
+         {_sq_l2_sql('q.qv', 'r.rv')} AS approx_l2
+  FROM q JOIN recon r ON r.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, approx_l2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY approx_l2 ASC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, neighbor_id, approx_l2, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOPK}
+"""
+
+
+@register("pq_knn_top5", oracle=_PQ_ORACLE)
+def pq_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py): {m} one-byte codes
+    replace each 64-dim float64 vector (64x compression), queries
+    score against blockwise-centroid reconstructions (= asymmetric
+    distance computation), top-5 by approximate L2. Codebooks here
+    are the deterministic first-K vectors so the DuckDB oracle
+    re-derives them relationally and the WHOLE pipeline - per-
+    subspace argmin encode, reconstruction, ADC ranks - hash-matches
+    bit-for-bit (left-fold distances, smallest-centroid tie-break);
+    production passes k-means codebooks through the same functions.
+    Scale shape: encoding is per-row expression work against literal
+    codebooks (no join), the corpus never shuffles, and the scored
+    representation is 64x smaller than raw vectors - the property
+    that lets an ADC scan live where raw vectors cannot (and
+    composes with the IVF index: codes inside inverted lists)."""
+    from ..operators.pq import pq_encode_reconstruct, pq_topk
+
+    e = _emb(spark, sf_dir)
+    cents = [
+        list(r.vec)
+        for r in e.filter(F.col("vec_id") < _PQ_K)
+        .select("vec_id", "vec")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    enc = pq_encode_reconstruct(e, cents, _DIM, _PQ_M)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
+    )
+    return pq_topk(q, enc, _TOPK)
+
+
+pq_knn_top5.__doc__ = pq_knn_top5.__doc__.format(m=_PQ_M)

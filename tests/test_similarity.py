@@ -319,3 +319,49 @@ def test_ivf_skew_audit_and_rebuild(spark, tmp_path):
         hits += len(exact_ids & got_sets.get(qid, set()))
         total += 5
     assert hits / total >= 0.8, (hits, total, got_sets)
+
+
+def test_pq_encode_reconstruct_properties(spark):
+    """PQ structural pins: codes are m small ints in [0, K);
+    reconstructions are blockwise copies of the CHOSEN centroid (the
+    ADC identity sqL2(q, recon) == sum of subspace distances stands
+    on this); on clustered data where every vector sits near a
+    codebook centroid, PQ top-1 equals exact top-1."""
+    import random
+
+    from machine_downtime_monitor_on_aws_spark.operators.pq import (
+        pq_encode_reconstruct,
+        pq_topk,
+    )
+
+    rng = random.Random(23)
+    dim, m, k = 16, 4, 4
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(k)]
+    rows = []
+    for i in range(40):
+        base = cents[i % k]
+        rows.append((i, [c + rng.uniform(-0.01, 0.01) for c in base]))
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    enc = pq_encode_reconstruct(df, cents, dim, m)
+    got = enc.select("vec_id", "pq_code", "__recon").collect()
+    by_id = {r.vec_id: r for r in got}
+    for r in got:
+        assert len(r.pq_code) == m
+        assert all(0 <= c < k for c in r.pq_code)
+        # blockwise property: recon block j IS centroid[code_j]'s block
+        sub = dim // m
+        recon = r["__recon"]
+        for j, c in enumerate(r.pq_code):
+            assert list(recon[j * sub : (j + 1) * sub]) == [
+                float(x) for x in cents[c][j * sub : (j + 1) * sub]
+            ]
+        # tightly clustered: every subspace picks the generating centroid
+        assert list(r.pq_code) == [r.vec_id % k] * m
+
+    q = spark.createDataFrame(
+        [(100, cents[1])], "qid long, qv array<double>"
+    )
+    top = pq_topk(q, enc, 3).collect()
+    assert [r.rnk for r in top] == [1, 2, 3]
+    # all three nearest by ADC come from centroid 1's cluster
+    assert all(r.neighbor_id % k == 1 for r in top)
