@@ -108,6 +108,111 @@ def append_to_ivf_index(
     assign.write.mode("append").partitionBy("list_id").parquet(f"{path}/corpus")
 
 
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int,
+    dim: int,
+    m: int,
+    pq_centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    centroids: DataFrame | None = None,
+) -> None:
+    """IVF-PQ: the standard composition - coarse inverted lists for
+    pruning, product-quantization codes for compression. The corpus
+    partition stores ``(vec_id, pq_code, list_id)`` and NOT the raw
+    vector: at 100 TB of float64 embeddings that is the difference
+    between an index that fits (64x smaller at dim=64/m=8) and one
+    that is just a copy of the data. Assignment + encoding are one
+    pass over the corpus (broadcast coarse centroids, literal PQ
+    codebooks), one partitioned write.
+
+    ``pq_centroids`` are full-dim codebook vectors (K entries; the
+    per-subspace books are their slices) - hash-sample them from the
+    corpus (operators/pq docstring) or pass k-means centroids."""
+    from .pq import pq_encode_reconstruct
+
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("__n", l2_norm("vec", dim))
+    if centroids is None:
+        centroids = e.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+        )
+    cents = centroids.withColumn("__cn", l2_norm("cv", dim))
+    cents.select("cid", "cv").write.mode("overwrite").parquet(f"{path}/centroids")
+    assign = _nearest(e, cents, "vec", "__n", ["vec_id"], dim, 1).select(
+        "vec_id", "vec", F.col("cid").alias("list_id")
+    )
+    encoded = pq_encode_reconstruct(assign, pq_centroids, dim, m)
+    encoded.select("vec_id", "pq_code", "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{path}/corpus")
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probes: int,
+    dim: int,
+    m: int,
+    pq_centroids: list[list[float]],
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """ADC search over an IVF-PQ index: probe each query's top-P
+    lists (partition-pruned scan, same I/O story as
+    :func:`search_ivf_index`), reconstruct candidates from their
+    codes against the literal codebooks, rank by approximate squared
+    L2 (= sum of subspace distances - the ADC identity). The scan
+    reads M-byte codes, never vectors: probe I/O shrinks by the same
+    64x the index did. Returns (qid, neighbor_id, approx_l2, rnk)."""
+    from ..functions.vectors import sq_l2
+    from .pq import _literal_subcodebook
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    sub = dim // m
+    cents = spark.read.parquet(f"{path}/centroids").withColumn(
+        "__cn", l2_norm("cv", dim)
+    )
+    corpus = spark.read.parquet(f"{path}/corpus")
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    ).withColumn("__qn", l2_norm("qv", dim))
+    probe = _nearest(q, cents, "qv", "__qn", ["qid"], dim, n_probes).select(
+        "qid", "qv", F.col("cid").alias("list_id")
+    )
+    recon = F.flatten(
+        F.array(
+            *[
+                F.element_at(
+                    _literal_subcodebook(pq_centroids, j, sub),
+                    F.element_at(F.col("pq_code"), j + 1) + 1,
+                )
+                for j in range(m)
+            ]
+        )
+    )
+    scored = (
+        corpus.join(F.broadcast(probe), "list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("approx_l2", sq_l2(F.col("qv"), recon))
+    )
+    ranked = top_k_per_group(
+        scored, ["qid"], [F.col("approx_l2").asc(), F.col("vec_id").asc()], k
+    )
+    return ranked.select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        "approx_l2",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
 def ivf_list_stats(spark: SparkSession, path: str) -> dict:
     """List-size audit (r5 verdict item #4): ``append_to_ivf_index``
     assigns against FROZEN centroids, so a drifting corpus piles new

