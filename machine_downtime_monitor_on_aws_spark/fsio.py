@@ -133,7 +133,16 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> bool:
     already exists — the concurrent-writer race where the OTHER
     writer won; callers re-read the surviving file, so all writers
     agree on one value."""
-    tmp = path + ".tmp"
+    import uuid
+
+    # Per-writer temp name: a SHARED `<path>.tmp` lets concurrent
+    # writers clobber each other mid-write (writer A renames the temp
+    # while writer B's create() has just truncated it - publishing an
+    # empty/partial file and voiding the no-partial-reads guarantee
+    # the sink-token path relies on). With a unique temp, rename only
+    # ever publishes a fully written file; the lost-race re-read
+    # below is then actually sound.
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     write_text(spark, tmp, text)
     if rename(spark, tmp, path):
         return True

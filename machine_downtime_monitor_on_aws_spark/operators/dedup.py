@@ -540,6 +540,7 @@ def update_components(
     comp_col: str = "component",
     src: str = "doc_a",
     dst: str = "doc_b",
+    validate_ids: bool = True,
     **cc_kwargs,
 ) -> DataFrame:
     """Incremental connected-component maintenance: fold one epoch's
@@ -565,8 +566,20 @@ def update_components(
     mins, so the merged labels equal a full CC over
     (historical ∪ new) pairs - property-tested against full reruns
     and oracle-paired in the catalog (neardup_clusters_incremental).
+
     Requires ids unique across the corpus (a component label can
-    then never collide with a new doc id)."""
+    then never collide with a new doc id). ``validate_ids`` (default
+    True) enforces the checkable half of that precondition: a
+    batch-new node id (absent from ``labels``) must never equal an
+    existing component LABEL - labels are min-member ids, so every
+    label is itself a labeled doc, and a "new" node carrying a label
+    value means the id space collided (or the labels table was not
+    produced by connected_components). Without the check the
+    contraction conflates that node with the whole super-node and
+    silently merges unrelated clusters; with it the call fails
+    loudly. Cost: one scan of ``labels`` against the BROADCAST
+    batch-bounded new-node sliver - the historical labels never
+    shuffle."""
     l_a = labels.select(
         F.col(id_col).alias("__ia"), F.col(comp_col).alias("__ca")
     )
@@ -607,6 +620,25 @@ def update_components(
         .distinct()
         .join(labels.select(id_col), id_col, "left_anti")
     )
+    if validate_ids:
+        collision = (
+            labels.join(
+                F.broadcast(new_nodes.select(F.col(id_col).alias("__nid"))),
+                F.col(comp_col) == F.col("__nid"),
+            )
+            .select("__nid")
+            .limit(1)
+            .collect()
+        )
+        if collision:
+            raise ValueError(
+                "update_components: batch-new node id "
+                f"{collision[0]['__nid']!r} equals an existing "
+                "component label - the corpus id space is not unique (or "
+                "the labels table was not produced by "
+                "connected_components); proceeding would silently merge "
+                "unrelated clusters"
+            )
     new_labeled = new_nodes.join(
         delta, new_nodes[id_col] == F.col("__node"), "left"
     ).select(

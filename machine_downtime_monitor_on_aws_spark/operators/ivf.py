@@ -18,11 +18,69 @@ passing ``centroids=`` without changing the read path).
 
 from __future__ import annotations
 
+import hashlib
+import json
+import struct
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, l2_norm
 from .topk import top_k_per_group
+
+
+def codebook_digest(pq_centroids: list[list[float]]) -> str:
+    """md5 over the codebook's IEEE-754 little-endian bytes - a
+    byte-exact identity for "the codes were produced by THIS
+    codebook". Stored in the index params at build time and verified
+    before every ADC search: scoring codes against a drifted codebook
+    returns silently wrong neighbors (the same silent-drift failure
+    the MinHash index guards with _check_index_params)."""
+    h = hashlib.md5()
+    for row in pq_centroids:
+        for x in row:
+            h.update(struct.pack("<d", float(x)))
+    return h.hexdigest()
+
+
+def _stamp_index_params(spark: SparkSession, path: str, params: dict) -> None:
+    from .. import fsio
+
+    fsio.mkdirs(spark, path)
+    fsio.write_text(spark, f"{path}/params.json", json.dumps(params, sort_keys=True))
+
+
+def read_ivf_index_params(spark: SparkSession, path: str) -> dict:
+    """Params the index at ``path`` was built with ({} for a
+    pre-metadata index - the guard is advisory-strict, never lossy,
+    matching the MinHash index's read_minhash_index_params)."""
+    from .. import fsio
+
+    p = f"{path}/params.json"
+    if not fsio.exists(spark, p):
+        return {}
+    try:
+        return json.loads(fsio.read_text(spark, p))
+    except ValueError:
+        return {}
+
+
+def _check_ivf_index_params(
+    spark: SparkSession, path: str, **given: object
+) -> dict:
+    """Raise when a caller-declared param contradicts what the index
+    at ``path`` was built with; returns the stamped params so callers
+    can also FILL unspecified ones (e.g. residual mode) from the
+    stamp. Unstamped legacy indexes pass."""
+    recorded = read_ivf_index_params(spark, path)
+    for k, v in given.items():
+        if v is not None and k in recorded and recorded[k] != v:
+            raise ValueError(
+                f"IVF index {path!r} was built with {k}={recorded[k]!r} "
+                f"but this call declares {k}={v!r}; mismatched index "
+                "params silently return wrong neighbors"
+            )
+    return recorded
 
 
 def _nearest(
@@ -74,6 +132,9 @@ def build_ivf_index(
         "vec_id", "vec", F.col("__n").alias("norm"), F.col("cid").alias("list_id")
     )
     assign.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
+    _stamp_index_params(
+        df.sparkSession, path, {"layout": "ivf", "dim": dim}
+    )
 
 
 def append_to_ivf_index(
@@ -96,6 +157,9 @@ def append_to_ivf_index(
     recall signal) and let :func:`rebalance_ivf_index_if_needed`
     retrain past the skew bound."""
     spark = df.sparkSession
+    # raw-vector appends into an IVF-PQ corpus (codes, no vec column)
+    # would corrupt the layout; dim drift mis-folds every distance
+    _check_ivf_index_params(spark, path, layout="ivf", dim=dim)
     cents = spark.read.parquet(f"{path}/centroids").withColumn(
         "__cn", l2_norm("cv", dim)
     )
@@ -118,6 +182,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "vec",
     centroids: DataFrame | None = None,
+    residual: bool = False,
 ) -> None:
     """IVF-PQ: the standard composition - coarse inverted lists for
     pruning, product-quantization codes for compression. The corpus
@@ -129,8 +194,16 @@ def build_ivfpq_index(
     codebooks), one partitioned write.
 
     ``pq_centroids`` are full-dim codebook vectors (K entries; the
-    per-subspace books are their slices) - hash-sample them from the
-    corpus (operators/pq docstring) or pass k-means centroids."""
+    per-subspace books are their slices) - train them with
+    operators/kmeans (train_pq_codebooks) or hash-sample from the
+    corpus. ``residual=True`` PQ-encodes ``v - coarse_centroid(v)``
+    instead of the raw vector - the standard IVF-ADC formulation
+    (Jegou et al. 2011 §IV): residuals concentrate near the origin,
+    so the same code budget quantizes them with materially less
+    error than corpus-spread raw vectors. Search must score in the
+    same mode - the build stamps it (with the codebook digest) into
+    ``{path}/params.json`` and search validates.
+    """
     from .pq import pq_encode_reconstruct
 
     e = df.select(
@@ -143,12 +216,30 @@ def build_ivfpq_index(
     cents = centroids.withColumn("__cn", l2_norm("cv", dim))
     cents.select("cid", "cv").write.mode("overwrite").parquet(f"{path}/centroids")
     assign = _nearest(e, cents, "vec", "__n", ["vec_id"], dim, 1).select(
-        "vec_id", "vec", F.col("cid").alias("list_id")
+        "vec_id", "vec", F.col("cv").alias("__cv"), F.col("cid").alias("list_id")
     )
-    encoded = pq_encode_reconstruct(assign, pq_centroids, dim, m)
+    if residual:
+        assign = assign.withColumn(
+            "__enc", F.zip_with("vec", "__cv", lambda x, y: x - y)
+        )
+    else:
+        assign = assign.withColumn("__enc", F.col("vec"))
+    encoded = pq_encode_reconstruct(assign, pq_centroids, dim, m, vec_col="__enc")
     encoded.select("vec_id", "pq_code", "list_id").write.mode(
         "overwrite"
     ).partitionBy("list_id").parquet(f"{path}/corpus")
+    _stamp_index_params(
+        df.sparkSession,
+        path,
+        {
+            "layout": "ivfpq",
+            "dim": dim,
+            "m": m,
+            "k": len(pq_centroids),
+            "residual": bool(residual),
+            "codebook_md5": codebook_digest(pq_centroids),
+        },
+    )
 
 
 def search_ivfpq_index(
@@ -162,6 +253,7 @@ def search_ivfpq_index(
     pq_centroids: list[list[float]],
     query_id_col: str = "qid",
     query_vec_col: str = "qvec",
+    residual: bool | None = None,
 ) -> DataFrame:
     """ADC search over an IVF-PQ index: probe each query's top-P
     lists (partition-pruned scan, same I/O story as
@@ -169,12 +261,31 @@ def search_ivfpq_index(
     codes against the literal codebooks, rank by approximate squared
     L2 (= sum of subspace distances - the ADC identity). The scan
     reads M-byte codes, never vectors: probe I/O shrinks by the same
-    64x the index did. Returns (qid, neighbor_id, approx_l2, rnk)."""
+    64x the index did. Returns (qid, neighbor_id, approx_l2, rnk).
+
+    The declared m/dim/codebook are validated against what the build
+    stamped into ``{path}/params.json`` (codebooks by md5 digest) -
+    drifted codebooks or a different m decode every code into the
+    wrong reconstruction and return silently wrong neighbors.
+    ``residual=None`` scores in the mode the index was built with;
+    passing it explicitly cross-checks against the stamp."""
     from ..functions.vectors import sq_l2
     from .pq import _literal_subcodebook
 
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
+    stamped = _check_ivf_index_params(
+        spark,
+        path,
+        layout="ivfpq",
+        dim=dim,
+        m=m,
+        k=len(pq_centroids),
+        residual=None if residual is None else bool(residual),
+        codebook_md5=codebook_digest(pq_centroids),
+    )
+    if residual is None:
+        residual = bool(stamped.get("residual", False))
     sub = dim // m
     cents = spark.read.parquet(f"{path}/centroids").withColumn(
         "__cn", l2_norm("cv", dim)
@@ -184,7 +295,7 @@ def search_ivfpq_index(
         F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
     ).withColumn("__qn", l2_norm("qv", dim))
     probe = _nearest(q, cents, "qv", "__qn", ["qid"], dim, n_probes).select(
-        "qid", "qv", F.col("cid").alias("list_id")
+        "qid", "qv", F.col("cv").alias("__pcv"), F.col("cid").alias("list_id")
     )
     recon = F.flatten(
         F.array(
@@ -197,10 +308,81 @@ def search_ivfpq_index(
             ]
         )
     )
+    # residual mode: codes quantize v - c, so the comparable query
+    # side is q - c of the PROBED list (per (query, list) pair)
+    target = (
+        F.zip_with("qv", "__pcv", lambda x, y: x - y)
+        if residual
+        else F.col("qv")
+    )
     scored = (
         corpus.join(F.broadcast(probe), "list_id")
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("approx_l2", sq_l2(F.col("qv"), recon))
+        .withColumn("approx_l2", sq_l2(target, recon))
+    )
+    ranked = top_k_per_group(
+        scored, ["qid"], [F.col("approx_l2").asc(), F.col("vec_id").asc()], k
+    )
+    return ranked.select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        "approx_l2",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+def ivfpq_knn(
+    e: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    pq_centroids: list[list[float]],
+    dim: int,
+    m: int,
+    n_probes: int,
+    k: int,
+    residual: bool = True,
+) -> DataFrame:
+    """Inline IVF-ADC (no persisted index): coarse-assign the corpus
+    to inverted lists, PQ-encode the residuals (v - coarse centroid -
+    the standard formulation; ``residual=False`` encodes raw
+    vectors), probe each query's top-P lists, and rank candidates by
+    the asymmetric distance sqL2(q - c, recon). One broadcast of the
+    centroid table, one broadcast of the probe set; the corpus never
+    shuffles and only probed lists are scored. Deterministic
+    end-to-end (argmin tie-breaks by smallest id), which is what lets
+    the catalog's ``ivfpq_knn_top5`` carry a full hash-exact DuckDB
+    oracle. ``e``: (vec_id, vec); ``queries``: (qid, qv);
+    ``centroids``: (cid, cv). Returns (qid, neighbor_id, approx_l2,
+    rnk)."""
+    from ..functions.vectors import sq_l2
+    from .pq import pq_encode_reconstruct
+
+    ewn = e.select("vec_id", "vec").withColumn("__n", l2_norm("vec", dim))
+    cents = centroids.withColumn("__cn", l2_norm("cv", dim))
+    assign = _nearest(ewn, cents, "vec", "__n", ["vec_id"], dim, 1).select(
+        "vec_id", "vec", F.col("cv").alias("__cv"), F.col("cid").alias("list_id")
+    )
+    enc_in = assign.withColumn(
+        "__enc",
+        F.zip_with("vec", "__cv", lambda x, y: x - y)
+        if residual
+        else F.col("vec"),
+    )
+    encoded = pq_encode_reconstruct(enc_in, pq_centroids, dim, m, vec_col="__enc")
+    q = queries.select("qid", "qv").withColumn("__qn", l2_norm("qv", dim))
+    probe = _nearest(q, cents, "qv", "__qn", ["qid"], dim, n_probes).select(
+        "qid", "qv", F.col("cv").alias("__pcv"), F.col("cid").alias("list_id")
+    )
+    target = (
+        F.zip_with("qv", "__pcv", lambda x, y: x - y)
+        if residual
+        else F.col("qv")
+    )
+    scored = (
+        encoded.select("vec_id", "list_id", "__recon")
+        .join(F.broadcast(probe), "list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("approx_l2", sq_l2(target, F.col("__recon")))
     )
     ranked = top_k_per_group(
         scored, ["qid"], [F.col("approx_l2").asc(), F.col("vec_id").asc()], k
@@ -282,6 +464,22 @@ def rebuild_ivf_index(
     index."""
     from .. import fsio
 
+    # An IVF-PQ corpus stores (vec_id, pq_code, list_id) - the raw
+    # vectors this rebuild re-assigns from are GONE by design (the
+    # compression is the point). Fail with the limitation spelled out
+    # instead of an opaque AnalysisException on the missing column;
+    # rebuild a PQ index by re-running build_ivfpq_index over a
+    # retained vector source (the corpus parquet the index was built
+    # from).
+    layout = read_ivf_index_params(spark, path).get("layout")
+    probe_cols = spark.read.parquet(f"{path}/corpus").columns
+    if layout == "ivfpq" or "vec" not in probe_cols:
+        raise ValueError(
+            f"rebuild_ivf_index: {path!r} is an IVF-PQ index storing "
+            "codes, not raw vectors - it cannot be re-assigned from "
+            "its own contents; re-run build_ivfpq_index over a "
+            "retained vector source instead"
+        )
     corpus = spark.read.parquet(f"{path}/corpus").select("vec_id", "vec")
     cents = centroids if centroids is not None else sampled_centroids(
         corpus, n_centroids
@@ -314,9 +512,19 @@ def rebalance_ivf_index_if_needed(
     rebuild with fresh centroids. The audit is one bounded
     aggregation per call (cheap after every append batch); the
     rebuild it gates is O(corpus), amortized by the threshold.
-    Returns True when a rebuild ran."""
+    Returns True when a rebuild ran.
+
+    The threshold is floored at ``2 / n_centroids``: a PERFECTLY
+    balanced index already has max share 1/n_centroids, so any bound
+    at or below that is unreachable and the gate would rebuild on
+    every call forever without ever getting under it (at
+    n_centroids <= 10 the old 0.10 default did exactly that). The
+    floor admits up to 2x the uniform share before rebuilding."""
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1, got {n_centroids}")
+    effective_bound = max(max_list_share, 2.0 / n_centroids)
     stats = ivf_list_stats(spark, path)
-    if stats["n_vectors"] == 0 or stats["max_list_share"] <= max_list_share:
+    if stats["n_vectors"] == 0 or stats["max_list_share"] <= effective_bound:
         return False
     rebuild_ivf_index(spark, path, n_centroids, dim)
     return True
@@ -339,6 +547,9 @@ def search_ivf_index(
     the corpus' ``list_id`` PARTITION column, so the parquet scan
     prunes to P lists per query batch - the I/O story that makes IVF
     an index rather than a re-bucketing."""
+    # a PQ corpus has no vec/norm columns to score; dim drift
+    # mis-folds every distance - validate against the build stamp
+    _check_ivf_index_params(spark, path, layout="ivf", dim=dim)
     cents = spark.read.parquet(f"{path}/centroids").withColumn(
         "__cn", l2_norm("cv", dim)
     )

@@ -203,7 +203,15 @@ def _checkpoint_sink_token(spark: SparkSession, checkpoint_dir: str) -> str:
     if fsio.exists(spark, p):
         return fsio.read_text(spark, p).strip()
     fsio.mkdirs(spark, checkpoint_dir)
-    fsio.write_text_atomic(spark, p, uuid.uuid4().hex[:12])
+    # write_text_atomic returns False only when the publish failed AND
+    # the path still doesn't exist (a lost race re-reads the winner's
+    # token and returns True) - without this check the read below
+    # would surface a raw Java FileNotFoundException instead of
+    # naming the checkpoint dir that couldn't take the token.
+    if not fsio.write_text_atomic(spark, p, uuid.uuid4().hex[:12]):
+        raise OSError(
+            f"could not publish sink token under {checkpoint_dir!r}"
+        )
     return fsio.read_text(spark, p).strip()
 
 

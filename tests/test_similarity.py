@@ -424,3 +424,79 @@ def test_ivfpq_index_compressed_search(spark, tmp_path):
         for nid in nbrs:
             got_cluster = nid % n_cent if nid < n_cent else (nid - 100) % n_cent
             assert got_cluster == want, (qid, nid, by_q)
+
+
+def test_ivfpq_index_param_guards(spark, tmp_path):
+    """r6 advice (medium): the IVF-PQ index stamps m/dim/K and a
+    codebook digest at build time; search with a drifted codebook or
+    a different m must FAIL LOUDLY instead of silently decoding every
+    code against the wrong book (the MinHash-index guard, mirrored)."""
+    import pytest
+
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        build_ivfpq_index,
+        read_ivf_index_params,
+        rebuild_ivf_index,
+        search_ivfpq_index,
+    )
+
+    dim, m, n_cent = 8, 2, 4
+    books = [[float(k == j) for j in range(dim)] for k in range(4)]
+    rows = [(i, [float((i + j) % 3) for j in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(df, path, n_cent, dim, m, pq_centroids=books,
+                      residual=True)
+    stamped = read_ivf_index_params(spark, path)
+    assert stamped["layout"] == "ivfpq"
+    assert stamped["m"] == m and stamped["dim"] == dim
+    assert stamped["residual"] is True
+
+    q = spark.createDataFrame([(0, rows[5][1])], "qid long, qvec array<double>")
+    # the happy path fills residual mode from the stamp
+    assert search_ivfpq_index(spark, path, q, 3, 2, dim, m, books).count() > 0
+
+    drifted = [list(b) for b in books]
+    drifted[0][0] += 0.25
+    with pytest.raises(ValueError, match="codebook_md5"):
+        search_ivfpq_index(spark, path, q, 3, 2, dim, m, drifted)
+    with pytest.raises(ValueError, match="m="):
+        search_ivfpq_index(spark, path, q, 3, 2, dim, 4, books)
+    with pytest.raises(ValueError, match="residual"):
+        search_ivfpq_index(spark, path, q, 3, 2, dim, m, books,
+                           residual=False)
+    # a PQ corpus stores codes, not vectors: rebuild must name the
+    # limitation, not die on a missing column (r6 advice, low)
+    with pytest.raises(ValueError, match="IVF-PQ"):
+        rebuild_ivf_index(spark, path, n_cent, dim)
+
+
+def test_rebalance_threshold_floored_vs_small_centroid_count(spark, tmp_path):
+    """r6 advice (low): with n_centroids <= 10 a PERFECTLY balanced
+    index exceeds max_list_share=0.10 (uniform share is
+    1/n_centroids), so the old gate rebuilt on every call forever.
+    The floored bound (2/n_centroids) leaves a balanced index
+    alone."""
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        build_ivf_index,
+        rebalance_ivf_index_if_needed,
+    )
+
+    dim, n_cent = 4, 4
+    # 4 tight clusters around orthogonal exemplars, 10 vectors each
+    rows = []
+    for c in range(n_cent):
+        base = [0.0] * dim
+        base[c] = 1.0
+        rows.append((c, base))
+        for i in range(9):
+            v = list(base)
+            v[(c + 1) % dim] = 0.01 * (i + 1)
+            rows.append((100 + c * 10 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    path = str(tmp_path / "ivf_small")
+    build_ivf_index(df, path, n_cent, dim)
+    # balanced (share 0.25 = 1/4 <= 2/4): no rebuild churn even at
+    # the unreachable default threshold
+    assert not rebalance_ivf_index_if_needed(spark, path, n_cent, dim,
+                                             max_list_share=0.10)
