@@ -1,0 +1,304 @@
+"""operators/kmeans: distributed Lloyd's training (r6 verdict
+next-round #1) - exactness vs a pure-Python model, and the recall
+evidence that trained centroids/codebooks beat the first-K bootstrap
+the ANN surfaces previously ran on."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_downtime_monitor_on_aws_spark.operators.kmeans import (
+    centroids_to_df,
+    first_k_init,
+    hash_sampled_init,
+    kmeans_assign,
+    kmeans_fit_centroids_df,
+    lloyd_iterations,
+    train_pq_codebooks,
+)
+
+_Q = 1e9
+
+
+def _model_lloyd(rows, init, dim, iters):
+    """Reference Lloyd's with the same quantized re-center contract."""
+    cents = {k: list(v) for k, v in init.items()}
+    for _ in range(iters):
+        buckets: dict = {}
+        for _i, v in rows:
+            best = min(
+                cents.items(),
+                key=lambda kv: (
+                    sum((a - b) * (a - b) for a, b in zip(v, kv[1])),
+                    kv[0],
+                ),
+            )
+            buckets.setdefault(best[0], []).append(v)
+        new = {}
+        for key, old in cents.items():
+            vs = buckets.get(key)
+            if not vs:
+                new[key] = old
+                continue
+            new[key] = [
+                float(sum(int(math.floor(v[p] * _Q + 0.5)) for v in vs))
+                / _Q
+                / float(len(vs))
+                for p in range(dim)
+            ]
+        cents = new
+    return cents
+
+
+def test_lloyd_bit_exact_vs_python_model(spark):
+    """Every iteration - argmin ties, quantized integer re-center,
+    empty-cluster fallback - must be BIT-identical to the sequential
+    model regardless of partitioning (the property that lets
+    kmeans_assignments carry a hash-exact DuckDB oracle)."""
+    rng = random.Random(7)
+    dim, k, iters = 6, 3, 4
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>"
+    ).repartition(7)
+    init = first_k_init(df, k)
+    got = lloyd_iterations(df, init, dim, iters)
+    want = _model_lloyd(rows, init, dim, iters)
+    assert got == want
+
+
+def test_lloyd_empty_cluster_keeps_previous_centroid(spark):
+    """A seed far from all data loses every point on iteration 1 and
+    must carry its centroid forward unchanged (both engines coalesce
+    identically)."""
+    rows = [(i, [float(i % 3), 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    far = [1e6, 1e6]
+    init = {(0,): [0.0, 0.0], (1,): [2.0, 0.0], (2,): list(far)}
+    out = lloyd_iterations(df, init, 2, 2)
+    assert out[(2,)] == far
+
+
+def _clustered_fixture(rng, n_clusters, dim, per_cluster, spread):
+    """True cluster c centered on unit axis c; ids are arranged so the
+    FIRST n_clusters ids all live in cluster 0 - the adversarial case
+    for the first-K bootstrap."""
+    centers = []
+    for c in range(n_clusters):
+        base = [0.0] * dim
+        base[c % dim] = 1.0 if c < dim else -1.0
+        centers.append(base)
+
+    def jitter(c):
+        return [x + rng.uniform(-spread, spread) for x in centers[c]]
+
+    rows = [(i, jitter(0)) for i in range(n_clusters)]  # poison seeds
+    nid = 100
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            rows.append((nid, jitter(c)))
+            nid += 1
+    return rows
+
+
+def _brute_top5(rows, qids, metric="l2"):
+    """Exact top-5 ground truth in the metric the index under test
+    actually ranks by (IVF search ranks by cosine, ADC by squared
+    L2 - recall against the WRONG metric has a ceiling < 1 no matter
+    how good the index is)."""
+
+    def d(qv, v):
+        if metric == "l2":
+            return sum((a - b) * (a - b) for a, b in zip(qv, v))
+        num = sum(a * b for a, b in zip(qv, v))
+        return -num / (
+            math.sqrt(sum(a * a for a in qv)) * math.sqrt(sum(b * b for b in v))
+        )
+
+    truth = {}
+    for qid in qids:
+        qv = dict(rows)[qid]
+        scored = sorted((d(qv, v), i) for i, v in rows if i != qid)
+        truth[qid] = {i for _, i in scored[:5]}
+    return truth
+
+
+def _recall(found: dict, truth: dict) -> float:
+    return sum(
+        len(found.get(q, set()) & t) / len(t) for q, t in truth.items()
+    ) / len(truth)
+
+
+def test_trained_centroids_beat_first_k_ivf_recall(spark, tmp_path):
+    """The r6 verdict's 'done' bar: IVF recall@5 with k-means-trained
+    centroids strictly above the first-K baseline on a clustered
+    fixture where the first K ids all fall in one region (so the
+    bootstrap centroids collapse and probes miss whole clusters)."""
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    rng = random.Random(23)
+    n_clusters, dim = 8, 8
+    rows = _clustered_fixture(rng, n_clusters, dim, per_cluster=30, spread=0.08)
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    qids = [100 + 30 * c for c in range(n_clusters)]
+    truth = _brute_top5(rows, qids, metric="cos")
+    q = spark.createDataFrame(
+        [(i, dict(rows)[i]) for i in qids], "qid long, qvec array<double>"
+    )
+
+    def run(path, centroids):
+        build_ivf_index(df, path, n_clusters, dim, centroids=centroids)
+        got = search_ivf_index(spark, path, q, 5, 2, dim)
+        found: dict = {}
+        for r in got.collect():
+            found.setdefault(r.qid, set()).add(r.neighbor_id)
+        return _recall(found, truth)
+
+    baseline = run(str(tmp_path / "firstk"), None)  # first-K bootstrap
+    trained = run(
+        str(tmp_path / "trained"),
+        kmeans_fit_centroids_df(df, n_clusters, dim, iters=5, init="hash"),
+    )
+    # collapsed bootstrap centroids leave whole clusters sharing a
+    # probe list; trained centroids separate them (deterministic
+    # fixture: measured 0.95 vs 1.0)
+    assert trained > baseline, (trained, baseline)
+    assert trained >= 0.99, trained
+
+
+def test_trained_pq_codebooks_cut_quantization_error(spark):
+    """Trained per-subspace codebooks must reconstruct the corpus with
+    strictly less total squared error than the first-K raw-vector
+    books every PQ surface previously defaulted to - quantization
+    error is the monotone proxy for ADC rank fidelity."""
+    from machine_downtime_monitor_on_aws_spark.operators.pq import (
+        pq_encode_reconstruct,
+    )
+
+    rng = random.Random(41)
+    dim, m, k = 8, 2, 8
+    rows = _clustered_fixture(rng, 4, dim, per_cluster=40, spread=0.15)
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+
+    def total_err(books):
+        from machine_downtime_monitor_on_aws_spark.functions.vectors import sq_l2
+
+        enc = pq_encode_reconstruct(df, books, dim, m)
+        return enc.select(
+            F.sum(sq_l2(F.col("vec"), F.col("__recon"))).alias("e")
+        ).collect()[0].e
+
+    first_k_books = [v for _, v in sorted(rows)[:k]]
+    trained_books = train_pq_codebooks(df, dim, m, k, iters=4)
+    assert total_err(trained_books) < total_err(first_k_books)
+
+
+def test_residual_ivfpq_beats_raw_encoding_recall(spark, tmp_path):
+    """r6 verdict next-round #2: at equal code budget, PQ-encoding
+    residuals (v - coarse centroid, books trained on residuals) must
+    recover more true neighbors than raw-vector encoding - residuals
+    concentrate near the origin so the same K entries quantize them
+    finer than corpus-spread raw vectors."""
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        build_ivfpq_index,
+        ivfpq_knn,
+        search_ivfpq_index,
+    )
+    from machine_downtime_monitor_on_aws_spark.operators.kmeans import (
+        kmeans_assign,
+    )
+
+    rng = random.Random(59)
+    n_clusters, dim, m, k_book = 4, 8, 4, 16
+    rows = _clustered_fixture(rng, n_clusters, dim, per_cluster=50, spread=0.2)
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    qids = [100 + 50 * c for c in range(n_clusters)]
+    truth = _brute_top5(rows, qids)
+    q = spark.createDataFrame(
+        [(i, dict(rows)[i]) for i in qids], "qid long, qvec array<double>"
+    )
+
+    coarse = kmeans_fit_centroids_df(df, n_clusters, dim, iters=4, init="hash")
+    assigned = kmeans_assign(
+        df, coarse.select(F.col("cid").alias("cluster"), "cv"), dim
+    )
+    residual_frame = assigned.join(
+        F.broadcast(coarse.select(F.col("cid").alias("cluster"), "cv")),
+        "cluster",
+    ).select(
+        "vec_id", F.zip_with("vec", "cv", lambda x, y: x - y).alias("vec")
+    )
+    res_books = train_pq_codebooks(residual_frame, dim, m, k_book, iters=4)
+    raw_books = train_pq_codebooks(df, dim, m, k_book, iters=4)
+
+    def run(path, books, residual):
+        build_ivfpq_index(
+            df, path, n_clusters, dim, m, pq_centroids=books,
+            centroids=coarse, residual=residual,
+        )
+        got = search_ivfpq_index(spark, path, q, 5, n_clusters, dim, m, books)
+        found: dict = {}
+        for r in got.collect():
+            found.setdefault(r.qid, set()).add(r.neighbor_id)
+        return _recall(found, truth)
+
+    raw = run(str(tmp_path / "raw"), raw_books, residual=False)
+    res = run(str(tmp_path / "res"), res_books, residual=True)
+    assert res > raw, (res, raw)
+
+    # the inline composition (the catalog query's shape) agrees with
+    # the persisted residual index on the same inputs
+    inline = ivfpq_knn(
+        df,
+        q.select(F.col("qid"), F.col("qvec").alias("qv")),
+        coarse,
+        res_books,
+        dim,
+        m,
+        n_probes=n_clusters,
+        k=5,
+        residual=True,
+    )
+    persisted = search_ivfpq_index(
+        spark, str(tmp_path / "res"), q, 5, n_clusters, dim, m, res_books
+    )
+    a = sorted((r.qid, r.neighbor_id, r.rnk) for r in inline.collect())
+    b = sorted((r.qid, r.neighbor_id, r.rnk) for r in persisted.collect())
+    assert a == b
+
+
+def test_hash_init_requires_enough_rows(spark):
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, vec array<double>")
+    with pytest.raises(ValueError, match="need k"):
+        hash_sampled_init(df, 5)
+
+
+def test_grouped_training_equals_per_subspace_runs(spark):
+    """train_pq_codebooks solves all M subspace problems as one
+    grouped job per iteration; the result must equal running each
+    subspace's k-means independently."""
+    rng = random.Random(13)
+    dim, m, k = 6, 3, 4
+    sub = dim // m
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    books = train_pq_codebooks(df, dim, m, k, iters=3, init="first")
+
+    seeds = sorted(rows)[:k]
+    for j in range(m):
+        sliced = [(i, v[j * sub : (j + 1) * sub]) for i, v in rows]
+        sdf = spark.createDataFrame(sliced, "vec_id long, vec array<double>")
+        init = {
+            (label,): v[j * sub : (j + 1) * sub]
+            for label, (_, v) in enumerate(seeds)
+        }
+        solo = lloyd_iterations(sdf, init, sub, 3)
+        for label in range(k):
+            assert books[label][j * sub : (j + 1) * sub] == solo[(label,)]
