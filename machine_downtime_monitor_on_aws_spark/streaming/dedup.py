@@ -72,6 +72,10 @@ def run_incremental_dedup_stream(
     max_bucket_size: int | None = 256,
     labels_store_path: str | None = None,
     labels_buckets: int = 64,
+    chunk_store_path: str | None = None,
+    chunk_feed_path: str | None = None,
+    chunk_boundary_mod: int = 16,
+    chunk_buckets: int = 64,
 ) -> StreamingQuery:
     """Start the streaming dedup loop over a document stream.
 
@@ -112,7 +116,27 @@ def run_incremental_dedup_stream(
     twice is a no-op (update_components idempotence is
     property-tested). None (default) leaves labeling to a downstream
     consumer of the pairs feed.
+
+    ``chunk_store_path`` adds CHUNK-LEVEL dedup to the loop (r6
+    verdict next-round #5 - the incremental re-embedding use case):
+    each batch is content-defined-chunked (cdc_chunks,
+    ``chunk_boundary_mod`` expected tokens per chunk), collapsed to
+    one canonical ref per distinct chunk content
+    (smallest (doc_id, chunk_idx)), and merged FIRST-SEEN-WINS into
+    a chunk_md5-keyed KeyedParquetStore - content is immutable under
+    its digest, so the store row for a chunk never changes and
+    replaying a committed epoch is a no-op. Per-epoch cost is
+    O(batch chunks + touched buckets), never O(chunk history).
+    ``chunk_feed_path`` (requires ``chunk_store_path``) additionally
+    publishes each epoch's genuinely-NEW chunks as an
+    epoch-partitioned feed via the two-phase upsert (feed published
+    between plan and commit, dynamic overwrite keyed by the
+    checkpoint-lineage token): the exactly-once work queue a
+    downstream embedder consumes - an edited document re-embeds only
+    the chunks its edit actually changed.
     """
+    if chunk_feed_path is not None and chunk_store_path is None:
+        raise ValueError("chunk_feed_path requires chunk_store_path")
     spark = doc_stream.sparkSession
     # heal a maintenance compaction a previous run left mid-swap -
     # otherwise the first probe would bootstrap a FRESH index and
@@ -210,6 +234,48 @@ def run_incremental_dedup_stream(
                     release_checkpoint(
                         lstore.upsert(connected_components(pairs))
                     )
+            if chunk_store_path is not None:
+                # chunk leg: content-defined chunks -> first-seen-wins
+                # content-addressed store; NEW chunk contents publish
+                # to the feed between plan and commit (the two-phase
+                # exactly-once window plan_upsert documents)
+                from ..operators.sampling import cdc_chunks
+                from ..operators.topk import top_k_per_group
+
+                chunks = cdc_chunks(
+                    batch_df, id_col, text_col, chunk_boundary_mod
+                )
+                canon = top_k_per_group(
+                    chunks,
+                    ["chunk_md5"],
+                    [F.col("doc_id").asc(), F.col("chunk_idx").asc()],
+                    1,
+                ).select(
+                    "chunk_md5",
+                    F.col("doc_id").alias("ref_doc_id"),
+                    F.col("chunk_idx").alias("ref_chunk_idx"),
+                    "n_tokens",
+                )
+                cstore = KeyedParquetStore(
+                    chunk_store_path, "chunk_md5", chunk_buckets
+                )
+                new_chunks, cmerged = cstore.plan_upsert(
+                    canon, keep_existing=True
+                )
+                try:
+                    if (
+                        chunk_feed_path is not None
+                        and new_chunks.limit(1).count() > 0
+                    ):
+                        new_chunks.withColumn(
+                            "__epoch_id", F.lit(epoch_val)
+                        ).write.mode("overwrite").option(
+                            "partitionOverwriteMode", "dynamic"
+                        ).partitionBy("__epoch_id").parquet(chunk_feed_path)
+                    cstore.commit(cmerged)
+                finally:
+                    release_checkpoint(new_chunks)
+                    release_checkpoint(cmerged)
             writer = append_to_minhash_index if index_exists else write_minhash_index
             writer(
                 ba,

@@ -123,7 +123,10 @@ class KeyedParquetStore:
         return spark.read.parquet(self.path).drop(_BUCKET_COL)
 
     def plan_upsert(
-        self, updates: DataFrame, compare_col: str | None = None
+        self,
+        updates: DataFrame,
+        compare_col: str | None = None,
+        keep_existing: bool = False,
     ) -> tuple[DataFrame, DataFrame]:
         """Phase 1 of the merge: compute (deltas, merged) WITHOUT
         writing the store. Both are materialized (localCheckpoint) so
@@ -141,7 +144,22 @@ class KeyedParquetStore:
         write touches no partitions, so the previously published
         feed rows survive. Either way the feed converges to exactly
         the true change set.
+
+        ``keep_existing=True`` flips the merge to FIRST-SEEN-WINS: a
+        key already in the store keeps its stored row, and deltas are
+        exactly the batch's genuinely-new keys. This is the
+        content-addressed-store semantic (chunk_md5 -> canonical
+        ref): content is immutable under its digest, so replaying an
+        epoch whose keys all landed is a no-op and the deltas double
+        as the new-content work queue (the re-embedding feed).
+        Mutually exclusive with ``compare_col`` (which is updates-win
+        change detection).
         """
+        if keep_existing and compare_col is not None:
+            raise ValueError(
+                "keep_existing (first-seen-wins) and compare_col "
+                "(updates-win change detection) are mutually exclusive"
+            )
         spark = updates.sparkSession
         u = updates.withColumn(_BUCKET_COL, self._bucket())
         if self.exists(spark):
@@ -151,15 +169,27 @@ class KeyedParquetStore:
             prior = spark.read.parquet(self.path).filter(
                 F.col(_BUCKET_COL).isin(touched)
             )  # partition-pruned scan: only touched bucket dirs are listed
-            if compare_col is not None:
-                deltas = changed_rows(
-                    updates, prior.drop(_BUCKET_COL), [self.key_col], compare_col
+            if keep_existing:
+                u = u.join(
+                    prior.select(self.key_col), self.key_col, "left_anti"
                 )
+                deltas = updates.join(
+                    prior.select(self.key_col), self.key_col, "left_anti"
+                )
+                merged = prior.unionByName(u)
             else:
-                deltas = updates
-            merged = prior.join(
-                u.select(self.key_col), self.key_col, "left_anti"
-            ).unionByName(u)
+                if compare_col is not None:
+                    deltas = changed_rows(
+                        updates,
+                        prior.drop(_BUCKET_COL),
+                        [self.key_col],
+                        compare_col,
+                    )
+                else:
+                    deltas = updates
+                merged = prior.join(
+                    u.select(self.key_col), self.key_col, "left_anti"
+                ).unionByName(u)
         else:
             deltas = updates
             merged = u
@@ -177,7 +207,12 @@ class KeyedParquetStore:
             .parquet(self.path)
         )
 
-    def upsert(self, updates: DataFrame, compare_col: str | None = None) -> DataFrame:
+    def upsert(
+        self,
+        updates: DataFrame,
+        compare_col: str | None = None,
+        keep_existing: bool = False,
+    ) -> DataFrame:
         """One-shot merge: :meth:`plan_upsert` + :meth:`commit`;
         returns the delta rows (keys that are new or whose
         ``compare_col`` changed; all update rows when ``compare_col``
@@ -185,7 +220,7 @@ class KeyedParquetStore:
         should use the two-phase API and publish between the phases;
         long-lived callers should :func:`release_checkpoint` the
         returned deltas once consumed (merged is released here)."""
-        deltas, merged = self.plan_upsert(updates, compare_col)
+        deltas, merged = self.plan_upsert(updates, compare_col, keep_existing)
         self.commit(merged)
         release_checkpoint(merged)
         return deltas

@@ -92,3 +92,39 @@ def test_upsert_without_compare_col_returns_all(spark, tmp_path):
     d = store.upsert(_df(spark, [("a", "UP", 2)]))
     assert [r.machine_id for r in d.collect()] == ["a"]
     assert store.read(spark).collect()[0].status_epoch == 2
+
+
+def test_keyed_store_first_seen_wins(spark, tmp_path):
+    """keep_existing=True: a key already in the store keeps its
+    stored row (content-addressed semantics), deltas are exactly the
+    new keys, and replaying the same batch is a no-op."""
+    import pytest
+
+    from machine_downtime_monitor_on_aws_spark.streaming.store import (
+        KeyedParquetStore,
+        release_checkpoint,
+    )
+
+    store = KeyedParquetStore(str(tmp_path / "cas"), "k", 8)
+    b1 = spark.createDataFrame([("a", 1), ("b", 1)], "k string, ref int")
+    d1 = store.upsert(b1, keep_existing=True)
+    assert {(r.k, r.ref) for r in d1.collect()} == {("a", 1), ("b", 1)}
+    release_checkpoint(d1)
+
+    # second batch: 'a' re-arrives with a DIFFERENT ref (first seen
+    # wins - stored row keeps ref 1), 'c' is genuinely new
+    b2 = spark.createDataFrame([("a", 2), ("c", 2)], "k string, ref int")
+    d2 = store.upsert(b2, keep_existing=True)
+    assert {(r.k, r.ref) for r in d2.collect()} == {("c", 2)}
+    release_checkpoint(d2)
+    assert {(r.k, r.ref) for r in store.read(spark).collect()} == {
+        ("a", 1), ("b", 1), ("c", 2),
+    }
+
+    # replaying a fully-landed batch produces zero deltas
+    d3 = store.upsert(b2, keep_existing=True)
+    assert d3.count() == 0
+    release_checkpoint(d3)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        store.plan_upsert(b2, compare_col="ref", keep_existing=True)

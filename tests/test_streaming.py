@@ -1692,3 +1692,111 @@ def test_streaming_dedup_labels_store_incremental(spark, tmp_path):
     finally:
         for t in (table, f"{table}__compacting", f"{table}__old"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_dedup_chunk_store(spark, tmp_path):
+    """r6 verdict next-round #5: chunk-level dedup in the streaming
+    loop. Content-defined chunks from each epoch merge first-seen-
+    wins into a chunk_md5-keyed store; the feed publishes ONLY
+    genuinely-new chunk contents per epoch (an edited doc re-embeds
+    just its changed chunks); replay with no new data is a no-op; and
+    the store equals the epoch-ordered batch ground truth."""
+    from machine_downtime_monitor_on_aws_spark.operators.sampling import (
+        cdc_chunks,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.dedup import (
+        run_incremental_dedup_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    table = "sdedup_chunks_test"
+    cstore_path = str(tmp_path / "chunk_store")
+    cfeed_path = str(tmp_path / "chunk_feed")
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    base = " ".join(words[i % len(words)] + str(i) for i in range(60))
+    # doc 2: same tail as doc 1 after an inserted prefix - CDC
+    # boundaries re-sync so the shared run produces identical chunks
+    edited = "brand new inserted preamble tokens " + base
+
+    def stream():
+        return spark.readStream.schema("doc_id long, text string").json(src)
+
+    def run():
+        q = run_incremental_dedup_stream(
+            stream(), table, str(tmp_path / "pairs"), ckpt,
+            num_buckets=8, parallelism=4,
+            chunk_store_path=cstore_path,
+            chunk_feed_path=cfeed_path,
+            chunk_boundary_mod=4,
+        )
+        q.awaitTermination(120)
+
+    def batch_chunks(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return cdc_chunks(df, "doc_id", "text", 4)
+
+    def canon_of(chunks_df):
+        out = {}
+        for r in chunks_df.collect():
+            key = r.chunk_md5
+            cand = (r.doc_id, r.chunk_idx, r.n_tokens)
+            if key not in out or cand < out[key]:
+                out[key] = cand
+        return out
+
+    try:
+        e1 = [(1, base), (2, "something entirely different and unique")]
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            f.write("\n".join(
+                json.dumps({"doc_id": i, "text": t}) for i, t in e1))
+        run()
+        truth = canon_of(batch_chunks(e1))
+        got = {
+            r.chunk_md5: (r.ref_doc_id, r.ref_chunk_idx, r.n_tokens)
+            for r in spark.read.parquet(cstore_path).collect()
+        }
+        assert got == truth
+        feed1 = spark.read.parquet(cfeed_path)
+        assert feed1.select("__epoch_id").distinct().count() == 1
+        assert feed1.count() == len(truth)  # every chunk new in epoch 1
+
+        # epoch 2: an edited twin of doc 1 - most chunks identical
+        e2 = [(3, edited)]
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.write("\n".join(
+                json.dumps({"doc_id": i, "text": t}) for i, t in e2))
+        run()
+        t2 = canon_of(batch_chunks(e2))
+        new_keys = set(t2) - set(truth)
+        assert new_keys, "fixture must produce at least one new chunk"
+        assert len(new_keys) < len(t2), (
+            "CDC re-sync must make the edited doc share chunks with "
+            "history - otherwise the feed degenerates to full re-embed"
+        )
+        # ground truth: first-seen by epoch order
+        for k in new_keys:
+            truth[k] = t2[k]
+        got = {
+            r.chunk_md5: (r.ref_doc_id, r.ref_chunk_idx, r.n_tokens)
+            for r in spark.read.parquet(cstore_path).collect()
+        }
+        assert got == truth  # shared chunks still ref doc 1
+        feed = spark.read.parquet(cfeed_path)
+        assert feed.select("__epoch_id").distinct().count() == 2
+        # epoch 2's feed carries ONLY the genuinely-new chunks
+        assert feed.count() == len(truth)
+
+        # no-new-data restart: store and feed unchanged
+        run()
+        assert spark.read.parquet(cfeed_path).count() == len(truth)
+        got = {
+            r.chunk_md5: (r.ref_doc_id, r.ref_chunk_idx, r.n_tokens)
+            for r in spark.read.parquet(cstore_path).collect()
+        }
+        assert got == truth
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
