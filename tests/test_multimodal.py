@@ -120,3 +120,56 @@ def test_repartition_sizes_from_scan_stats_job_free(spark, tmp_path):
     assert jobs_after == jobs_before  # sizing ran zero jobs
     ideal = total // target
     assert ideal // 2 <= out.rdd.getNumPartitions() <= ideal * 2 + 1
+
+
+def test_wav_codec_roundtrip_and_guards(spark):
+    """WavPcmCodec parses real RIFF/WAVE bytes: encode->decode
+    roundtrips the exact integer features; malformed containers fail
+    loudly; odd-sized chunks honor RIFF even-padding; missing
+    payloads yield the zero row."""
+    import struct
+
+    import pytest
+
+    from machine_downtime_monitor_on_aws_spark.operators.multimodal import (
+        WavPcmCodec,
+        encode_wav_pcm16,
+    )
+
+    codec = WavPcmCodec()
+    samples = [0, 100, -32768, 32767, -1]
+    wav = encode_wav_pcm16(samples, 8000)
+    assert codec.decode(wav) == [
+        8000.0, 5.0, -32768.0, 32767.0,
+        float(sum(samples)), float(sum(s * s for s in samples)),
+    ]
+
+    assert codec.decode(None) == [0.0] * 6
+    with pytest.raises(ValueError, match="RIFF"):
+        codec.decode(b"JUNK" + wav[4:])
+    # float-format WAV (format code 3) must be rejected, not misread
+    bad_fmt = bytearray(wav)
+    struct.pack_into("<H", bad_fmt, 20, 3)
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        codec.decode(bytes(bad_fmt))
+
+    # an odd-sized pre-chunk must be skipped WITH its pad byte: build
+    # RIFF with a 3-byte 'junk' chunk before fmt/data
+    body = wav[12:]
+    odd = b"RIFF" + struct.pack("<I", 4 + 8 + 3 + 1 + len(body)) + b"WAVE"
+    odd += b"junk" + struct.pack("<I", 3) + b"abc\x00" + body
+    assert codec.decode(odd) == codec.decode(wav)
+
+
+def test_wav_codec_multichannel_frames():
+    """n_frames divides interleaved samples by channel count; sums
+    cover every channel's samples."""
+    from machine_downtime_monitor_on_aws_spark.operators.multimodal import (
+        WavPcmCodec,
+        encode_wav_pcm16,
+    )
+
+    inter = [1, -1, 2, -2, 3, -3]  # 3 stereo frames
+    wav = encode_wav_pcm16(inter, 16000, n_channels=2)
+    got = WavPcmCodec().decode(wav)
+    assert got == [16000.0, 3.0, -3.0, 3.0, 0.0, float(sum(s * s for s in inter))]
