@@ -92,9 +92,39 @@ def _nearest(
     dim: int,
     top: int,
 ) -> DataFrame:
+    """Top-``top`` centroids per ``side`` row by cosine, ties to the
+    smallest cid. ``top == 1`` (the corpus-assignment path - the BIG
+    side of every index build/append) runs as a hash aggregate
+    ``min(struct(-sim, cid, payload...))`` instead of a window:
+    partial aggregation collapses the N x C candidate rows to N
+    map-side BEFORE the exchange, where the window shape shuffles all
+    N x C. Same argmin semantics (lexicographic struct min = highest
+    sim, then smallest cid; sim negation is exact); probe paths
+    (top > 1) keep the window."""
     sim = dot(vec_col, "cv", dim) / (F.col(norm_col) * F.col("__cn"))
+    joined = side.crossJoin(F.broadcast(cents)).withColumn("__sim", sim)
+    if top == 1:
+        cent_payload = [c for c in cents.columns if c != "cid"]
+        side_payload = [c for c in side.columns if c not in key_cols]
+        packed = F.min(
+            F.struct(
+                (-F.col("__sim")).alias("__ns"),
+                F.col("cid").alias("cid"),
+                *[F.col(c).alias(c) for c in cent_payload],
+            )
+        ).alias("__m")
+        g = joined.groupBy(*key_cols).agg(
+            packed, *[F.first(c).alias(c) for c in side_payload]
+        )
+        return g.select(
+            *key_cols,
+            *side_payload,
+            F.col("__m.cid").alias("cid"),
+            *[F.col(f"__m.{c}").alias(c) for c in cent_payload],
+            (-F.col("__m.__ns")).alias("__sim"),
+        )
     return top_k_per_group(
-        side.crossJoin(F.broadcast(cents)).withColumn("__sim", sim),
+        joined,
         key_cols,
         [F.col("__sim").desc(), F.col("cid").asc()],
         top,

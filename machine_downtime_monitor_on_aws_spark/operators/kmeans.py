@@ -80,10 +80,13 @@ def kmeans_assign(
     (join on ``group_cols`` when given, else a broadcast cross join),
     squared-L2 distance, per-(group, id) argmin with ties to the
     smallest cluster label. Returns the input columns plus
-    ``cluster`` and ``sq_dist``. One corpus scan, no corpus shuffle
-    beyond the argmin window's hash exchange on (group, id) - and at
-    K centroids per group the candidate fan-out is K rows per input
-    row, all map-side."""
+    ``cluster`` and ``sq_dist``.
+
+    The argmin is a hash aggregate ``min(struct(d, cluster))``, not a
+    window: lexicographic struct min IS (smallest distance, then
+    smallest cluster), and partial aggregation collapses the N x K
+    candidate rows to N map-side before the exchange - at 100 TB the
+    shuffle carries the corpus once, never K copies of it."""
     group_cols = group_cols or []
     joined = (
         df.join(F.broadcast(centroids), group_cols)
@@ -91,14 +94,19 @@ def kmeans_assign(
         else df.crossJoin(F.broadcast(centroids))
     )
     d = sq_l2(F.col(vec_col), F.col("cv"))
-    ranked = top_k_per_group(
-        joined.withColumn("__d", d),
-        [*group_cols, id_col],
-        [F.col("__d").asc(), F.col("cluster").asc()],
-        1,
+    keys = [*group_cols, id_col]
+    payload = [c for c in df.columns if c not in keys]
+    g = joined.withColumn("__d", d).groupBy(*keys).agg(
+        F.min(
+            F.struct(F.col("__d").alias("d"), F.col("cluster").alias("cluster"))
+        ).alias("__m"),
+        *[F.first(c).alias(c) for c in payload],
     )
-    keep = [c for c in df.columns] + ["cluster"]
-    return ranked.select(*keep, F.col("__d").alias("sq_dist"))
+    return g.select(
+        *[c for c in df.columns],
+        F.col("__m.cluster").alias("cluster"),
+        F.col("__m.d").alias("sq_dist"),
+    )
 
 
 def _quantized_center_sums(
