@@ -272,6 +272,112 @@ def build_ivfpq_index(
     )
 
 
+def append_to_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    m: int,
+    pq_centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> None:
+    """Steady-state growth of an IVF-PQ index: assign the batch
+    against the persisted coarse centroids (broadcast, partial-agg
+    argmin), PQ-encode in the index's stamped mode (residual or
+    raw - read from params.json, never guessed), append into the
+    ``list_id`` partitions. O(batch), never O(corpus) - the
+    IVF-PQ twin of :func:`append_to_ivf_index`. The declared
+    m/dim/codebook are validated against the build stamp first:
+    appending codes produced by a different codebook would poison
+    every future search of the touched lists."""
+    from .pq import pq_encode_reconstruct
+
+    spark = df.sparkSession
+    stamped = _check_ivf_index_params(
+        spark,
+        path,
+        layout="ivfpq",
+        dim=dim,
+        m=m,
+        k=len(pq_centroids),
+        codebook_md5=codebook_digest(pq_centroids),
+    )
+    residual = bool(stamped.get("residual", False))
+    cents = spark.read.parquet(f"{path}/centroids").withColumn(
+        "__cn", l2_norm("cv", dim)
+    )
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("__n", l2_norm("vec", dim))
+    assign = _nearest(e, cents, "vec", "__n", ["vec_id"], dim, 1).select(
+        "vec_id", "vec", F.col("cv").alias("__cv"), F.col("cid").alias("list_id")
+    )
+    enc_in = assign.withColumn(
+        "__enc",
+        F.zip_with("vec", "__cv", lambda x, y: x - y)
+        if residual
+        else F.col("vec"),
+    )
+    encoded = pq_encode_reconstruct(enc_in, pq_centroids, dim, m, vec_col="__enc")
+    encoded.select("vec_id", "pq_code", "list_id").write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(f"{path}/corpus")
+
+
+def search_ivfpq_index_rerank(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    shortlist: int,
+    n_probes: int,
+    dim: int,
+    m: int,
+    pq_centroids: list[list[float]],
+    vector_source: DataFrame,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Two-stage retrieval (the standard production IVF-ADC shape):
+    stage 1 shortlists ``shortlist`` (>= k) candidates per query by
+    compressed ADC over the probed lists; stage 2 re-ranks ONLY the
+    shortlist by exact cosine against ``vector_source`` (the raw
+    vectors the index deliberately does not store - the corpus
+    parquet, a feature store). The shortlist is queries x shortlist
+    rows - broadcast against the source scan, so the expensive exact
+    math runs on a sliver while the corpus-wide scan stayed on
+    M-byte codes. Recovers most of the recall the quantization lost;
+    the ADC shortlist bounds the exact work. Returns
+    (qid, neighbor_id, cosine_sim, rnk)."""
+    if shortlist < k:
+        raise ValueError(f"shortlist={shortlist} must be >= k={k}")
+    cand = search_ivfpq_index(
+        spark, path, queries, shortlist, n_probes, dim, m, pq_centroids,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select("qid", "neighbor_id")
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    ).withColumn("__qn", l2_norm("qv", dim))
+    cand_q = cand.join(q, "qid")
+    src = vector_source.select(
+        F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv")
+    ).withColumn("__sn", l2_norm("__sv", dim))
+    exact = src.join(
+        F.broadcast(cand_q), F.col("__sid") == F.col("neighbor_id")
+    ).withColumn(
+        "cosine_sim",
+        dot("qv", "__sv", dim) / (F.col("__qn") * F.col("__sn")),
+    )
+    ranked = top_k_per_group(
+        exact, ["qid"], [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()], k
+    )
+    return ranked.select(
+        "qid", "neighbor_id", "cosine_sim", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
 def search_ivfpq_index(
     spark: SparkSession,
     path: str,

@@ -222,6 +222,146 @@ def hash_sampled_init(
     return {(i,): [float(x) for x in r["__v"]] for i, r in enumerate(rows)}
 
 
+def _weighted_lloyd_py(
+    cands: list[tuple[int, list[float], int]], k: int, iters: int
+) -> list[list[float]]:
+    """Driver-side weighted k-means over the k-means|| candidate set
+    (|cands| ~ l*rounds - always tiny). Deterministic: init = the
+    heaviest candidate, then greedy weighted farthest-point (argmax
+    of weight * d^2-to-chosen, ties by id - the deterministic stand-in
+    for weighted k-means++ sampling; plain top-k-by-weight can drop a
+    whole region when one dense cluster contributes two heavy
+    candidates), standard weighted Lloyd after. Pure Python on
+    purpose: the candidate set is driver-scale by construction, so no
+    job is worth launching."""
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    ordered = sorted(cands, key=lambda c: (-c[2], c[0]))
+    centers = [list(ordered[0][1])]
+    while len(centers) < k:
+        best = max(
+            ordered,
+            key=lambda c: (
+                c[2] * min(d2(c[1], ctr) for ctr in centers),
+                -c[0],
+            ),
+        )
+        centers.append(list(best[1]))
+    dim = len(centers[0])
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(k)]
+        wts = [0] * k
+        for _cid, v, w in cands:
+            best, bd = 0, None
+            for j, c in enumerate(centers):
+                d = sum((a - b) * (a - b) for a, b in zip(v, c))
+                if bd is None or d < bd:
+                    best, bd = j, d
+            wts[best] += w
+            for p in range(dim):
+                sums[best][p] += v[p] * w
+        centers = [
+            [s / w for s in sums[j]] if (w := wts[j]) else centers[j]
+            for j in range(k)
+        ]
+    return centers
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    l: int | None = None,
+    rounds: int = 3,
+    final_iters: int = 5,
+    salt: str = "kmpar",
+) -> dict[tuple, list[float]]:
+    """k-means|| initialization (Bahmani et al., VLDB 2012 - the
+    init Spark MLlib itself defaults to): instead of k sequential
+    k-means++ draws (k passes over the data - unusable at 100 TB),
+    each of ``rounds`` passes samples ~``l`` points INDEPENDENTLY
+    with probability l*d^2(x, C)/phi, then the oversampled candidate
+    set (driver-scale: ~l*rounds) is weighted by how many corpus
+    points it attracts and reduced to k centers with a driver-side
+    weighted Lloyd. Two bounded jobs per round (cost phi + the
+    sampled sliver); the corpus never shuffles.
+
+    Deterministic end-to-end (this repo's contract): the "coin flip"
+    for row x in round r is the uniform fraction
+    xxhash64(id:salt:r)/2^53 - reproducible on any partitioning, no
+    RNG state - and the final reduction seeds from the heaviest
+    candidates. Returns ``{(0,): v0, ..., (k-1,): v_{k-1}}`` ready
+    for :func:`lloyd_iterations`. Against the first-K/hash inits
+    this covers every dense region with overwhelming probability
+    even when small-id/hash-sampled rows all fall in one cluster
+    (the d^2 weighting is the point)."""
+    if l is None:
+        l = 2 * k
+    spark = df.sparkSession
+    e = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    seed = (
+        e.orderBy(F.xxhash64(F.col("__id").cast("string"), F.lit(salt)), "__id")
+        .limit(1)
+        .collect()[0]
+    )
+    cands: dict[int, list[float]] = {int(seed["__id"]): [float(x) for x in seed["__v"]]}
+    two53 = float(1 << 53)
+    for r in range(rounds):
+        cdf = spark.createDataFrame(
+            [(int(cid), v) for cid, v in sorted(cands.items())],
+            "cluster long, cv array<double>",
+        )
+        assigned = kmeans_assign(
+            e, cdf, dim, id_col="__id", vec_col="__v"
+        ).select("__id", "__v", "sq_dist")
+        # one pass computes phi; the sampled sliver reuses the plan
+        phi = assigned.agg(F.sum("sq_dist")).collect()[0][0]
+        if not phi:
+            break  # every point sits on a centroid already
+        frac = (
+            F.pmod(
+                F.xxhash64(F.col("__id").cast("string"), F.lit(f"{salt}:{r}")),
+                F.lit(1 << 53),
+            ).cast("double")
+            / F.lit(two53)
+        )
+        picked = (
+            assigned.filter(
+                frac < F.col("sq_dist") * F.lit(float(l)) / F.lit(float(phi))
+            )
+            .select("__id", "__v")
+            .collect()
+        )
+        for row in picked:
+            cands[int(row["__id"])] = [float(x) for x in row["__v"]]
+    # weight candidates by attraction, reduce to k driver-side
+    cdf = spark.createDataFrame(
+        [(int(cid), v) for cid, v in sorted(cands.items())],
+        "cluster long, cv array<double>",
+    )
+    counts = {
+        int(r["cluster"]): int(r["n"])
+        for r in kmeans_assign(e, cdf, dim, id_col="__id", vec_col="__v")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weighted = [
+        (cid, v, counts.get(cid, 0)) for cid, v in sorted(cands.items())
+    ]
+    if len(weighted) < k:
+        raise ValueError(
+            f"k-means|| produced only {len(weighted)} candidates for k={k}; "
+            "raise l or rounds (corpus may be smaller than k)"
+        )
+    centers = _weighted_lloyd_py(weighted, k, final_iters)
+    return {(i,): c for i, c in enumerate(centers)}
+
+
 def kmeans_fit_centroids_df(
     df: DataFrame,
     k: int,
@@ -232,13 +372,17 @@ def kmeans_fit_centroids_df(
     init: str = "hash",
 ) -> DataFrame:
     """Convenience: train k centroids (``init``: "hash" uniform
-    sample or "first" smallest-id) and return them as a (cid, cv)
-    DataFrame ready to drop into build_ivf_index/build_ivfpq_index's
-    ``centroids=`` seam."""
-    initfn = hash_sampled_init if init == "hash" else first_k_init
+    sample, "first" smallest-id, or "parallel" k-means||) and return
+    them as a (cid, cv) DataFrame ready to drop into
+    build_ivf_index/build_ivfpq_index's ``centroids=`` seam."""
+    if init == "parallel":
+        seeds = kmeans_parallel_init(df, k, dim, id_col, vec_col)
+    else:
+        initfn = hash_sampled_init if init == "hash" else first_k_init
+        seeds = initfn(df, k, id_col, vec_col)
     cents = lloyd_iterations(
         df,
-        initfn(df, k, id_col, vec_col),
+        seeds,
         dim,
         iters,
         id_col=id_col,

@@ -302,3 +302,133 @@ def test_grouped_training_equals_per_subspace_runs(spark):
         solo = lloyd_iterations(sdf, init, sub, 3)
         for label in range(k):
             assert books[label][j * sub : (j + 1) * sub] == solo[(label,)]
+
+
+def test_ivfpq_append_and_rerank(spark, tmp_path):
+    """Steady-state IVF-PQ lifecycle: append encodes a new batch in
+    the index's STAMPED mode (residual, validated codebook) without
+    touching the corpus; two-stage re-rank recovers the exact-metric
+    neighbors the quantized shortlist blurred."""
+    import pytest
+
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        search_ivfpq_index,
+        search_ivfpq_index_rerank,
+    )
+
+    rng = random.Random(71)
+    n_clusters, dim, m, k_book = 4, 8, 4, 16
+    rows = _clustered_fixture(rng, n_clusters, dim, per_cluster=40, spread=0.15)
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    coarse = kmeans_fit_centroids_df(df, n_clusters, dim, iters=3, init="hash")
+    books = train_pq_codebooks(df, dim, m, k_book, iters=3)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        df, path, n_clusters, dim, m, pq_centroids=books,
+        centroids=coarse, residual=True,
+    )
+
+    # append a batch near cluster 2's center; a query there must now
+    # surface the appended ids
+    new_rows = [(5000 + i,
+                 [x + rng.uniform(-0.01, 0.01) for x in dict(rows)[100 + 80]])
+                for i in range(10)]
+    append_to_ivfpq_index(
+        spark.createDataFrame(new_rows, "vec_id long, vec array<double>"),
+        path, dim, m, books,
+    )
+    q = spark.createDataFrame(
+        [(9000, new_rows[0][1])], "qid long, qvec array<double>"
+    )
+    got = search_ivfpq_index(spark, path, q, 5, 2, dim, m, books)
+    nbrs = {r.neighbor_id for r in got.collect()}
+    assert nbrs & {i for i, _ in new_rows}, nbrs
+
+    # drifted codebook or wrong m on append fails loudly
+    bad = [list(b) for b in books]
+    bad[0][0] += 1.0
+    with pytest.raises(ValueError, match="codebook_md5"):
+        append_to_ivfpq_index(
+            spark.createDataFrame(new_rows, "vec_id long, vec array<double>"),
+            path, dim, m, bad,
+        )
+
+    # re-rank: exact top-5 in cosine against the raw source must be
+    # at least as accurate as the pure-ADC top-5
+    all_rows = rows + new_rows
+    src = spark.createDataFrame(all_rows, "vec_id long, vec array<double>")
+    qids = [100 + 40 * c for c in range(n_clusters)]
+    truth = _brute_top5(all_rows, qids, metric="cos")
+    qdf = spark.createDataFrame(
+        [(i, dict(all_rows)[i]) for i in qids], "qid long, qvec array<double>"
+    )
+    with pytest.raises(ValueError, match="shortlist"):
+        search_ivfpq_index_rerank(
+            spark, path, qdf, 5, 3, n_clusters, dim, m, books, src)
+
+    def recall_of(df_result):
+        found: dict = {}
+        for r in df_result.collect():
+            found.setdefault(r.qid, set()).add(r.neighbor_id)
+        return _recall(found, truth)
+
+    adc = recall_of(
+        search_ivfpq_index(spark, path, qdf, 5, n_clusters, dim, m, books))
+    rerank = recall_of(search_ivfpq_index_rerank(
+        spark, path, qdf, 5, 25, n_clusters, dim, m, books, src))
+    assert rerank >= adc, (rerank, adc)
+    assert rerank >= 0.9, rerank
+
+
+def test_kmeans_parallel_init_covers_clusters_deterministically(spark):
+    """k-means|| init: d^2-weighted oversampling must seed every
+    dense region even on the fixture where small ids AND the hash
+    sample can collapse; the whole pipeline is deterministic
+    (hash-derived coin flips, heaviest-candidate reduction) so two
+    runs return bit-identical seeds."""
+    from machine_downtime_monitor_on_aws_spark.operators.kmeans import (
+        kmeans_parallel_init,
+    )
+
+    rng = random.Random(83)
+    n_clusters, dim = 8, 8
+    rows = _clustered_fixture(rng, n_clusters, dim, per_cluster=30, spread=0.08)
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+
+    seeds = kmeans_parallel_init(df, n_clusters, dim)
+    assert len(seeds) == n_clusters
+    again = kmeans_parallel_init(df, n_clusters, dim)
+    assert seeds == again
+
+    # every true cluster center has a seed nearer to it than to any
+    # other center (coverage: no region left unseeded)
+    centers = []
+    for c in range(n_clusters):
+        base = [0.0] * dim
+        base[c % dim] = 1.0 if c < dim else -1.0
+        centers.append(base)
+
+    def nearest_center(v):
+        return min(
+            range(n_clusters),
+            key=lambda c: sum((a - b) * (a - b) for a, b in zip(v, centers[c])),
+        )
+
+    covered = {nearest_center(v) for v in seeds.values()}
+    assert covered == set(range(n_clusters)), covered
+
+    # and Lloyd from these seeds separates the fixture perfectly
+    trained = lloyd_iterations(df, seeds, dim, 3)
+    cdf = centroids_to_df(spark, trained, [])
+    assigned = kmeans_assign(df, cdf, dim)
+    clusters_per_region: dict = {}
+    for r in assigned.collect():
+        if r.vec_id < 100:
+            continue
+        region = (r.vec_id - 100) // 30
+        clusters_per_region.setdefault(region, set()).add(r.cluster)
+    assert all(len(s) == 1 for s in clusters_per_region.values())
+    labels = {next(iter(s)) for s in clusters_per_region.values()}
+    assert len(labels) == n_clusters  # one distinct centroid per region

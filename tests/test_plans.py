@@ -245,7 +245,13 @@ def test_driver_evidence_staleness_bounded():
 
     from machine_downtime_monitor_on_aws_spark.plans import catalog
 
-    WINDOW = 50  # driver samples the first ~50 registry entries
+    # Driver samples the first ~50 registry entries. At 101 catalog
+    # queries (r7) the staleness bound is ceil(101/50) = 3 rounds -
+    # accepted INTENTIONALLY (r6 verdict item #8): the alternative was
+    # retiring the q1 SQL-API twin, and keeping both DataFrame and SQL
+    # surfaces first-class is worth one extra round of staleness on
+    # the least-recently-checked query.
+    WINDOW = 50
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest = {}
     max_round = 0
