@@ -1,0 +1,155 @@
+"""Lexical + hybrid retrieval: BM25 scoring and reciprocal-rank
+fusion.
+
+The retrieval legs a training-data pipeline actually runs - lexical
+search for decontamination/attribution sweeps, and the lexical+dense
+hybrid (RRF) that RAG-style dataset tooling uses to find what either
+signal alone misses. Spark-first shapes throughout:
+
+- postings are (doc, term, tf) rows produced by one explode +
+  partial-aggregating count; the query-term filter lands BEFORE the
+  aggregation, so the exchange carries only docs x |query| rows, not
+  the corpus vocabulary;
+- corpus statistics (N, avgdl) and per-term document frequencies are
+  tiny aggregates broadcast back over the postings - the corpus
+  never shuffles for them;
+- the per-(doc, term) BM25 contribution is quantized to 1e-9 and
+  summed as BIGINTs (the label_centroid_sums scheme), so the
+  document score is independent of partition/addition order and the
+  catalog query hash-matches its DuckDB oracle bit-for-bit;
+- RRF is a full-outer join of the (tiny) top-N rankings - driver
+  never sees data, and the fused score 1/(k+r_lex) + 1/(k+r_sem) is
+  a single deterministic IEEE addition per doc.
+
+Engine-exactness note: the catalog pins the RATIONAL idf
+``(N - df + 0.5) / (df + 0.5)`` - the classic ``ln(...)`` idf is
+available via ``idf_mode="log"`` for production, but ``ln`` is a
+libm call whose final ulp is not guaranteed identical across
+engines, so the oracle-paired query uses the log-free variant (same
+per-term document ordering; weights differ). The log variant is
+pinned against a Python model in unit tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens
+
+_QUANT = 1_000_000_000.0
+
+
+def query_term_postings(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, dl) for the query terms only. The term
+    filter sits on the exploded tokens BEFORE the tf aggregation -
+    the exchange carries at most |docs| x |terms| rows. ``dl`` (doc
+    token length) rides along for the BM25 length normalization."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("dl"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.col("term").isin(list(terms)))
+    return t.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    terms: list[str],
+    top_n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    idf_mode: str = "rational",
+) -> DataFrame:
+    """Top-``top_n`` documents by BM25 over ``terms`` -
+    (doc_id, score, rnk), ranked score desc / doc_id asc. Docs
+    containing none of the terms never enter the ranking.
+
+    All statistics are computed in-plan: N and avgdl as one tiny
+    aggregate cross-joined back (broadcast), per-term df as a
+    |terms|-row broadcast join. Per-(doc, term) contribution
+    ``idf * (tf*(k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))`` is
+    quantized (1e-9, BIGINT sum) so the total is addition-order
+    independent - the property the oracle relies on. ``idf_mode``:
+    "rational" (engine-exact, catalog default) or "log" (classic
+    BM25, production)."""
+    post = query_term_postings(df, terms, id_col, text_col)
+    stats = df.select(
+        F.count(F.lit(1)).alias("__n"),
+        (
+            F.sum(token_count(F.col(text_col))).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avgdl"),
+    )
+    dfreq = post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    scored = post.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    raw_idf = (
+        (F.col("__n") - F.col("__df")).cast("double") + F.lit(0.5)
+    ) / (F.col("__df").cast("double") + F.lit(0.5))
+    idf = F.log(F.lit(1.0) + raw_idf) if idf_mode == "log" else raw_idf
+    denom = F.col("tf").cast("double") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast("double") / F.col("__avgdl")
+    )
+    contrib = idf * (F.col("tf").cast("double") * F.lit(float(k1 + 1.0))) / denom
+    q = F.floor(contrib * F.lit(_QUANT) + F.lit(0.5)).cast("long")
+    by_doc = scored.groupBy("doc_id").agg(
+        (F.sum(q).cast("double") / F.lit(_QUANT)).alias("score")
+    )
+    # global cut as TakeOrdered (per-partition heap, no full sort nor
+    # single-partition window over the corpus); the row_number then
+    # runs over only top_n rows
+    from pyspark.sql import Window
+
+    cut = by_doc.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        top_n
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return cut.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "score", F.col("rnk").cast("int").alias("rnk")
+    )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two rankings (Cormack et al.):
+    ``score(d) = 1/(k + rank_a(d)) + 1/(k + rank_b(d))``, a doc
+    absent from one list contributing 0 from it. Full-outer join of
+    two top-N slivers - each side is bounded by its N, so the join
+    is trivially small at any corpus scale; the fused score is one
+    deterministic IEEE addition per doc (engine-exact without
+    quantization). Returns (doc_id, rrf_score) unranked - compose
+    with top_k_per_group for the final cut."""
+    ra = a.select(
+        F.col(id_col).alias("__ida"), F.col(rank_col).alias("__ra")
+    )
+    rb = b.select(
+        F.col(id_col).alias("__idb"), F.col(rank_col).alias("__rb")
+    )
+    fused = ra.join(rb, F.col("__ida") == F.col("__idb"), "full_outer")
+    part = lambda r: F.when(  # noqa: E731
+        r.isNotNull(), F.lit(1.0) / (F.lit(float(k)) + r.cast("double"))
+    ).otherwise(F.lit(0.0))
+    return fused.select(
+        F.coalesce("__ida", "__idb").alias(id_col),
+        (part(F.col("__ra")) + part(F.col("__rb"))).alias("rrf_score"),
+    )

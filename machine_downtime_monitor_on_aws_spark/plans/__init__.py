@@ -11,6 +11,7 @@ def _load_all() -> None:
         pipelineops,
         relational,
         relational2,
+        retrievalops,
         textops,
         vectorops,
     )

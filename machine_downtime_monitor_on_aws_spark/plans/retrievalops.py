@@ -1,0 +1,152 @@
+"""Retrieval catalog queries: BM25 lexical ranking and the
+lexical+dense hybrid (reciprocal-rank fusion) over the synthetic
+corpus - both hash-exact against DuckDB oracles (quantized
+contribution sums for BM25; RRF's two-term addition is deterministic
+as-is). See operators/retrieval.py for the scale shapes and the
+rational-vs-log idf engine-exactness note."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.retrieval import bm25_rank, rrf_fuse
+from ..session import pin_utc
+from ..tables import load_table
+from .catalog import register
+from .textops import _TOKENS_SQL
+
+_TERMS = ("join", "hash", "vector", "scan")
+_TOP_N = 20
+_RRF_K = 60
+_HYBRID_QID = 5
+_HYBRID_TOP = 15
+
+_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in _TERMS) + ")"
+
+_BM25_CTES = f"""
+toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(len(tk)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM toks
+),
+post AS (
+  SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+  FROM (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
+  WHERE term IN {_TERMS_SQL}
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+contrib AS (
+  SELECT p.doc_id,
+         CAST(floor(
+           ((CAST(s.n - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(p.tf AS DOUBLE) * 2.2)
+           / (CAST(p.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl))
+           * 1000000000.0 + 0.5) AS BIGINT) AS q
+  FROM post p, dfreq d, stats s WHERE d.term = p.term
+),
+bm25_scores AS (
+  SELECT doc_id, CAST(sum(q) AS DOUBLE) / 1000000000.0 AS score
+  FROM contrib GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, score, rnk FROM (
+    SELECT doc_id, score,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM bm25_scores) WHERE rnk <= {_TOP_N}
+)"""
+
+
+@register(
+    "bm25_top_docs",
+    oracle=f"""
+WITH {_BM25_CTES}
+SELECT doc_id, score, CAST(rnk AS INT) AS rnk FROM lex
+""",
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/retrieval.bm25_rank) over a
+    fixed 4-term query, top-20. Scale shape: the query-term filter
+    precedes the tf aggregation (exchange carries docs x 4 rows, not
+    vocabulary), corpus stats and per-term document frequencies are
+    broadcast scalars, per-(doc, term) contributions quantize to
+    1e-9 BIGINTs so the score is addition-order independent, and the
+    global cut is a TakeOrdered heap, never a full sort. The oracle
+    recomputes the whole thing relationally - rational idf
+    (log-free) keeps it engine-exact; the classic log idf is the
+    production option, Python-model-pinned in unit tests."""
+    pin_utc(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_rank(d, list(_TERMS), _TOP_N)
+
+
+_DOT_SQL = "list_sum(list_transform(list_zip({a}, {b}), x -> x[1]*x[2]))"
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> x*x)))"
+_COS_SQL = (
+    f"{_DOT_SQL.format(a='e.v', b='q.qv')} / "
+    f"({_NORM_SQL.format(a='e.v')} * {_NORM_SQL.format(a='q.qv')})"
+)
+
+
+@register(
+    "hybrid_rrf_top_docs",
+    oracle=f"""
+WITH {_BM25_CTES},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {_HYBRID_QID}),
+sem AS (
+  SELECT vec_id AS doc_id, rnk FROM (
+    SELECT e.vec_id,
+           row_number() OVER (ORDER BY {_COS_SQL} DESC, e.vec_id ASC) AS rnk
+    FROM e, q WHERE e.vec_id <> {_HYBRID_QID}) WHERE rnk <= {_TOP_N}
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce(1.0 / ({_RRF_K} + CAST(l.rnk AS DOUBLE)), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + CAST(s.rnk AS DOUBLE)), 0.0)
+           AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+)
+SELECT doc_id, rrf_score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT doc_id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+  FROM fused) WHERE rnk <= {_HYBRID_TOP}
+""",
+)
+def hybrid_rrf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) fused with cosine
+    kNN top-20 for the query document's embedding (dense) by
+    reciprocal-rank fusion, final top-15. The fusion is a full-outer
+    join of two bounded top-N slivers - at any corpus scale the
+    expensive legs are the two retrievals, each already in its scale
+    shape, and the fused score 1/(60+r_lex) + 1/(60+r_sem) is one
+    deterministic IEEE addition per doc (hash-exact without
+    quantization). Ties (same single-list rank on opposite sides)
+    break by doc_id on both engines."""
+    from ..operators.similarity import brute_force_topk
+    from ..operators.topk import top_k_per_group
+
+    pin_utc(spark)
+    d = load_table(spark, sf_dir, "documents")
+    lex = bm25_rank(d, list(_TERMS), _TOP_N)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = e.filter(F.col("vec_id") == _HYBRID_QID).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    sem = brute_force_topk(
+        e, q, _TOP_N, dim=64,
+        parallelism=spark.sparkContext.defaultParallelism,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rnk")
+    fused = rrf_fuse(lex, sem, k=_RRF_K)
+    ranked = top_k_per_group(
+        fused, [], [F.col("rrf_score").desc(), F.col("doc_id").asc()],
+        _HYBRID_TOP,
+    )
+    return ranked.select(
+        "doc_id", "rrf_score", F.col("rnk").cast("int").alias("rnk")
+    )

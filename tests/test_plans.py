@@ -330,3 +330,53 @@ def test_winnowing_overlap_three_exchanges(spark):
     assert any("doc_id" in ln for ln in ex)  # winnowing window
     assert any("fingerprint" in ln for ln in ex)
     assert any("doc_a" in ln and "doc_b" in ln for ln in ex)
+
+
+def test_kmeans_assign_partial_aggregates_before_exchange(spark):
+    """r7 argmin contract: nearest-centroid assignment must be a hash
+    aggregate whose partial min runs MAP-SIDE (the exchange carries N
+    rows, never the N x K candidate fan-out), with no window in the
+    plan and the centroid side broadcast."""
+    from machine_downtime_monitor_on_aws_spark.operators.kmeans import (
+        centroids_to_df,
+        kmeans_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(20)],
+        "vec_id long, vec array<double>",
+    )
+    cdf = centroids_to_df(spark, {(0,): [0.0, 0.0], (1,): [5.0, 0.0]}, [])
+    plan = _formatted_plan(kmeans_assign(df, cdf, 2))
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivfpq_search_probe_is_broadcast_and_reads_codes_only(spark, tmp_path):
+    """The ADC search plan must broadcast the (queries x probes)
+    sliver against the corpus scan and read ONLY (vec_id, pq_code,
+    list_id) - never a vector column - from the index: the 64x
+    compressed-scan claim, enforced on the plan."""
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        build_ivfpq_index,
+        search_ivfpq_index,
+    )
+
+    dim, m, n_cent = 8, 2, 4
+    books = [[float(k == j) for j in range(dim)] for k in range(4)]
+    rows = [(i, [float((i + j) % 3) for j in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    path = str(tmp_path / "ivfpq_plan")
+    build_ivfpq_index(df, path, n_cent, dim, m, pq_centroids=books,
+                      residual=True)
+    q = spark.createDataFrame([(0, rows[5][1])], "qid long, qvec array<double>")
+    out = search_ivfpq_index(spark, path, q, 3, 2, dim, m, books)
+    plan = _formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus-side parquet scan projects codes, not vectors
+    corpus_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line and "pq_code" in line
+    ]
+    assert corpus_schema, plan
+    assert all("vec:" not in line for line in corpus_schema), corpus_schema

@@ -499,3 +499,62 @@ def test_cdc_chunks_match_python_model(seed):
     got = {k: sorted(v) for k, v in got.items()}
     expected = {k: sorted(v) for k, v in expected.items() if v}
     assert got == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    parts=st.integers(min_value=1, max_value=9),
+)
+def test_lloyd_partition_invariant_vs_model(seed, parts):
+    """Property (r7): k-means training is bit-identical to the
+    sequential Python model for ANY data/partitioning - the quantized
+    integer re-center and struct-min argmin make every iteration
+    associative and tie-stable, which is what the kmeans_assignments
+    oracle relies on."""
+    import math
+    import random
+
+    from machine_downtime_monitor_on_aws_spark.operators.kmeans import (
+        first_k_init,
+        lloyd_iterations,
+    )
+
+    spark = _spark()
+    rng = random.Random(seed)
+    dim, k, iters = 4, 3, 2
+    n = rng.randint(12, 40)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>"
+    ).repartition(parts)
+    init = first_k_init(df, k)
+    got = lloyd_iterations(df, init, dim, iters)
+
+    cents = {kk: list(v) for kk, v in init.items()}
+    Q = 1e9
+    for _ in range(iters):
+        buckets = {}
+        for _i, v in rows:
+            best = min(
+                cents.items(),
+                key=lambda kv: (
+                    sum((a - b) * (a - b) for a, b in zip(v, kv[1])),
+                    kv[0],
+                ),
+            )
+            buckets.setdefault(best[0], []).append(v)
+        new = {}
+        for key, old in cents.items():
+            vs = buckets.get(key)
+            if not vs:
+                new[key] = old
+                continue
+            new[key] = [
+                float(sum(int(math.floor(v[p] * Q + 0.5)) for v in vs))
+                / Q
+                / float(len(vs))
+                for p in range(dim)
+            ]
+        cents = new
+    assert got == cents

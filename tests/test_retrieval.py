@@ -1,0 +1,91 @@
+"""operators/retrieval: BM25 scoring and reciprocal-rank fusion."""
+
+from __future__ import annotations
+
+import math
+
+
+def test_bm25_log_idf_matches_python_model(spark):
+    """The production (classic log-idf) BM25 variant pinned against a
+    sequential Python model - scores to within quantization noise,
+    ranking exactly. (The catalog query pins the log-free rational
+    variant bit-exactly via its DuckDB oracle.)"""
+    from machine_downtime_monitor_on_aws_spark.operators.retrieval import (
+        bm25_rank,
+    )
+
+    docs = [
+        (0, "join hash join scan filter the a"),
+        (1, "vector vector vector scan"),
+        (2, "the quick brown fox"),
+        (3, "join scan hash hash hash"),
+        (4, "scan"),
+    ]
+    terms = ["join", "hash", "vector", "scan"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.score, r.rnk)
+        for r in bm25_rank(df, terms, 5, idf_mode="log").collect()
+    }
+
+    tok = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avgdl = float(sum(len(t) for t in tok.values())) / float(n)
+    dfreq = {
+        t: sum(1 for d in tok.values() if t in d)
+        for t in terms
+    }
+    scores = {}
+    for i, t in tok.items():
+        q = 0
+        for term in terms:
+            tf = t.count(term)
+            if not tf:
+                continue
+            idf = math.log(
+                1.0 + (float(n - dfreq[term]) + 0.5) / (float(dfreq[term]) + 0.5)
+            )
+            contrib = (
+                idf
+                * (float(tf) * 2.2)
+                / (float(tf) + 1.2 * (0.25 + 0.75 * float(len(t)) / avgdl))
+            )
+            q += int(math.floor(contrib * 1e9 + 0.5))
+        if q:
+            scores[i] = float(q) / 1e9
+    want_order = sorted(scores, key=lambda i: (-scores[i], i))
+    got_order = [i for i, _ in sorted(got.items(), key=lambda kv: kv[1][1])]
+    assert got_order == want_order
+    for i in scores:
+        # libm log may differ from java's in the final ulp; the 1e-9
+        # quantization absorbs it except exactly on a boundary
+        assert abs(got[i][0] - scores[i]) <= 2e-9, (i, got[i], scores[i])
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF: shared docs sum both reciprocal ranks; single-list docs
+    contribute one term; values are exact IEEE."""
+    from machine_downtime_monitor_on_aws_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(10, 1), (11, 2)], "doc_id long, rnk int")
+    b = spark.createDataFrame([(11, 1), (12, 2)], "doc_id long, rnk int")
+    got = {r.doc_id: r.rrf_score for r in rrf_fuse(a, b, k=60).collect()}
+    assert got == {
+        10: 1.0 / 61.0,
+        11: 1.0 / 62.0 + 1.0 / 61.0,
+        12: 1.0 / 62.0,
+    }
+
+
+def test_bm25_requires_terms(spark):
+    import pytest
+
+    from machine_downtime_monitor_on_aws_spark.operators.retrieval import (
+        bm25_rank,
+    )
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_rank(df, [], 5)
