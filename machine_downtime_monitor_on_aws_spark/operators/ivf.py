@@ -139,13 +139,24 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "vec",
     centroids: DataFrame | None = None,
+    epoch_partitioned: bool = False,
 ) -> None:
     """Write the index: ``centroids`` (cid, cv) + ``corpus`` rows
     (id, vec, norm) partitioned by their nearest centroid's list_id.
 
     One broadcast join + one partitioned write; the corpus shuffles
     once (into list partitions). Norms are precomputed - queries never
-    recompute corpus-side norms."""
+    recompute corpus-side norms.
+
+    ``epoch_partitioned=True`` inserts a leading ``__epoch``
+    partition level (the build writes ``__epoch=base``): the layout
+    the streaming maintenance loop needs for EXACTLY-ONCE appends -
+    each micro-batch dynamic-overwrites its own
+    (epoch, touched lists) partitions, so a crash-replayed epoch
+    replaces its partial output instead of duplicating vectors
+    (duplicate corpus rows would silently eat top-k slots). Parquet
+    partition discovery requires one uniform depth per directory, so
+    the choice is stamped into params.json and appends validate it."""
     e = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     ).withColumn("__n", l2_norm("vec", dim))
@@ -161,9 +172,18 @@ def build_ivf_index(
     assign = _nearest(e, cents, "vec", "__n", ["vec_id"], dim, 1).select(
         "vec_id", "vec", F.col("__n").alias("norm"), F.col("cid").alias("list_id")
     )
-    assign.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
+    if epoch_partitioned:
+        assign.withColumn("__epoch", F.lit("base")).write.mode(
+            "overwrite"
+        ).partitionBy("__epoch", "list_id").parquet(f"{path}/corpus")
+    else:
+        assign.write.mode("overwrite").partitionBy("list_id").parquet(
+            f"{path}/corpus"
+        )
     _stamp_index_params(
-        df.sparkSession, path, {"layout": "ivf", "dim": dim}
+        df.sparkSession,
+        path,
+        {"layout": "ivf", "dim": dim, "epoch_layout": bool(epoch_partitioned)},
     )
 
 
@@ -173,6 +193,7 @@ def append_to_ivf_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    epoch: str | None = None,
 ) -> None:
     """Add a batch of new vectors to an existing index WITHOUT
     rebuilding: assign each vector against the persisted centroid
@@ -185,11 +206,32 @@ def append_to_ivf_index(
     therefore skews list sizes until probes scan most of the data -
     audit with :func:`ivf_list_stats` (and ``ivf_recall_at5`` for the
     recall signal) and let :func:`rebalance_ivf_index_if_needed`
-    retrain past the skew bound."""
+    retrain past the skew bound.
+
+    ``epoch`` (required for epoch-layout indexes, rejected for flat
+    ones - mixing depths breaks parquet partition discovery for the
+    whole corpus) makes the append EXACTLY-ONCE: the batch
+    dynamic-overwrites its own (epoch, touched lists) partitions, and
+    because assignment against frozen centroids is deterministic, a
+    crash-replayed epoch rewrites exactly the same partitions instead
+    of appending duplicates."""
     spark = df.sparkSession
     # raw-vector appends into an IVF-PQ corpus (codes, no vec column)
     # would corrupt the layout; dim drift mis-folds every distance
-    _check_ivf_index_params(spark, path, layout="ivf", dim=dim)
+    stamped = _check_ivf_index_params(spark, path, layout="ivf", dim=dim)
+    epoch_layout = bool(stamped.get("epoch_layout", False))
+    if epoch_layout and epoch is None:
+        raise ValueError(
+            f"IVF index {path!r} is epoch-partitioned: pass epoch= "
+            "(plain appends would mix partition depths and break "
+            "discovery)"
+        )
+    if not epoch_layout and epoch is not None:
+        raise ValueError(
+            f"IVF index {path!r} has a flat corpus layout: epoch= "
+            "appends require an index built with "
+            "epoch_partitioned=True"
+        )
     cents = spark.read.parquet(f"{path}/centroids").withColumn(
         "__cn", l2_norm("cv", dim)
     )
@@ -199,7 +241,16 @@ def append_to_ivf_index(
     assign = _nearest(e, cents, "vec", "__n", ["vec_id"], dim, 1).select(
         "vec_id", "vec", F.col("__n").alias("norm"), F.col("cid").alias("list_id")
     )
-    assign.write.mode("append").partitionBy("list_id").parquet(f"{path}/corpus")
+    if epoch is not None:
+        assign.withColumn("__epoch", F.lit(epoch)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "__epoch", "list_id"
+        ).parquet(f"{path}/corpus")
+    else:
+        assign.write.mode("append").partitionBy("list_id").parquet(
+            f"{path}/corpus"
+        )
 
 
 def build_ivfpq_index(
@@ -607,7 +658,8 @@ def rebuild_ivf_index(
     # rebuild a PQ index by re-running build_ivfpq_index over a
     # retained vector source (the corpus parquet the index was built
     # from).
-    layout = read_ivf_index_params(spark, path).get("layout")
+    stamped = read_ivf_index_params(spark, path)
+    layout = stamped.get("layout")
     probe_cols = spark.read.parquet(f"{path}/corpus").columns
     if layout == "ivfpq" or "vec" not in probe_cols:
         raise ValueError(
@@ -616,6 +668,11 @@ def rebuild_ivf_index(
             "its own contents; re-run build_ivfpq_index over a "
             "retained vector source instead"
         )
+    # the epoch layout survives a rebuild (appends keep working) -
+    # and the rebuild doubles as epoch COMPACTION: the whole corpus
+    # lands back in __epoch=base, so long-lived loops don't grow one
+    # directory level per micro-batch forever
+    epoch_layout = bool(stamped.get("epoch_layout", False))
     corpus = spark.read.parquet(f"{path}/corpus").select("vec_id", "vec")
     cents = centroids if centroids is not None else sampled_centroids(
         corpus, n_centroids
@@ -626,7 +683,10 @@ def rebuild_ivf_index(
     cents = cents.localCheckpoint(eager=True)
     tmp = path.rstrip("/") + "__rebuilding"
     fsio.delete(spark, tmp)
-    build_ivf_index(corpus, tmp, n_centroids, dim, centroids=cents)
+    build_ivf_index(
+        corpus, tmp, n_centroids, dim, centroids=cents,
+        epoch_partitioned=epoch_layout,
+    )
     old = path.rstrip("/") + "__old"
     if not fsio.rename(spark, path, old):
         raise OSError(f"rebuild_ivf_index: could not move {path} aside")

@@ -1,0 +1,125 @@
+"""Streaming ANN index maintenance: the embedding-ingest loop.
+
+A training-data pipeline's embedding store grows continuously (new
+documents arrive embedded, edited documents re-embed their changed
+chunks - the feed ``run_incremental_dedup_stream``'s chunk leg
+publishes). This loop keeps a persisted IVF index current with
+O(batch) work per micro-batch and EXACTLY-ONCE semantics throughout:
+
+- **bootstrap** (first batch): coarse centroids are TRAINED on the
+  batch (operators/kmeans, hash-sampled init - not the first-K
+  bootstrap), the index skeleton is built epoch-partitioned, and the
+  batch lands as the first epoch. params.json acts as the
+  bootstrap-commit signal: a crash anywhere before it re-runs the
+  whole deterministic bootstrap; after it, replays skip straight to
+  the append.
+- **steady state**: each micro-batch assigns against the frozen
+  persisted centroids (broadcast, partial-agg argmin) and
+  dynamic-overwrites its own ``(__epoch, touched lists)`` corpus
+  partitions. Assignment is deterministic, so a crash-replayed epoch
+  rewrites exactly the same partitions - duplicates are structurally
+  impossible (a plain parquet append would at-least-once duplicate
+  vectors, and duplicated corpus rows silently eat top-k slots).
+- **epoch markers** (Hadoop-FS, same discipline as the dedup loop)
+  make fully-committed replays no-ops and are pruned by epoch id
+  parsed from the name.
+- **skew gate** (optional): after each committed epoch,
+  ``rebalance_ivf_index_if_needed`` retrains when drift pushed one
+  list past the share bound; the rebuild preserves the epoch layout
+  and doubles as epoch compaction (everything lands back in
+  ``__epoch=base``), so a long-lived loop's partition count stays
+  bounded.
+
+Searches (`search_ivf_index`) read the same corpus path; the probe
+predicate prunes on ``list_id`` regardless of the extra epoch level.
+Search after the first committed epoch - an empty bootstrap skeleton
+has no data files yet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import fsio
+from ..operators.ivf import (
+    append_to_ivf_index,
+    build_ivf_index,
+    read_ivf_index_params,
+    rebalance_ivf_index_if_needed,
+)
+from .ingest import _checkpoint_sink_token
+
+
+def run_incremental_ann_stream(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    n_centroids: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    train_iters: int = 2,
+    rebalance_max_list_share: float | None = None,
+) -> StreamingQuery:
+    """Start the ANN maintenance loop over a vector stream
+    (``id_col`` long, ``vec_col`` array<double>). See the module
+    docstring for the crash-semantics contract."""
+    spark = vec_stream.sparkSession
+    token = _checkpoint_sink_token(spark, checkpoint_dir)
+    marker_dir = checkpoint_dir.rstrip("/") + "/ann_epochs"
+    fsio.mkdirs(spark, marker_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_val = f"{token}-{epoch_id}"
+        marker = f"{marker_dir}/{epoch_val}"
+        if fsio.exists(spark, marker):
+            return  # fully committed epoch replayed after restart
+        e = batch_df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        )
+        if not read_ivf_index_params(spark, index_path):
+            # bootstrap: params.json is written LAST by build, so its
+            # absence means no committed skeleton - (re-)run the
+            # deterministic train+build; the batch itself lands via
+            # the idempotent epoch append below, never inside build
+            # (a bootstrap crash window must not double-insert it)
+            if e.limit(1).count() == 0:
+                return  # nothing to train on yet
+            from ..operators.kmeans import kmeans_fit_centroids_df
+
+            cents = kmeans_fit_centroids_df(
+                e, n_centroids, dim, iters=train_iters, init="hash"
+            ).select(F.col("cid"), F.col("cv"))
+            build_ivf_index(
+                e.limit(0), index_path, n_centroids, dim,
+                centroids=cents, epoch_partitioned=True,
+            )
+        append_to_ivf_index(e, index_path, dim, epoch=epoch_val)
+        fsio.write_text_atomic(spark, marker, epoch_val)
+        # prune committed markers older than this epoch (ordering by
+        # the epoch id parsed from the name, never mtime; foreign
+        # lineage tokens are stale by construction)
+        for old in fsio.list_names(spark, marker_dir):
+            if old == epoch_val or old.endswith(".tmp") or old.startswith("."):
+                continue
+            old_tok, _, old_eid = old.rpartition("-")
+            if old_tok != token or (old_eid.isdigit() and int(old_eid) < epoch_id):
+                fsio.delete(spark, f"{marker_dir}/{old}", recursive=False)
+        # maintenance AFTER the epoch committed (same placement as the
+        # dedup loop's compaction): the rebuild never races its own
+        # epoch's write, and a crash mid-swap leaves both copies on
+        # disk rather than a half-updated index
+        if rebalance_max_list_share is not None:
+            rebalance_ivf_index_if_needed(
+                spark, index_path, n_centroids, dim,
+                max_list_share=rebalance_max_list_share,
+            )
+
+    return (
+        vec_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

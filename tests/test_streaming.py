@@ -1800,3 +1800,124 @@ def test_streaming_dedup_chunk_store(spark, tmp_path):
         assert got == truth
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_ann_index_loop(spark, tmp_path):
+    """r7: the embedding-ingest ANN maintenance loop. Bootstrap
+    trains centroids on the first batch and builds the epoch-layout
+    skeleton; every epoch appends exactly-once (a crash-window
+    duplicate append rewrites the same partitions, never duplicates
+    vectors); replay with no data is a no-op; the skew gate rebuilds
+    past the bound while preserving the epoch layout and the corpus."""
+    import random
+
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        append_to_ivf_index,
+        ivf_list_stats,
+        read_ivf_index_params,
+        search_ivf_index,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.ann import (
+        run_incremental_ann_stream,
+    )
+
+    rng = random.Random(97)
+    dim, n_cent = 4, 4
+    src = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    idx = str(tmp_path / "ivf_stream")
+    os.makedirs(src)
+
+    def cluster_vec(c, spread=0.05):
+        base = [0.0] * dim
+        base[c] = 1.0
+        return [x + rng.uniform(-spread, spread) for x in base]
+
+    def write_epoch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            f.write("\n".join(
+                json.dumps({"vec_id": i, "vec": v}) for i, v in rows))
+
+    def run(share=None):
+        q = run_incremental_ann_stream(
+            spark.readStream.schema("vec_id long, vec array<double>").json(src),
+            idx, ckpt, n_cent, dim, rebalance_max_list_share=share,
+        )
+        q.awaitTermination(120)
+
+    e1 = [(c * 100 + i, cluster_vec(c)) for c in range(n_cent) for i in range(10)]
+    write_epoch("b1.jsonl", e1)
+    run()
+    stamped = read_ivf_index_params(spark, idx)
+    assert stamped["epoch_layout"] is True
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    assert corpus.count() == 40
+    assert "__epoch" in corpus.columns
+
+    # search works against the streamed index: a query near cluster 2
+    # returns only cluster-2 members
+    q = spark.createDataFrame(
+        [(9000, cluster_vec(2))], "qid long, qvec array<double>"
+    )
+    got = search_ivf_index(spark, idx, q, 5, 1, dim)
+    assert {r.neighbor_id // 100 for r in got.collect()} == {2}
+
+    # epoch 2 appends; ids stay unique (exactly-once)
+    e2 = [(1000 + i, cluster_vec(i % n_cent)) for i in range(20)]
+    write_epoch("b2.jsonl", e2)
+    run()
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    assert corpus.count() == 60
+    assert corpus.select("vec_id").distinct().count() == 60
+
+    # crash-window replay: re-append epoch 2's batch under the SAME
+    # epoch value (what a retry after a pre-marker crash does) - the
+    # dynamic overwrite rewrites the same partitions, zero duplicates
+    token = open(os.path.join(ckpt, "spark_graft_sink_token")).read().strip()
+    b2 = spark.createDataFrame(e2, "vec_id long, vec array<double>")
+    append_to_ivf_index(b2, idx, dim, epoch=f"{token}-1")
+    corpus = spark.read.parquet(f"{idx}/corpus")
+    assert corpus.count() == 60, "replayed epoch appended duplicates"
+
+    # no-new-data restart: no-op
+    run()
+    assert spark.read.parquet(f"{idx}/corpus").count() == 60
+
+    # drift: everything piles into cluster 0's list -> the gate
+    # rebuilds with fresh (hash-sampled) centroids, preserving the
+    # corpus and the epoch layout; appends still work afterwards
+    drift = [(2000 + i, cluster_vec(0, spread=0.2)) for i in range(120)]
+    write_epoch("b3.jsonl", drift)
+    run(share=0.55)
+    stats = ivf_list_stats(spark, idx)
+    assert stats["n_vectors"] == 180
+    assert stats["max_list_share"] <= 0.6, stats
+    assert read_ivf_index_params(spark, idx)["epoch_layout"] is True
+    e4 = [(5000 + i, cluster_vec(1)) for i in range(5)]
+    write_epoch("b4.jsonl", e4)
+    run()
+    assert spark.read.parquet(f"{idx}/corpus").count() == 185
+
+
+def test_epoch_layout_guards(spark, tmp_path):
+    """Appends must match the stamped corpus layout: plain appends
+    into an epoch-partitioned corpus (or epoch appends into a flat
+    one) would mix partition depths and break discovery for the
+    whole index - both directions fail loudly."""
+    import pytest
+
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    rows = [(i, [float(i % 4), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    flat = str(tmp_path / "flat")
+    build_ivf_index(df, flat, 4, 2)
+    with pytest.raises(ValueError, match="flat corpus layout"):
+        append_to_ivf_index(df, flat, 2, epoch="tok-1")
+    epochy = str(tmp_path / "epochy")
+    build_ivf_index(df, epochy, 4, 2, epoch_partitioned=True)
+    with pytest.raises(ValueError, match="epoch-partitioned"):
+        append_to_ivf_index(df, epochy, 2)
