@@ -1,0 +1,142 @@
+"""BPE tokenizer training: the first N pair merges, relationally.
+
+Byte-pair-encoding training is an iterative corpus statistic: count
+adjacent symbol pairs, merge the most frequent, repeat. The corpus
+side of each iteration is pure DataFrame work - explode words once,
+per-word adjacent pairs via ``zip_with`` over two slices (the slices
+are row-level inputs evaluated ONCE per word, so there is no
+higher-order-function re-evaluation blowup; a word is <= tens of
+symbols, so the per-row work is trivially bounded), one global
+pair-count aggregation with map-side combine. Only the argmax pair
+(one row) ever reaches the driver per iteration - the k-means shape.
+
+Merges apply with plain string ``replace`` over the space-separated
+symbol string, padded with sentinel spaces so a pair can never match
+across symbol boundaries (" x y " -> " xy "): left-to-right
+non-overlapping replacement is exactly greedy BPE merge application,
+and Spark and DuckDB implement the same scan-after-replacement
+semantics (verified: 'a a a a' -> 'aa aa' on both), which is what
+lets ``bpe_first_merges`` carry a hash-exact oracle with the merge
+CHOICE made relationally (count desc, pair asc ties). Words carry
+the classic ``</w>`` end-of-word symbol so merges can learn word
+boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def symbolized_words(df: DataFrame, text_col: str) -> DataFrame:
+    """One row per word occurrence: the word as a space-separated
+    character-symbol string ending in the ``</w>`` marker."""
+    w = F.explode(tokens(F.col(text_col))).alias("w")
+    sym = F.concat(
+        F.array_join(F.split(F.col("w"), ""), " "), F.lit(" </w>")
+    )
+    return df.select(w).select(sym.alias("sym"))
+
+
+def adjacent_pairs(sym_col: Column) -> Column:
+    """Array of adjacent symbol pairs ("x y") of one symbol string."""
+    s = F.split(sym_col, " ")
+    return F.zip_with(
+        F.slice(s, 1, F.size(s) - 1),
+        F.slice(s, 2, F.size(s) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def apply_merge(sym_col: Column, pair: str, merged: str) -> Column:
+    """Greedy left-to-right merge of ``pair`` -> ``merged`` in a
+    space-separated symbol string.
+
+    A left FOLD over the symbol array, not a string replace: the
+    obvious sentinel-padded ``replace(' x y ', ' xy ')`` consumes
+    the shared space between consecutive matches, so a run
+    ``x y x y`` merges only its first pair - standard BPE merges
+    both. The fold carries the joined-so-far string; when it ends
+    with the pair's LEFT symbol (whole-symbol check: equals it, or
+    ends with ``' '+left`` - a suffix inside a longer symbol never
+    matches) and the next element is the RIGHT symbol, the trailing
+    left is spliced into ``merged``. The freshly merged symbol can
+    never cascade (``merged`` != left since right is non-empty), so
+    this is exactly greedy pair application. The oracle mirrors it
+    with DuckDB's ``list_reduce``."""
+    left, right = pair.split(" ", 1)
+    init = F.element_at(F.split(sym_col, " "), 1)
+    rest = F.slice(
+        F.split(sym_col, " "), 2, F.size(F.split(sym_col, " ")) - 1
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        ends = (acc == F.lit(left)) | acc.endswith(" " + left)
+        hit = ends & (x == F.lit(right))
+        spliced = F.concat(
+            F.substr(acc, F.lit(1), F.length(acc) - F.lit(len(left))),
+            F.lit(merged),
+        )
+        return F.when(hit, spliced).otherwise(
+            F.concat(acc, F.lit(" "), x)
+        )
+
+    return F.aggregate(rest, init, step)
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str, n_merges: int
+) -> list[dict]:
+    """Train the first ``n_merges`` BPE merges over a document
+    corpus. Returns ``[{iteration, pair, merged, pair_count}, ...]``
+    in merge order; stops early if the corpus runs out of pairs.
+    Each iteration is one corpus-scan job collecting a single row;
+    merges apply as literal expressions, so the symbol column's plan
+    grows by one cheap ``replace`` per learned merge."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    cur = symbolized_words(df, text_col)
+    out: list[dict] = []
+    for it in range(1, n_merges + 1):
+        top = (
+            cur.select(F.explode(adjacent_pairs(F.col("sym"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        merged = pair.replace(" ", "")
+        out.append(
+            {"iteration": it, "pair": pair, "merged": merged, "pair_count": cnt}
+        )
+        cur = cur.select(apply_merge(F.col("sym"), pair, merged).alias("sym"))
+    return out
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    merges: list[dict],
+    out_col: str = "bpe_symbols",
+) -> DataFrame:
+    """Apply a trained merge list to a corpus: each document's words
+    become their merged symbol sequences (the tokenizer's encode
+    step, minus the id lookup). Pure expression work - one nested
+    ``replace`` per merge, no shuffle."""
+    toks = tokens(F.col(text_col))
+    word_sym = lambda w: F.concat(  # noqa: E731
+        F.array_join(F.split(w, ""), " "), F.lit(" </w>")
+    )
+
+    def seg(w: Column) -> Column:
+        sym = word_sym(w)
+        for m in merges:
+            sym = apply_merge(sym, m["pair"], m["merged"])
+        return sym
+
+    return df.withColumn(out_col, F.transform(toks, seg))

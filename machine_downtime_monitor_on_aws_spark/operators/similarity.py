@@ -275,3 +275,59 @@ def lsh_neardup_pairs(
         )
         out = out.unionByName(star).distinct()
     return out
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    label_col: str = "label",
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    query_label_col: str = "qlabel",
+    dim: int | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    anchor (query), the k most-similar corpus vectors carrying a
+    DIFFERENT label - the negatives that actually teach a metric
+    model something (random negatives are trivially separable;
+    hardest-first is the standard curriculum). Same shape as
+    :func:`brute_force_topk` - anchors broadcast, corpus scanned in
+    place, label predicate applied BEFORE the ranking window so
+    same-label rows never enter the per-anchor sort. At scale, run
+    over an IVF/LSH-pruned candidate set instead of the full corpus;
+    the ranking contract is identical. Returns
+    (qid, neighbor_id, neighbor_label, cosine_sim, rnk)."""
+    corpus_n = corpus.withColumn("__vnorm", l2_norm(vec_col, dim))
+    if parallelism:
+        corpus_n = corpus_n.repartition(parallelism)
+    queries_n = queries.withColumn("__qnorm", l2_norm(query_vec_col, dim))
+    scored = (
+        corpus_n.crossJoin(F.broadcast(queries_n))
+        .filter(
+            (F.col(id_col) != F.col(query_id_col))
+            & (F.col(label_col) != F.col(query_label_col))
+        )
+        .withColumn(
+            "cosine_sim",
+            dot(query_vec_col, vec_col, dim)
+            / (F.col("__qnorm") * F.col("__vnorm")),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col(query_id_col).alias("qid"),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("neighbor_label"),
+            "cosine_sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -1614,3 +1614,84 @@ def redacted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.alias("redacted_text"),
         (n_pii + n_mask).cast("int").alias("n_redactions"),
     )
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE training: per iteration, pair counts over the
+    current symbol strings, the (count desc, pair asc) argmax as the
+    merge, and a ``list_reduce`` greedy left-fold applying it -
+    mirroring operators/bpe.apply_merge op-for-op (a sentinel-padded
+    string replace would drop every other merge in a symbol run
+    because consecutive matches share a space)."""
+    parts = [
+        f"""w_0 AS (
+  SELECT array_to_string(string_split(t.w, ''), ' ') || ' </w>' AS sym
+  FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents) t)"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w_{i - 1}"
+        parts.append(
+            f"""p_{i} AS (
+  SELECT pair, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(
+      list_zip(list_slice(s, 1, len(s) - 1), list_slice(s, 2, len(s))),
+      x -> x[1] || ' ' || x[2])) AS pair
+    FROM (SELECT string_split(sym, ' ') AS s FROM {prev}))
+  GROUP BY pair)"""
+        )
+        parts.append(
+            f"m_{i} AS (SELECT {i} AS iteration, pair, "
+            f"string_split(pair, ' ')[1] AS lft, "
+            f"string_split(pair, ' ')[2] AS rgt, "
+            f"replace(pair, ' ', '') AS merged, cnt AS pair_count "
+            f"FROM p_{i} ORDER BY cnt DESC, pair ASC LIMIT 1)"
+        )
+        if i < n_merges:
+            parts.append(
+                f"""w_{i} AS (
+  SELECT list_reduce(string_split(w.sym, ' '), (acc, x) -> CASE
+    WHEN (acc = m.lft OR ends_with(acc, ' ' || m.lft)) AND x = m.rgt
+    THEN substr(acc, 1, len(acc) - len(m.lft)) || m.merged
+    ELSE acc || ' ' || x END) AS sym
+  FROM {prev} w, m_{i} m)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT iteration, pair, merged, pair_count FROM m_{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(iteration AS INT) AS iteration, pair, merged,
+       CAST(pair_count AS BIGINT) AS pair_count
+FROM ({union})"""
+    )
+
+
+_BPE_MERGES = 3
+
+
+@register("bpe_first_merges", oracle=_bpe_oracle(_BPE_MERGES))
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, first 3 merges (operators/bpe.py):
+    each iteration counts adjacent symbol pairs corpus-wide (explode
+    words once, zip_with over two slices per word - bounded by word
+    length, no shuffle beyond the count's map-side-combined agg),
+    collects only the argmax pair, and applies the merge as a
+    sentinel-padded literal replace. The merge CHOICES themselves -
+    the data-dependent heart of tokenizer training - are pinned by
+    the oracle's unrolled relational twin, ties broken (count desc,
+    pair asc) on both engines."""
+    from ..operators.bpe import bpe_train_merges
+
+    pin_utc(spark)
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(d, "text", _BPE_MERGES)
+    return spark.createDataFrame(
+        [
+            (m["iteration"], m["pair"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "iteration int, pair string, merged string, pair_count bigint",
+    )

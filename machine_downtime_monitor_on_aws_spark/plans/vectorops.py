@@ -635,6 +635,51 @@ def ivfpq_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hard_negatives_top3",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         {_cos_sql('q.qv', 'e.v')} AS cosine_sim
+  FROM q JOIN e ON e.vec_id <> q.qid AND e.label <> q.qlabel
+), ranked AS (
+  SELECT qid, neighbor_id, neighbor_label, cosine_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT qid, neighbor_id, neighbor_label, cosine_sim,
+       CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+)
+def hard_negatives_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negative_topk):
+    per anchor, the 3 most-similar vectors with a DIFFERENT label -
+    the contrastive-training curriculum a metric-learning pipeline
+    mines from its own corpus. Anchors broadcast; the label
+    predicate lands before the per-anchor ranking window, so
+    same-label rows never enter the sort. Exact-fold cosine ->
+    hash-exact oracle; the scale path swaps the full scan for an
+    IVF/LSH candidate set with the same ranking contract."""
+    from ..operators.similarity import hard_negative_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+    )
+    return hard_negative_topk(
+        e, q, 3, dim=_DIM,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+
+
 _KM_K = 8
 _KM_ITERS = 3
 

@@ -73,3 +73,55 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
     assert len(shared) >= len(by_doc[1]) - 1 and shared
     assert len(by_doc[4]) == 1  # single-token doc -> one chunk
     assert 5 not in by_doc  # empty doc -> no chunks
+
+
+def test_bpe_train_and_segment_greedy_semantics(spark):
+    """BPE merges apply greedily left-to-right without crossing
+    symbol boundaries; training picks (count desc, pair asc); the
+    segmenter reproduces the trained symbol sequences."""
+    from machine_downtime_monitor_on_aws_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train_merges,
+    )
+
+    docs = [(0, "aaaa aaaa ab"), (1, "aaaa ab ab")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe_train_merges(df, "text", 2)
+    # 'a a' appears 3x per 'aaaa' (adjacent enumeration) -> clear top;
+    # after the merge the symbol strings are 'aa aa </w>' etc.
+    assert merges[0]["pair"] == "a a" and merges[0]["merged"] == "aa"
+    # second merge operates on POST-merge symbols (greedy left-to-right
+    # collapsed 'a a a a' -> 'aa aa', so 'a a' is gone)
+    assert merges[1]["pair"] != "a a"
+
+    seg = bpe_segment(df, "text", merges)
+    out = {r.doc_id: list(r.bpe_symbols) for r in seg.collect()}
+    # every 'aaaa' word became two 'aa' symbols - a run merges FULLY
+    # (the sentinel-replace formulation dropped every other pair)
+    first = out[0][0]
+    assert first.split(" ") == ["aa", "aa", "</w>"], out
+    syms = first.split(" ")
+    assert ("a", "a") not in list(zip(syms, syms[1:]))
+
+    # cross-boundary safety: a pair whose left symbol is the SUFFIX of
+    # a merged symbol must not match (sentinel padding)
+    from machine_downtime_monitor_on_aws_spark.operators.bpe import (
+        apply_merge,
+    )
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(F.lit("al l o </w>").alias("sym"))
+    got = row.select(apply_merge(F.col("sym"), "l l", "ll").alias("r")).collect()
+    assert got[0].r == "al l o </w>"  # 'l l' inside 'al l' never merges
+
+
+def test_bpe_requires_positive_merges(spark):
+    import pytest
+
+    from machine_downtime_monitor_on_aws_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(df, "text", 0)
