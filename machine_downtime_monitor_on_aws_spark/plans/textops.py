@@ -1616,17 +1616,17 @@ def redacted_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled BPE training: per iteration, pair counts over the
-    current symbol strings, the (count desc, pair asc) argmax as the
-    merge, and a ``list_reduce`` greedy left-fold applying it -
-    mirroring operators/bpe.apply_merge op-for-op (a sentinel-padded
-    string replace would drop every other merge in a symbol run
-    because consecutive matches share a space)."""
+def _bpe_chain_ctes(n_merges: int, apply_last: bool) -> list[str]:
+    """Shared CTE chain for the BPE oracles: symbolized words (with
+    doc_id), per-iteration pair counts, argmax merge, list_reduce
+    greedy application. ``apply_last=True`` also materializes the
+    final merged state ``w_{n_merges}`` (the segmentation oracle
+    needs it; the merge-table oracle does not)."""
     parts = [
         f"""w_0 AS (
-  SELECT array_to_string(string_split(t.w, ''), ' ') || ' </w>' AS sym
-  FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents) t)"""
+  SELECT t.doc_id,
+         array_to_string(string_split(t.w, ''), ' ') || ' </w>' AS sym
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents) t)"""
     ]
     for i in range(1, n_merges + 1):
         prev = f"w_{i - 1}"
@@ -1646,15 +1646,26 @@ def _bpe_oracle(n_merges: int) -> str:
             f"replace(pair, ' ', '') AS merged, cnt AS pair_count "
             f"FROM p_{i} ORDER BY cnt DESC, pair ASC LIMIT 1)"
         )
-        if i < n_merges:
+        if i < n_merges or apply_last:
             parts.append(
                 f"""w_{i} AS (
-  SELECT list_reduce(string_split(w.sym, ' '), (acc, x) -> CASE
+  SELECT w.doc_id, list_reduce(string_split(w.sym, ' '), (acc, x) -> CASE
     WHEN (acc = m.lft OR ends_with(acc, ' ' || m.lft)) AND x = m.rgt
     THEN substr(acc, 1, len(acc) - len(m.lft)) || m.merged
     ELSE acc || ' ' || x END) AS sym
   FROM {prev} w, m_{i} m)"""
             )
+    return parts
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled BPE training: per iteration, pair counts over the
+    current symbol strings, the (count desc, pair asc) argmax as the
+    merge, and a ``list_reduce`` greedy left-fold applying it -
+    mirroring operators/bpe.apply_merge op-for-op (a sentinel-padded
+    string replace would drop every other merge in a symbol run
+    because consecutive matches share a space)."""
+    parts = _bpe_chain_ctes(n_merges, apply_last=False)
     union = "\nUNION ALL\n".join(
         f"SELECT iteration, pair, merged, pair_count FROM m_{i}"
         for i in range(1, n_merges + 1)
@@ -1694,4 +1705,61 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in merges
         ],
         "iteration int, pair string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_seg_oracle(n_merges: int) -> str:
+    parts = _bpe_chain_ctes(n_merges, apply_last=True)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT b.doc_id,
+       CAST(b.n_words AS INT) AS n_words,
+       CAST(b.n_base AS BIGINT) AS n_symbols_base,
+       CAST(a.n_after AS BIGINT) AS n_symbols_merged
+FROM (SELECT doc_id, count(*) AS n_words,
+             sum(len(string_split(sym, ' '))) AS n_base
+      FROM w_0 GROUP BY doc_id) b
+JOIN (SELECT doc_id, sum(len(string_split(sym, ' '))) AS n_after
+      FROM w_{n_merges} GROUP BY doc_id) a
+  ON a.doc_id = b.doc_id"""
+    )
+
+
+@register("bpe_compression_stats", oracle=_bpe_seg_oracle(_BPE_MERGES))
+def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation under the trained merges (operators/bpe.
+    bpe_segment): per document, word count and symbol counts before
+    vs after applying the 3 learned merges - the tokenizer-fertility
+    signal a vocabulary build is tuned on. The segmenter is pure
+    expression work (one greedy fold per learned merge, no shuffle);
+    counts are integers so the whole thing hash-matches the unrolled
+    oracle, pinning bpe_segment's merge application against the
+    relational twin. Docs with no tokens drop out on both sides."""
+    from ..operators.bpe import bpe_segment, bpe_train_merges
+
+    pin_utc(spark)
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(d, "text", _BPE_MERGES)
+    seg = bpe_segment(d, "text", merges)
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_base = F.aggregate(
+        F.transform(toks, lambda w: F.length(w) + F.lit(1)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_after = F.aggregate(
+        F.transform(
+            F.col("bpe_symbols"), lambda s: F.size(F.split(s, " "))
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return seg.filter(n_words > 0).select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        n_base.cast("long").alias("n_symbols_base"),
+        n_after.cast("long").alias("n_symbols_merged"),
     )
