@@ -680,6 +680,36 @@ def hard_negatives_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_gram_upper",
+    oracle=f"""
+WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT CAST(s.i AS INT) AS dim_i, CAST(t.j AS INT) AS dim_j,
+       CAST(sum(CAST(floor(v[s.i + 1] * v[t.j + 1] * 1000000000.0 + 0.5)
+                     AS BIGINT)) AS DOUBLE) / 1000000000.0 AS gram_sum,
+       count(*) AS n_vectors
+FROM e, generate_series(0, {_DIM - 1}) s(i), generate_series(0, {_DIM - 1}) t(j)
+WHERE t.j >= s.i
+GROUP BY dim_i, dim_j
+""",
+)
+def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram (second-moment) matrix accumulation (operators/pca.py) -
+    the distributed statistic PCA/whitening/OPQ rotations fit on.
+    Upper triangle only (2080 cells at dim=64); per-vector products
+    quantize to 1e-9 BIGINTs so the cell sums are partition-order
+    independent and hash-exact, and the pair aggregation partially
+    aggregates map-side - the exchange carries cells x partitions
+    rows, never vectors x cells. pca_fit eigendecomposes the
+    collected matrix driver-side (dim x dim - bounded by
+    construction) and project_embeddings streams the corpus through
+    the learned basis via an Arrow matmul."""
+    from ..operators.pca import gram_upper
+
+    e = _emb(spark, sf_dir)
+    return gram_upper(e, _DIM)
+
+
 _KM_K = 8
 _KM_ITERS = 3
 
