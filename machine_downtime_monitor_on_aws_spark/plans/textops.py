@@ -1742,7 +1742,15 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_utc(spark)
     d = load_table(spark, sf_dir, "documents")
     merges = bpe_train_merges(d, "text", _BPE_MERGES)
-    seg = bpe_segment(d, "text", merges)
+    # spread the segmentation folds: the corpus arrives in one input
+    # split at bench scale and would otherwise segment on one core
+    seg = bpe_segment(
+        d.select("doc_id", "text").repartition(
+            spark.sparkContext.defaultParallelism
+        ),
+        "text",
+        merges,
+    )
     toks = tokens(F.col("text"))
     n_words = F.size(toks)
     n_base = F.aggregate(
