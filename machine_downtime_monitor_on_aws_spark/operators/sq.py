@@ -1,0 +1,145 @@
+"""Scalar (uniform per-dimension) quantization for embedding ANN.
+
+The simplest compressed-vector representation: per dimension, learn
+(min, max) over the corpus, then store each component as an 8-bit
+level index - float64 -> 1 byte is an 8x scan-size cut (4x vs
+float32) with NO codebook training, and the decode is a single
+fused multiply-add per component (SIMD-trivial on any engine). SQ is
+the standard cheap tier next to PQ (Jegou/Douze/Schmid, TPAMI 2011
+discuss uniform quantizers as the baseline PQ improves on; FAISS
+ships it as ScalarQuantizer): lower compression than PQ at equal
+distortion, but zero training cost and exact per-dimension bounds,
+which also makes it the usual format for the RERANK tier of a
+two-stage pipeline (coarse PQ shortlist -> SQ or raw re-rank).
+
+Scale shape: fitting is ONE hash-aggregate over the corpus whose
+min/max partials combine map-side (2*dim doubles reach the driver);
+encoding and asymmetric scoring are pure expression work over scan
+partitions - no shuffle, no UDF, no join. Everything is
+deterministic: min/max are exact selections from the stored doubles
+and the (code, reconstruction) arithmetic is fixed-order IEEE, so
+the catalog query ``sq_knn_top5`` carries a full hash-exact DuckDB
+oracle that re-derives the quantizer from the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import sq_l2
+from .topk import top_k_per_group
+
+
+def sq_fit_stats(
+    df: DataFrame, dim: int, vec_col: str = "vec"
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus: one aggregation job,
+    partials combine map-side, 2*dim doubles collected. These are
+    exact selections from the stored values (no rounding), so any
+    engine recomputing them from the same table gets bit-identical
+    quantizer parameters."""
+    row = (
+        df.agg(
+            *[
+                F.min(F.element_at(F.col(vec_col), j + 1)).alias(f"__mn{j}")
+                for j in range(dim)
+            ],
+            *[
+                F.max(F.element_at(F.col(vec_col), j + 1)).alias(f"__mx{j}")
+                for j in range(dim)
+            ],
+        )
+        .collect()[0]
+    )
+    return [
+        (float(row[f"__mn{j}"]), float(row[f"__mx{j}"])) for j in range(dim)
+    ]
+
+
+def _scales(
+    stats: list[tuple[float, float]], levels: int
+) -> list[float]:
+    # (mx - mn) / (levels - 1) in one IEEE step each - the same
+    # expression an oracle computes inline, so embedding the Python
+    # result as a literal is bit-identical to recomputing it.
+    return [(mx - mn) / float(levels - 1) for mn, mx in stats]
+
+
+def sq_encode(
+    df: DataFrame,
+    stats: list[tuple[float, float]],
+    vec_col: str = "vec",
+    code_col: str = "sq_code",
+    levels: int = 256,
+) -> DataFrame:
+    """Add ``code_col``: array<int> of per-dimension level indices in
+    [0, levels-1]. code = clamp(floor((v - mn) / scale + 0.5)) with
+    scale = (mx - mn)/(levels - 1); a constant dimension (mx == mn)
+    encodes as 0. The expression is per-row scan work - codes are
+    what a 100 TB corpus persists (1 byte/dim at levels<=256)."""
+    codes: list[Column] = []
+    for j, ((mn, _mx), scale) in enumerate(zip(stats, _scales(stats, levels))):
+        if scale <= 0.0:
+            codes.append(F.lit(0))
+            continue
+        x = F.element_at(F.col(vec_col), j + 1)
+        q = F.floor((x - F.lit(mn)) / F.lit(scale) + F.lit(0.5)).cast("int")
+        codes.append(F.least(F.lit(levels - 1), F.greatest(F.lit(0), q)))
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def sq_recon(
+    stats: list[tuple[float, float]],
+    code_col: str = "sq_code",
+    levels: int = 256,
+) -> Column:
+    """Decode expression: component j reconstructs as
+    mn_j + code_j * scale_j - one multiply-add per dimension, the
+    representation asymmetric-distance scoring compares raw queries
+    against."""
+    parts: list[Column] = []
+    for j, ((mn, _mx), scale) in enumerate(zip(stats, _scales(stats, levels))):
+        c = F.element_at(F.col(code_col), j + 1).cast("double")
+        parts.append(F.lit(mn) + c * F.lit(scale))
+    return F.array(*parts)
+
+
+def sq_topk(
+    queries: DataFrame,
+    df: DataFrame,
+    stats: list[tuple[float, float]],
+    k: int,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    levels: int = 256,
+) -> DataFrame:
+    """Asymmetric top-k over the quantized corpus: encode, decode to
+    the reconstruction, score raw queries against it with the exact
+    left-fold sqL2, rank per query (ties to the smaller neighbor
+    id). The tiny query set broadcasts; the corpus is scanned in
+    place over its 8x-smaller stored form - the brute shape whose
+    scale story is the representation, and which composes with an
+    IVF/LSH candidate cut exactly like the PQ scorer."""
+    enc = sq_encode(df, stats, vec_col=vec_col, levels=levels).withColumn(
+        "__recon", sq_recon(stats, levels=levels)
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("qid"))
+        .withColumn("approx_l2", sq_l2(F.col("qv"), F.col("__recon")))
+    )
+    ranked = top_k_per_group(
+        scored, ["qid"], [F.col("approx_l2").asc(), F.col(id_col).asc()], k
+    )
+    return ranked.select(
+        "qid",
+        F.col(id_col).alias("neighbor_id"),
+        "approx_l2",
+        F.col("rnk").cast("int").alias("rnk"),
+    )

@@ -792,3 +792,171 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(e, cdf, _DIM).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "sq_dist"
     )
+
+
+_SQ_LEVELS = 256
+
+_SQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+st AS (
+  SELECT t.j, min(v[t.j + 1]) AS mn, max(v[t.j + 1]) AS mx
+  FROM e, generate_series(0, {_DIM - 1}) t(j) GROUP BY t.j
+),
+codes AS (
+  SELECT e.vec_id, s.j, s.mn, (s.mx - s.mn) / {float(_SQ_LEVELS - 1)} AS scale,
+         CASE WHEN s.mx = s.mn THEN 0
+              ELSE least({_SQ_LEVELS - 1}, greatest(0,
+                CAST(floor((e.v[s.j + 1] - s.mn)
+                           / ((s.mx - s.mn) / {float(_SQ_LEVELS - 1)})
+                           + 0.5) AS INT)))
+         END AS code
+  FROM e, st s
+),
+recon AS (
+  SELECT vec_id,
+         list(mn + CAST(code AS DOUBLE) * scale ORDER BY j) AS rv
+  FROM codes GROUP BY vec_id
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, r.vec_id AS neighbor_id,
+         {_sq_l2_sql('q.qv', 'r.rv')} AS approx_l2
+  FROM q JOIN recon r ON r.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, approx_l2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY approx_l2 ASC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, neighbor_id, approx_l2, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOPK}
+"""
+
+
+@register("sq_knn_top5", oracle=_SQ_ORACLE)
+def sq_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (operators/sq.py): fit per-dimension
+    (min, max) in one map-side-combining aggregation, encode each
+    component as an 8-bit level index (float64 -> 1 byte, the
+    zero-training compressed tier next to PQ), then rank raw queries
+    against the reconstructions by asymmetric L2. The whole quantizer
+    - exact min/max selections, fixed-order code/decode arithmetic,
+    left-fold distances - is re-derived relationally by the oracle
+    and hash-matches end to end. Scale shape: fit is one bounded
+    aggregation; encode + ADC scoring are pure scan expressions over
+    the 8x-smaller stored form, no shuffle beyond the top-k window."""
+    from ..operators.sq import sq_fit_stats, sq_topk
+
+    e = _emb(spark, sf_dir).select("vec_id", "vec")
+    stats = sq_fit_stats(e, _DIM)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
+    )
+    return sq_topk(q, e, stats, _TOPK, levels=_SQ_LEVELS)
+
+
+_PERM_PQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+st AS (
+  SELECT t.j,
+         sum(CAST(floor(v[t.j + 1] * 1000000000.0 + 0.5) AS BIGINT)) AS s,
+         sum(CAST(floor(v[t.j + 1] * v[t.j + 1] * 1000000000.0 + 0.5)
+                  AS BIGINT)) AS q,
+         count(*) AS n
+  FROM e, generate_series(0, {_DIM - 1}) t(j) GROUP BY t.j
+),
+vr AS (
+  SELECT j,
+         CAST(q AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)
+         - (CAST(s AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE))
+           * (CAST(s AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE)) AS var
+  FROM st
+),
+rk AS (SELECT j, row_number() OVER (ORDER BY var DESC, j ASC) - 1 AS r FROM vr),
+asg AS (
+  SELECT j,
+         CASE WHEN (r // {_PQ_M}) % 2 = 0 THEN r % {_PQ_M}
+              ELSE {_PQ_M - 1} - (r % {_PQ_M}) END AS sub,
+         r // {_PQ_M} AS pos
+  FROM rk
+),
+pe AS (
+  SELECT e.vec_id, list(e.v[a.j + 1] ORDER BY a.sub, a.pos) AS pv
+  FROM e, asg a GROUP BY e.vec_id
+),
+cent AS (SELECT vec_id AS cid, pv AS cv FROM pe WHERE vec_id < {_PQ_K}),
+sd AS (
+  SELECT p.vec_id, s.j, c.cid,
+         {_sq_l2_sql(f'list_slice(p.pv, s.j*{_PQ_SUB}+1, s.j*{_PQ_SUB}+{_PQ_SUB})',
+                     f'list_slice(c.cv, s.j*{_PQ_SUB}+1, s.j*{_PQ_SUB}+{_PQ_SUB})')} AS d
+  FROM pe p, generate_series(0, {_PQ_M - 1}) s(j), cent c
+),
+codes AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d ASC, cid ASC) AS rn
+    FROM sd) WHERE rn = 1
+),
+recon AS (
+  SELECT k.vec_id,
+         flatten(list(list_slice(c.cv, k.j*{_PQ_SUB}+1, k.j*{_PQ_SUB}+{_PQ_SUB})
+                      ORDER BY k.j)) AS rv
+  FROM codes k JOIN cent c ON c.cid = k.cid
+  GROUP BY k.vec_id
+),
+q AS (SELECT vec_id AS qid, pv AS qv FROM pe WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, r.vec_id AS neighbor_id,
+         {_sq_l2_sql('q.qv', 'r.rv')} AS approx_l2
+  FROM q JOIN recon r ON r.vec_id <> q.qid
+),
+ranked AS (
+  SELECT qid, neighbor_id, approx_l2,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY approx_l2 ASC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, neighbor_id, approx_l2, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOPK}
+"""
+
+
+@register("pq_permuted_knn_top5", oracle=_PERM_PQ_ORACLE)
+def pq_permuted_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ's permutation variant (operators/opq.py) as a first-class
+    oracle-checked query: per-dimension variance (quantized-exact,
+    one map-side-combining aggregation), variance ranking, a
+    deterministic snake deal of dimensions onto the M subspaces, then
+    the standard PQ encode -> ADC rank pipeline over the PERMUTED
+    vectors with first-K permuted codebooks. Balancing the variance
+    across subspaces is the space-allocation fix OPQ (Ge et al.,
+    CVPR 2013) formalizes; this relational half hash-matches the
+    DuckDB oracle end to end (rank arithmetic, snake assignment,
+    codes, reconstructions, final distances), while the SVD-based
+    rotation half lives in opq_train_rotation with test pins. L2 is
+    permutation-invariant, so ranks are comparable with pq_knn_top5's
+    - what changes is where the code budget lands. Scale shape: two
+    bounded collects (2*dim+1 stats, K centroids); everything else is
+    scan-side expression work plus the top-k window."""
+    from ..operators.opq import (
+        dim_variance_stats,
+        permute_vec,
+        variance_balanced_permutation,
+    )
+    from ..operators.pq import pq_encode_reconstruct, pq_topk
+
+    e = _emb(spark, sf_dir).select("vec_id", "vec")
+    variances = dim_variance_stats(e, _DIM)
+    perm = variance_balanced_permutation(variances, _PQ_M)
+    pe = e.select("vec_id", permute_vec(perm).alias("vec"))
+    cents = [
+        [float(x) for x in r.vec]
+        for r in pe.filter(F.col("vec_id") < _PQ_K).orderBy("vec_id").collect()
+    ]
+    enc = pq_encode_reconstruct(pe, cents, _DIM, _PQ_M)
+    q = pe.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
+    )
+    return pq_topk(q, enc, _TOPK)
