@@ -1,0 +1,99 @@
+"""Graph centrality over pair graphs (PageRank, Page/Brin/Motwani/
+Winograd 1999).
+
+Dedup pipelines produce pair graphs (LSH near-dup pairs, winnowing
+overlaps); beyond collapsing them into components
+(operators/dedup.connected_components), a training pipeline often
+wants a CENTRALITY signal - which document is the hub of a duplicate
+neighborhood (the natural canonical pick), which boilerplate node
+touches everything. PageRank over the undirected pair graph is the
+standard answer.
+
+Implementation is pure DataFrame ops with a fixed, unrolled iteration
+count (the kmeans_assignments pattern): per iteration, each node's
+mass splits over its edges (pr/deg), contributions flow across one
+keyed exchange, and the damped update re-bases on the node set. Every
+contribution quantizes to a 1e-9 BIGINT before the sum, so results
+are partition-order independent and the whole power iteration is
+relationally expressible - the catalog query hash-matches a DuckDB
+CTE chain end to end.
+
+Scale shape: per iteration one join edges x ranks (keyed on src, the
+same partitioning every iteration) and one (dst) aggregation whose
+integer partials combine map-side; degrees and the node set compute
+once. At a handful of unrolled iterations lineage depth is fine; a
+production run with tens of iterations should localCheckpoint the
+rank table every few steps (same advice as the streaming stores) -
+semantics are unchanged because the quantized sums make each
+iteration deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_QUANT = 1_000_000_000.0
+
+
+def pagerank_unrolled(
+    pairs: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """PageRank over the UNDIRECTED graph of ``pairs`` (each pair
+    contributes both directions), fixed ``iters`` power iterations
+    from the uniform start. Returns (node, degree, pagerank). Every
+    node in a pair graph has degree >= 1, so there is no dangling
+    mass; the damped update still left-joins + coalesces so isolated
+    receivers would be handled. Deterministic: contributions quantize
+    to 1e-9 BIGINTs before summing."""
+    edges = pairs.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("degree"),
+            F.lit(0.0).alias("pagerank"),
+        )
+    pr = nodes.withColumn("pr", F.lit(1.0 / float(n)))
+    base = (1.0 - damping) / float(n)
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    F.col("pr")
+                    / F.col("degree").cast("double")
+                    * F.lit(_QUANT)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("__q"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("__q").alias("__s"))
+        pr = (
+            nodes.join(summed, "node", "left")
+            .withColumn(
+                "pr",
+                F.lit(base)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("__s"), F.lit(0)).cast("double")
+                    / F.lit(_QUANT)
+                ),
+            )
+            .select("node", "pr")
+        )
+    return pr.join(deg, pr["node"] == deg["src"]).select(
+        "node", "degree", F.col("pr").alias("pagerank")
+    )

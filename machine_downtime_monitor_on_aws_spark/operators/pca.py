@@ -26,10 +26,73 @@ _QUANT = 1_000_000_000.0
 
 
 def gram_upper(
-    df: DataFrame, dim: int, vec_col: str = "vec"
+    df: DataFrame, dim: int, vec_col: str = "vec", vectorized: bool = True
 ) -> DataFrame:
     """(dim_i, dim_j, gram_sum, n_vectors) for 0 <= i <= j < dim:
-    quantized-exact sums of v[i]*v[j] over the corpus."""
+    quantized-exact sums of v[i]*v[j] over the corpus.
+
+    Two bit-identical physical paths (pinned equal in tests), both
+    ending in the same map-side-combining (dim_i, dim_j) aggregation:
+
+    - ``vectorized=True`` (default): each partition computes its
+      upper-triangle integer partials in ONE numpy pass (outer
+      products -> floor-quantize -> int64 row-sum) and emits just
+      dim*(dim+1)/2 summary rows - the exchange carries cells x
+      partitions rows and no per-vector row ever materializes. This
+      is the hot path: the expression twin pays an explode to
+      2080 rows PER VECTOR at dim=64 before the partial agg absorbs
+      them (~6x slower at the bench corpus).
+    - ``vectorized=False``: pure-expression explode, zero Python -
+      kept as the UDF-free reference the vectorized path is pinned
+      against, and the shape the DuckDB oracle mirrors literally.
+
+    Exactness is identical because both paths apply the same IEEE
+    steps per product (v[i]*v[j], *1e9, +0.5, floor, int64) and
+    int64 sums are associative. Headroom: |product|*1e9 at O(10)
+    magnitudes leaves ~1e7 rows per cell per PARTITION before an
+    int64 partial could overflow - repartition finer long before
+    that."""
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        iu0, iu1 = np.triu_indices(dim)
+
+        def op(batches):
+            qsum = np.zeros(len(iu0), dtype=np.int64)
+            n = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.array(list(pdf[vec_col]), dtype=np.float64)
+                for lo in range(0, len(x), 1024):
+                    xb = x[lo : lo + 1024]
+                    prod = xb[:, :, None] * xb[:, None, :]
+                    cells = prod[:, iu0, iu1]
+                    qsum += (
+                        np.floor(cells * _QUANT + 0.5)
+                        .astype(np.int64)
+                        .sum(axis=0)
+                    )
+                    n += len(xb)
+            if n == 0:
+                return
+            yield pd.DataFrame(
+                {
+                    "dim_i": iu0.astype("int32"),
+                    "dim_j": iu1.astype("int32"),
+                    "__q": qsum,
+                    "__n": np.int64(n),
+                }
+            )
+
+        cells = df.select(vec_col).mapInPandas(
+            op, "dim_i int, dim_j int, __q long, __n long"
+        )
+        return cells.groupBy("dim_i", "dim_j").agg(
+            (F.sum("__q").cast("double") / F.lit(_QUANT)).alias("gram_sum"),
+            F.sum("__n").alias("n_vectors"),
+        )
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(dim - 1)),

@@ -1771,3 +1771,103 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_base.cast("long").alias("n_symbols_base"),
         n_after.cast("long").alias("n_symbols_merged"),
     )
+
+
+@register(
+    "bigram_lm_doc_scores",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(toks) AS tok FROM t)),
+be AS (
+  SELECT doc_id, s.w1 AS w1, s.bigram AS bigram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(
+                         w1 := toks[CAST(i AS INT)],
+                         bigram := toks[CAST(i AS INT)] || ' '
+                                   || toks[CAST(i AS INT) + 1]))) AS s
+    FROM t WHERE len(toks) >= 2)
+),
+bc AS (SELECT bigram, count(*) AS c FROM be GROUP BY bigram),
+pc AS (SELECT w1, count(*) AS c1 FROM be GROUP BY w1),
+p AS (
+  SELECT be.doc_id,
+         CAST(bc.c + 1 AS DOUBLE)
+           / CAST(pc.c1 + (SELECT v FROM v) AS DOUBLE) AS p
+  FROM be JOIN bc USING (bigram) JOIN pc USING (w1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CAST(floor(p * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mean_bigram_prob,
+       min(p) AS min_bigram_prob
+FROM p GROUP BY doc_id
+""",
+)
+def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring: train an add-one-smoothed
+    bigram model on the corpus itself (p(w2|w1) =
+    (c(w1 w2)+1)/(c1(w1)+V), c1 = bigram-prefix occurrences, V =
+    corpus vocabulary) and score every document by its mean and
+    minimum bigram probability - the classic perplexity-proxy filter
+    a training pipeline runs to drop incoherent/boilerplate text
+    (log-space perplexity itself is not engine-exact across libm
+    implementations, so the catalog keeps the rational form; a
+    production log-scorer is a one-line variant). Everything is
+    relational and hash-exact: counts are integers, each probability
+    is one double division performed identically by both engines, and
+    the per-doc mean rides the quantized 1e-9 integer-sum scheme so
+    it is partition-order independent (min is an exact selection
+    already). Scale shape: the bigram/prefix count tables partially
+    aggregate map-side; docs join them on the bigram/w1 keys - three
+    keyed exchanges of token-sized rows, no global sort, and the
+    token array materializes ONCE behind a projection barrier (the
+    no-CSE-in-lambda lesson)."""
+    d = _docs(spark, sf_dir)
+    toked = d.select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    ).filter(F.size("__toks") >= 2)
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+        .collect()[0]
+        .v
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("__toks"), i).alias("w1"),
+            F.concat_ws(
+                " ",
+                F.element_at(F.col("__toks"), i),
+                F.element_at(F.col("__toks"), i + F.lit(1)),
+            ).alias("bigram"),
+        ),
+    )
+    be = toked.select("doc_id", F.explode(pairs).alias("s")).select(
+        "doc_id",
+        F.col("s.w1").alias("w1"),
+        F.col("s.bigram").alias("bigram"),
+    )
+    bc = be.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    pc = be.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    p = (
+        be.join(bc, "bigram")
+        .join(pc, "w1")
+        .withColumn(
+            "p",
+            (F.col("c") + F.lit(1)).cast("double")
+            / (F.col("c1") + F.lit(int(vocab))).cast("double"),
+        )
+    )
+    q = F.floor(F.col("p") * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(q).cast("double")
+            / F.lit(1e9)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_bigram_prob"),
+        F.min("p").alias("min_bigram_prob"),
+    )

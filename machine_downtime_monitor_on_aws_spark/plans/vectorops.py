@@ -698,9 +698,11 @@ def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distributed statistic PCA/whitening/OPQ rotations fit on.
     Upper triangle only (2080 cells at dim=64); per-vector products
     quantize to 1e-9 BIGINTs so the cell sums are partition-order
-    independent and hash-exact, and the pair aggregation partially
-    aggregates map-side - the exchange carries cells x partitions
-    rows, never vectors x cells. pca_fit eigendecomposes the
+    independent and hash-exact. Runs the vectorized path: each
+    partition emits its 2080 integer partials from one Arrow/numpy
+    pass (no per-product row ever materializes), pinned bit-equal to
+    the pure-expression explode twin the oracle mirrors - the
+    exchange carries cells x partitions rows, never vectors x cells. pca_fit eigendecomposes the
     collected matrix driver-side (dim x dim - bounded by
     construction) and project_embeddings streams the corpus through
     the learned basis via an Arrow matmul."""
@@ -960,3 +962,74 @@ def pq_permuted_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
     )
     return pq_topk(q, enc, _TOPK)
+
+
+_PR_ITERS = 3
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled power iteration as a CTE chain (the kmeans-oracle
+    pattern): quantized contribution sums + fixed iteration count
+    make PageRank bit-exact across engines."""
+    parts = [
+        f"cand AS ({_LSH_PAIR_SQL})",
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM cand "
+        "UNION ALL SELECT id_b AS src, id_a AS dst FROM cand)",
+        "deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "pr_0 AS (SELECT node, 1.0 / CAST((SELECT n FROM nn) AS DOUBLE) AS pr"
+        " FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c_{i} AS (
+  SELECT e.dst AS node,
+         CAST(floor(p.pr / CAST(d.degree AS DOUBLE) * 1000000000.0 + 0.5)
+              AS BIGINT) AS q
+  FROM edges e JOIN pr_{i - 1} p ON p.node = e.src
+               JOIN deg d ON d.src = e.src)"""
+        )
+        parts.append(
+            f"s_{i} AS (SELECT node, sum(q) AS s FROM c_{i} GROUP BY node)"
+        )
+        parts.append(
+            f"""pr_{i} AS (
+  SELECT n.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+           / CAST((SELECT n FROM nn) AS DOUBLE)
+         + CAST(0.85 AS DOUBLE)
+           * (CAST(coalesce(s.s, 0) AS DOUBLE) / 1000000000.0) AS pr
+  FROM nodes n LEFT JOIN s_{i} s ON s.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT p.node AS vec_id, d.degree AS degree, p.pr AS pagerank
+FROM pr_{iters} p JOIN deg d ON d.src = p.node"""
+    )
+
+
+@register("neardup_graph_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
+def neardup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the sign-LSH near-dup pair graph
+    (operators/graph.py) - the canonical-pick / boilerplate-hub
+    signal next to connected_components' cluster labels, run for 3
+    unrolled power iterations and hash-exact against a DuckDB CTE
+    chain (quantized 1e-9 contribution sums make every iteration
+    partition-order independent; same oracle pattern as
+    kmeans_assignments). Scale shape: per iteration one keyed
+    edges x ranks join on src and one map-side-combining (dst)
+    aggregation - the edge list itself never re-shuffles between
+    stages; degrees/nodes compute once."""
+    from ..operators.graph import pagerank_unrolled
+
+    e = _emb(spark, sf_dir)
+    pairs = lsh_neardup_pairs(
+        e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    return pagerank_unrolled(pairs, _PR_ITERS).select(
+        F.col("node").alias("vec_id"), "degree", "pagerank"
+    )

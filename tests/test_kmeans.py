@@ -515,3 +515,33 @@ def test_pca_rotation_cuts_pq_quantization_error(spark):
     raw_err = total_err(df)
     rot_err = total_err(rotated)
     assert rot_err < raw_err, (rot_err, raw_err)
+
+
+def test_gram_upper_vectorized_pins_to_expression_path(spark):
+    """The numpy partial-aggregation path is bit-identical to the
+    pure-expression explode twin (same per-product IEEE quantize
+    steps, associative int64 sums) - on an adversarial-precision
+    fixture and under a different partitioning."""
+    import random as _random
+
+    from machine_downtime_monitor_on_aws_spark.operators.pca import gram_upper
+
+    rng = _random.Random(59)
+    dim, n = 5, 200
+    rows = [
+        (i, [rng.gauss(0, 10.0 ** (j - 2)) for j in range(dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+
+    def canon(frame):
+        return sorted(
+            (r.dim_i, r.dim_j, repr(r.gram_sum), r.n_vectors)
+            for r in frame.collect()
+        )
+
+    expr = canon(gram_upper(df, dim, vectorized=False))
+    fast = canon(gram_upper(df, dim, vectorized=True))
+    fast2 = canon(gram_upper(df.repartition(7), dim, vectorized=True))
+    assert fast == expr
+    assert fast2 == expr
