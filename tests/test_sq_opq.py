@@ -246,3 +246,24 @@ def test_opq_rotation_beats_raw_and_permutation_error(spark):
     _R, _books, hist = opq_train_rotation(df, dim, m, k, iters=3)
     assert hist[-1] < raw_err, (hist, raw_err)
     assert hist[-1] < perm_err, (hist, perm_err)
+
+
+def test_sq_preserves_brute_force_ranks(spark):
+    """8-bit uniform quantization is near-lossless for ranking: on
+    the smoke corpus, SQ top-5 recalls >= 4 of the exact brute-force
+    top-5 for every query (the quality evidence beside the
+    oracle-exactness the catalog query carries)."""
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    bf = {
+        (r.qid, r.neighbor_id)
+        for r in catalog.REGISTRY["knn_bruteforce_top5"].fn(spark, sf).collect()
+    }
+    sq = {}
+    for r in catalog.REGISTRY["sq_knn_top5"].fn(spark, sf).collect():
+        sq.setdefault(r.qid, set()).add(r.neighbor_id)
+    assert sq, "no SQ results"
+    for qid, neigh in sq.items():
+        hits = sum(1 for n in neigh if (qid, n) in bf)
+        assert hits >= 4, (qid, hits)
