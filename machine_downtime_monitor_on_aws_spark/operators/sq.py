@@ -143,3 +143,50 @@ def sq_topk(
         "approx_l2",
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+def sq_topk_rerank(
+    queries: DataFrame,
+    df: DataFrame,
+    stats: list[tuple[float, float]],
+    k: int,
+    shortlist: int,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qv",
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    levels: int = 256,
+) -> DataFrame:
+    """Two-stage retrieval over the SQ tier (the
+    search_ivfpq_index_rerank shape with SQ as the compressed stage):
+    stage 1 shortlists ``shortlist`` >= k candidates per query by
+    asymmetric L2 over the 8x-smaller quantized form; stage 2
+    re-ranks ONLY that sliver by exact squared L2 against the raw
+    vectors (broadcast of queries x shortlist rows against the
+    source scan). Exact distances on a bounded set, compressed scan
+    over the corpus - returns (qid, neighbor_id, sq_dist, rnk) with
+    ranks that equal brute force whenever the true top-k survives
+    the shortlist (test-pinned)."""
+    if shortlist < k:
+        raise ValueError(f"shortlist={shortlist} must be >= k={k}")
+    cand = sq_topk(
+        queries, df, stats, shortlist,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        id_col=id_col, vec_col=vec_col, levels=levels,
+    ).select("qid", "neighbor_id")
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    )
+    cand_q = cand.join(q, "qid")
+    src = df.select(
+        F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv")
+    )
+    exact = src.join(
+        F.broadcast(cand_q), F.col("__sid") == F.col("neighbor_id")
+    ).withColumn("sq_dist", sq_l2(F.col("qv"), F.col("__sv")))
+    ranked = top_k_per_group(
+        exact, ["qid"], [F.col("sq_dist").asc(), F.col("neighbor_id").asc()], k
+    )
+    return ranked.select(
+        "qid", "neighbor_id", "sq_dist", F.col("rnk").cast("int").alias("rnk")
+    )

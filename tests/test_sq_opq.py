@@ -267,3 +267,47 @@ def test_sq_preserves_brute_force_ranks(spark):
     for qid, neigh in sq.items():
         hits = sum(1 for n in neigh if (qid, n) in bf)
         assert hits >= 4, (qid, hits)
+
+
+def test_sq_rerank_recovers_exact_ranks(spark):
+    """Two-stage SQ: with a 4x shortlist the exact re-rank returns
+    exactly the brute-force top-k (ids AND exact distances), even
+    when coarse 4-level quantization scrambles the compressed
+    ordering - the recall-recovery contract of the rerank tier."""
+    from machine_downtime_monitor_on_aws_spark.functions.vectors import sq_l2
+    from machine_downtime_monitor_on_aws_spark.operators.sq import (
+        sq_fit_stats,
+        sq_topk_rerank,
+    )
+
+    dim, n, k = 6, 60, 3
+    rows = [
+        [((i * 29 + j * 13) % 89) / 8.9 - 5.0 for j in range(dim)]
+        for i in range(n)
+    ]
+    df = _df(spark, rows, dim)
+    stats = sq_fit_stats(df, dim)
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
+    )
+    got = {
+        (r.qid, r.rnk): (r.neighbor_id, r.sq_dist)
+        for r in sq_topk_rerank(
+            q, df, stats, k, shortlist=4 * k, levels=4
+        ).collect()
+    }
+    for qid in range(3):
+        scored = []
+        for i in range(n):
+            if i == qid:
+                continue
+            d = 0.0
+            for j in range(dim):
+                t = rows[qid][j] - rows[i][j]
+                d += t * t
+            scored.append((d, i))
+        scored.sort()
+        for rnk, (d, i) in enumerate(scored[:k], start=1):
+            nid, dist = got[(qid, rnk)]
+            assert nid == i, (qid, rnk, nid, i)
+            assert dist == pytest.approx(d, rel=1e-12)
