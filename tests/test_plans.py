@@ -380,3 +380,17 @@ def test_ivfpq_search_probe_is_broadcast_and_reads_codes_only(spark, tmp_path):
     ]
     assert corpus_schema, plan
     assert all("vec:" not in line for line in corpus_schema), corpus_schema
+
+
+def test_gram_vectorized_single_exchange_pruned_read(spark):
+    """embedding_gram_upper (vectorized path): the only exchange is
+    the (dim_i, dim_j) cell aggregation over per-partition integer
+    partials - no per-product rows ever shuffle - and the parquet
+    scan reads just the embedding column."""
+    plan = plan_of(spark, "embedding_gram_upper")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "MapInPandas" in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "embedding" in m.group(1)
+    assert "vec_id" not in m.group(1)
+    assert "label" not in m.group(1)
