@@ -44,34 +44,39 @@ def dim_variance_stats(
     """Per-dimension population variance over the corpus, via the
     quantized integer-sum scheme (floor(x*1e9+0.5) BIGINTs for both
     sum and sum-of-squares), so the result is bit-identical on any
-    partitioning and re-derivable relationally: ONE aggregation job,
-    2*dim+1 summary columns collected."""
-    aggs = [
-        F.sum(
-            F.floor(
-                F.element_at(F.col(vec_col), j + 1) * F.lit(_QUANT)
-                + F.lit(0.5)
-            ).cast("long")
-        ).alias(f"__s{j}")
-        for j in range(dim)
-    ] + [
-        F.sum(
-            F.floor(
-                F.element_at(F.col(vec_col), j + 1)
-                * F.element_at(F.col(vec_col), j + 1)
-                * F.lit(_QUANT)
-                + F.lit(0.5)
-            ).cast("long")
-        ).alias(f"__q{j}")
-        for j in range(dim)
-    ] + [F.count(F.lit(1)).alias("__n")]
-    row = df.agg(*aggs).collect()[0]
-    n = float(row["__n"])
-    out = []
-    for j in range(dim):
-        mean = float(row[f"__s{j}"]) / _QUANT / n
-        msq = float(row[f"__q{j}"]) / _QUANT / n
-        out.append(msq - mean * mean)
+    partitioning and re-derivable relationally: ONE aggregation job
+    (posexplode to (dim, component) rows feeding a 3-expression
+    grouped agg whose integer partials combine map-side - NOT 2*dim
+    unrolled aggregate columns, which blew past the JIT-bytecode
+    cliff and ran ~5x slower), dim summary rows collected."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("__j", "__x"))
+        .groupBy("__j")
+        .agg(
+            F.sum(
+                F.floor(F.col("__x") * F.lit(_QUANT) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("__s"),
+            F.sum(
+                F.floor(
+                    F.col("__x") * F.col("__x") * F.lit(_QUANT) + F.lit(0.5)
+                ).cast("long")
+            ).alias("__q"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .collect()
+    )
+    if len(rows) != dim:
+        raise ValueError(
+            f"expected {dim} dimensions, found {len(rows)} - ragged vectors?"
+        )
+    out = [0.0] * dim
+    for r in rows:
+        n = float(r["__n"])
+        mean = float(r["__s"]) / _QUANT / n
+        msq = float(r["__q"]) / _QUANT / n
+        out[r["__j"]] = msq - mean * mean
     return out
 
 

@@ -38,12 +38,13 @@ def _literal_subcodebook(
 ) -> Column:
     """Subspace j's codebook as a literal array<array<double>> -
     embedded in the plan, so encoding needs no join and the same
-    values can be re-derived by the oracle from the table."""
-    return F.array(
-        *[
-            F.array(*[F.lit(float(c[j * sub + i])) for i in range(sub)])
-            for c in centroids
-        ]
+    values can be re-derived by the oracle from the table. Built as
+    ONE nested F.lit (identical doubles, identical plan semantics):
+    the unrolled K x sub F.lit form spent ~75 ms of py4j round trips
+    per subspace, >1 s of driver time per query build at the
+    catalog's K=16/m=8."""
+    return F.lit(
+        [[float(c[j * sub + i]) for i in range(sub)] for c in centroids]
     )
 
 

@@ -34,27 +34,28 @@ from .topk import top_k_per_group
 def sq_fit_stats(
     df: DataFrame, dim: int, vec_col: str = "vec"
 ) -> list[tuple[float, float]]:
-    """Per-dimension (min, max) over the corpus: one aggregation job,
-    partials combine map-side, 2*dim doubles collected. These are
-    exact selections from the stored values (no rounding), so any
-    engine recomputing them from the same table gets bit-identical
-    quantizer parameters."""
-    row = (
-        df.agg(
-            *[
-                F.min(F.element_at(F.col(vec_col), j + 1)).alias(f"__mn{j}")
-                for j in range(dim)
-            ],
-            *[
-                F.max(F.element_at(F.col(vec_col), j + 1)).alias(f"__mx{j}")
-                for j in range(dim)
-            ],
-        )
-        .collect()[0]
+    """Per-dimension (min, max) over the corpus: one aggregation job
+    - posexplode to (dim, component) rows feeding a 2-expression
+    grouped agg whose partials combine map-side (2*dim unrolled
+    aggregate columns blow past the JIT-bytecode cliff and ran ~5x
+    slower), dim summary rows collected. These are exact selections
+    from the stored values (no rounding), so any engine recomputing
+    them from the same table gets bit-identical quantizer
+    parameters."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("__j", "__x"))
+        .groupBy("__j")
+        .agg(F.min("__x").alias("__mn"), F.max("__x").alias("__mx"))
+        .collect()
     )
-    return [
-        (float(row[f"__mn{j}"]), float(row[f"__mx{j}"])) for j in range(dim)
-    ]
+    if len(rows) != dim:
+        raise ValueError(
+            f"expected {dim} dimensions, found {len(rows)} - ragged vectors?"
+        )
+    out: list[tuple[float, float]] = [(0.0, 0.0)] * dim
+    for r in rows:
+        out[r["__j"]] = (float(r["__mn"]), float(r["__mx"]))
+    return out
 
 
 def _scales(
@@ -77,16 +78,32 @@ def sq_encode(
     [0, levels-1]. code = clamp(floor((v - mn) / scale + 0.5)) with
     scale = (mx - mn)/(levels - 1); a constant dimension (mx == mn)
     encodes as 0. The expression is per-row scan work - codes are
-    what a 100 TB corpus persists (1 byte/dim at levels<=256)."""
-    codes: list[Column] = []
-    for j, ((mn, _mx), scale) in enumerate(zip(stats, _scales(stats, levels))):
-        if scale <= 0.0:
-            codes.append(F.lit(0))
-            continue
-        x = F.element_at(F.col(vec_col), j + 1)
-        q = F.floor((x - F.lit(mn)) / F.lit(scale) + F.lit(0.5)).cast("int")
-        codes.append(F.least(F.lit(levels - 1), F.greatest(F.lit(0), q)))
-    return df.withColumn(code_col, F.array(*codes))
+    what a 100 TB corpus persists (1 byte/dim at levels<=256).
+
+    Shape note: the quantizer params ride as two ARRAY literals
+    consumed by zip_with lambdas (three expressions total), not
+    per-dimension unrolled columns - at dim=64 the unrolled form
+    spent >1 s per call just building ~600 expression nodes over
+    py4j and bloated the plan toward the JIT-bytecode cliff; the
+    arithmetic per element is IEEE-identical either way (and the
+    oracle parity run pins it)."""
+    mns = F.lit([mn for mn, _mx in stats])
+    scales = F.lit(_scales(stats, levels))
+    lvl = levels - 1
+    shifted = F.zip_with(F.col(vec_col), mns, lambda x, m: x - m)
+    codes = F.zip_with(
+        shifted,
+        scales,
+        lambda d, s: F.when(s <= F.lit(0.0), F.lit(0)).otherwise(
+            F.least(
+                F.lit(lvl),
+                F.greatest(
+                    F.lit(0), F.floor(d / s + F.lit(0.5)).cast("int")
+                ),
+            )
+        ),
+    )
+    return df.withColumn(code_col, codes)
 
 
 def sq_recon(
@@ -97,12 +114,15 @@ def sq_recon(
     """Decode expression: component j reconstructs as
     mn_j + code_j * scale_j - one multiply-add per dimension, the
     representation asymmetric-distance scoring compares raw queries
-    against."""
-    parts: list[Column] = []
-    for j, ((mn, _mx), scale) in enumerate(zip(stats, _scales(stats, levels))):
-        c = F.element_at(F.col(code_col), j + 1).cast("double")
-        parts.append(F.lit(mn) + c * F.lit(scale))
-    return F.array(*parts)
+    against. Same zip_with-over-array-literal shape as sq_encode
+    (same plan-size/py4j rationale), same IEEE step order as the
+    unrolled form: (code * scale) then + mn."""
+    mns = F.lit([mn for mn, _mx in stats])
+    scales = F.lit(_scales(stats, levels))
+    scaled = F.zip_with(
+        F.col(code_col), scales, lambda c, s: c.cast("double") * s
+    )
+    return F.zip_with(scaled, mns, lambda t, m: m + t)
 
 
 def sq_topk(
