@@ -671,3 +671,129 @@ def ingest_normalize_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     classified = classify_messages(messages, config)
     return to_real_time_rows(reportable_messages(classified))
+
+
+_RUNS_SQL = f"""
+mapped AS (
+  SELECT user_id, ts, event_id, {_STATUS_SQL} AS status FROM events
+), ordered AS (
+  SELECT user_id, status, ts, event_id, lag(status) OVER w AS prev
+  FROM mapped WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), cps AS (
+  SELECT user_id, status, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+  FROM ordered WHERE prev IS NULL OR status <> prev
+), runs AS (
+  SELECT user_id, status,
+         CAST(floor(epoch(next_ts)) - floor(epoch(ts)) AS BIGINT) AS duration_seconds
+  FROM cps WHERE next_ts IS NOT NULL
+)"""
+
+
+@register(
+    "machine_mtbf_mttr",
+    oracle=f"""
+WITH {_RUNS_SQL}
+SELECT user_id,
+       CAST(count(CASE WHEN status = 'DOWN' THEN 1 END) AS BIGINT) AS n_failures,
+       CAST(sum(CASE WHEN status = 'DOWN' THEN duration_seconds END) AS BIGINT)
+         AS total_down_seconds,
+       CAST(sum(CASE WHEN status = 'UP' THEN duration_seconds END) AS DOUBLE)
+         / CAST(count(CASE WHEN status = 'UP' THEN 1 END) AS DOUBLE)
+         AS mtbf_seconds,
+       CAST(sum(CASE WHEN status = 'DOWN' THEN duration_seconds END) AS DOUBLE)
+         / CAST(count(CASE WHEN status = 'DOWN' THEN 1 END) AS DOUBLE)
+         AS mttr_seconds
+FROM runs GROUP BY user_id
+""",
+)
+def machine_mtbf_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability KPIs the downtime monitor's dashboard implies but
+    the reference never rolls up (create-quicksight.ts stops at
+    per-run durations): per machine, failure count, total downtime,
+    MTBF (mean UP-run duration between failures) and MTTR (mean
+    DOWN-run duration). One RLE pass (the same user_id-keyed
+    lag/lead windows as rle_event_runs - a single shuffle), then a
+    conditional aggregation; means are one division of exact integer
+    operands, so the whole KPI table is engine-exact. Machines that
+    never failed carry NULL mttr (sum over an empty set), never a
+    fabricated zero."""
+    ev = _events(spark, sf_dir).withColumn("status", _status_expr())
+    runs = run_durations(ev, ["user_id"], ["ts", "event_id"], "status", "ts")
+    is_down = F.col("status") == STATUS_DOWN
+    is_up = F.col("status") == STATUS_UP
+    down_sum = F.sum(F.when(is_down, F.col("duration_seconds")))
+    down_cnt = F.count(F.when(is_down, F.lit(1)))
+    up_sum = F.sum(F.when(is_up, F.col("duration_seconds")))
+    up_cnt = F.count(F.when(is_up, F.lit(1)))
+    return runs.groupBy("user_id").agg(
+        down_cnt.cast("long").alias("n_failures"),
+        down_sum.cast("long").alias("total_down_seconds"),
+        (up_sum.cast("double") / up_cnt.cast("double")).alias("mtbf_seconds"),
+        (down_sum.cast("double") / down_cnt.cast("double")).alias("mttr_seconds"),
+    )
+
+
+@register(
+    "downtime_pareto",
+    oracle=f"""
+WITH {_RUNS_SQL},
+per_machine AS (
+  SELECT user_id, CAST(sum(duration_seconds) AS BIGINT) AS total_down_seconds
+  FROM runs WHERE status = 'DOWN' GROUP BY user_id
+),
+grand AS (SELECT sum(total_down_seconds) AS g FROM per_machine)
+SELECT user_id, total_down_seconds,
+       CAST(row_number() OVER o AS INT) AS down_rank,
+       CAST(sum(total_down_seconds) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+         AS cum_down_seconds,
+       CAST(sum(total_down_seconds) OVER (o ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS DOUBLE)
+         / CAST((SELECT g FROM grand) AS DOUBLE) AS cum_share
+FROM per_machine
+WINDOW o AS (ORDER BY total_down_seconds DESC, user_id ASC)
+""",
+)
+def downtime_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis of downtime: machines ranked by total downtime
+    with the cumulative share of fleet downtime - 'which 20% of
+    machines cause 80% of the outage' is THE maintenance-priority
+    question a downtime monitor feeds. Scale shape: the RLE pass and
+    per-machine aggregation are keyed on user_id; only the PER-MACHINE
+    AGGREGATE rows (fleet cardinality, ~10^5-10^6 at any plausible
+    deployment - not event cardinality) enter the single-partition
+    ranking window, and the grand total rides a broadcast scalar
+    join, not a second pass. Cumulative sums are exact integers; the
+    share is one division."""
+    ev = _events(spark, sf_dir).withColumn("status", _status_expr())
+    runs = run_durations(ev, ["user_id"], ["ts", "event_id"], "status", "ts")
+    per_machine = (
+        runs.filter(F.col("status") == STATUS_DOWN)
+        .groupBy("user_id")
+        .agg(F.sum("duration_seconds").cast("long").alias("total_down_seconds"))
+    )
+    from pyspark.sql import Window
+
+    grand = per_machine.agg(
+        F.sum("total_down_seconds").alias("g")
+    )
+    o = Window.orderBy(F.col("total_down_seconds").desc(), F.col("user_id").asc())
+    cum = o.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_machine.withColumn("down_rank", F.row_number().over(o))
+        .withColumn(
+            "cum_down_seconds", F.sum("total_down_seconds").over(cum).cast("long")
+        )
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "user_id",
+            "total_down_seconds",
+            "down_rank",
+            "cum_down_seconds",
+            (
+                F.col("cum_down_seconds").cast("double")
+                / F.col("g").cast("double")
+            ).alias("cum_share"),
+        )
+    )

@@ -192,3 +192,183 @@ def wav_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         f[4].cast("long").alias("sum_samples"),
         f[5].cast("long").alias("sum_sq"),
     )
+
+
+@register(
+    "ppm_image_features",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INT) AS w,
+         CAST(3 + doc_id % 4 AS INT) AS h
+  FROM documents
+),
+b AS (
+  -- fixed-span series + filter (this DuckDB build rejects lateral
+  -- column parameters in generate_series); max raster = 8*6*3 = 144
+  SELECT doc_id, w, h, t.i AS p, (doc_id * 31 + t.i * 7) % 256 AS v
+  FROM m, generate_series(0, 143) t(i)
+  WHERE t.i < w * h * 3
+)
+SELECT doc_id AS media_id,
+       CAST(min(w) AS INT) AS width,
+       CAST(min(h) AS INT) AS height,
+       CAST(min(v) AS INT) AS min_byte,
+       CAST(max(v) AS INT) AS max_byte,
+       CAST(sum(CASE WHEN p % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN p % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN p % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq
+FROM b GROUP BY doc_id
+""",
+)
+def ppm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL IMAGE codec through the MediaCodec seam (companion to
+    wav_pcm_features; image decode is no longer a stub): per document
+    a deterministic RGB raster is synthesized (byte p of image d is
+    (d*31 + p*7) mod 256, 4-8 x 3-6 pixels), packed into a genuine
+    binary PPM (P6) container WITH a comment line in the header
+    (encode_ppm_p6), and DECODED BACK by PpmImageCodec's
+    whitespace/comment-tolerant header scan + raster slice inside
+    mapInPandas. The oracle recomputes the channel sums straight from
+    the pixel formula and never sees a PPM byte - a header-scan,
+    comment-skip, or raster-offset bug breaks the hash. Scale shape:
+    synthesis and decode are each one Arrow-batched pass, zero
+    shuffles - payload bytes never leave their partition."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import PpmImageCodec, encode_ppm_p6, extract_features
+
+    pin_utc(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        (F.lit(4) + F.col("doc_id") % 5).cast("int").alias("w"),
+        (F.lit(3) + F.col("doc_id") % 4).cast("int").alias("h"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, w, h in zip(pdf["media_id"], pdf["w"], pdf["h"]):
+                p = np.arange(int(w) * int(h) * 3, dtype=np.int64)
+                rgb = ((int(mid) * 31 + p * 7) % 256).astype(np.uint8).tobytes()
+                payloads.append(encode_ppm_p6(int(w), int(h), rgb))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "mime": pdf["mime"],
+                    "payload": payloads,
+                }
+            )
+
+    media = d.mapInPandas(
+        synth, "media_id long, kind string, mime string, payload binary"
+    )
+    feats = extract_features(media, codec=PpmImageCodec())
+    f = F.col("feature")
+    return feats.select(
+        "media_id",
+        f[0].cast("int").alias("width"),
+        f[1].cast("int").alias("height"),
+        f[2].cast("int").alias("min_byte"),
+        f[3].cast("int").alias("max_byte"),
+        f[4].cast("long").alias("sum_r"),
+        f[5].cast("long").alias("sum_g"),
+        f[6].cast("long").alias("sum_b"),
+        f[7].cast("long").alias("sum_sq"),
+    )
+
+
+@register(
+    "y4m_frame_luma_stats",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         CAST(4 + 2 * (doc_id % 3) AS INT) AS w,
+         CAST(4 + 2 * (doc_id % 2) AS INT) AS h,
+         CAST(3 + doc_id % 4 AS INT) AS nf
+  FROM documents
+),
+fx AS (
+  SELECT doc_id, w, h, t.f
+  FROM m, generate_series(0, 5) t(f)
+  WHERE t.f < nf AND t.f % 2 = 0
+),
+px AS (
+  -- max luma plane = 8*6 = 48 pixels
+  SELECT doc_id, w, h, f, (doc_id * 31 + f * 97 + t.p * 7) % 256 AS v
+  FROM fx, generate_series(0, 47) t(p)
+  WHERE t.p < w * h
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(min(w) AS INT) AS width,
+       CAST(min(h) AS INT) AS height,
+       CAST(min(v) AS INT) AS min_luma,
+       CAST(max(v) AS INT) AS max_luma,
+       CAST(sum(v) AS BIGINT) AS sum_luma,
+       CAST(sum(v * v) AS BIGINT) AS sum_sq_luma
+FROM px GROUP BY doc_id, f
+""",
+)
+def y4m_frame_luma_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL VIDEO decode path (video_frame_samples is the
+    timestamps-only planning twin; this one parses actual containers):
+    per document a deterministic 4:2:0 clip is synthesized (luma byte
+    p of frame f of clip d is (d*31 + f*97 + p*7) mod 256; chroma
+    planes carry a different formula and appear in NO feature, so the
+    only way the luma stats of frame 2+ come out right is if the
+    parser skips chroma exactly), packed into a genuine YUV4MPEG2
+    stream (encode_y4m), and decoded by parse_y4m inside
+    sample_video_frames - every 2nd frame is kept and exact integer
+    luma stats emitted per sampled frame. The oracle recomputes from
+    the synthesis formula and never sees a y4m byte. Scale shape: one
+    Arrow-batched pass, per-frame rows fan out within their partition,
+    zero shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.multimodal import encode_y4m, sample_video_frames
+
+    pin_utc(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(4) + 2 * (F.col("doc_id") % 3)).cast("int").alias("w"),
+        (F.lit(4) + 2 * (F.col("doc_id") % 2)).cast("int").alias("h"),
+        (F.lit(3) + F.col("doc_id") % 4).cast("int").alias("nf"),
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, w, h, nf in zip(pdf["media_id"], pdf["w"], pdf["h"], pdf["nf"]):
+                mid, w, h, nf = int(mid), int(w), int(h), int(nf)
+                cw, ch = w // 2, h // 2
+                yp = np.arange(w * h, dtype=np.int64)
+                cp = np.arange(cw * ch, dtype=np.int64)
+                frames = []
+                for f in range(nf):
+                    y = ((mid * 31 + f * 97 + yp * 7) % 256).astype(np.uint8)
+                    u = ((mid + f * 13 + cp * 5) % 256).astype(np.uint8)
+                    v = ((mid + f * 17 + cp * 3) % 256).astype(np.uint8)
+                    frames.append((y.tobytes(), u.tobytes(), v.tobytes()))
+                payloads.append(encode_y4m(w, h, frames))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(synth, "media_id long, payload binary")
+    return sample_video_frames(media, every_n=2).select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        "min_luma",
+        "max_luma",
+        "sum_luma",
+        "sum_sq_luma",
+    )

@@ -19,6 +19,7 @@ from ..operators.sampling import (
     chunk_documents,
     deterministic_sample,
     pack_sequences,
+    sample_hash,
     sample_hash_sql,
     stratified_rate_sql,
     stratified_sample,
@@ -408,3 +409,53 @@ def cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+_RESERVOIR_K = 16
+
+
+@register(
+    "per_source_reservoir_sample",
+    oracle=f"""
+WITH h AS (
+  SELECT source, doc_id,
+         {sample_hash_sql('doc_id', 'resv')} AS hkey
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, hkey,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY hkey ASC, doc_id ASC) AS sample_rank
+  FROM h
+)
+SELECT source, doc_id, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= {_RESERVOIR_K}
+""",
+)
+def per_source_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE uniform sample per group (k docs per source) - the
+    eval-set / spot-check-set builder that rate-based sampling can't
+    provide (a 1% rate of a tiny source yields zero rows; a fixed k
+    never does). Deterministic reservoir semantics WITHOUT an actual
+    reservoir: rank by the salted id hash and keep the k smallest per
+    source - equivalent to a uniform k-sample, but reproducible
+    across runs, partitionings, and engines, and INCREMENTALLY STABLE
+    (a new document displaces at most one member of its source's
+    sample, the property streaming eval-set maintenance needs). One
+    shuffle on source; with AQE the per-group sort is a bounded
+    top-k, ids only - text never moves."""
+    from ..operators.topk import top_k_per_group
+
+    d = _docs(spark, sf_dir)
+    h = d.select(
+        "source",
+        "doc_id",
+        sample_hash(F.col("doc_id"), "resv").alias("hkey"),
+    )
+    return top_k_per_group(
+        h,
+        ["source"],
+        [F.col("hkey").asc(), F.col("doc_id").asc()],
+        _RESERVOIR_K,
+        rank_col="sample_rank",
+    ).select("source", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank"))

@@ -1871,3 +1871,76 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_bigram_prob"),
         F.min("p").alias("min_bigram_prob"),
     )
+
+
+@register(
+    "gopher_top_bigram_share",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS nc, {_TOKENS_SQL} AS toks FROM documents
+),
+bi AS (
+  SELECT doc_id, nc,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+c AS (
+  SELECT doc_id, nc, bigram, count(*) AS cnt
+  FROM bi GROUP BY doc_id, nc, bigram
+),
+r AS (
+  SELECT doc_id, nc, bigram, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram DESC) AS rn
+  FROM c
+)
+SELECT doc_id, bigram AS top_bigram, CAST(cnt AS BIGINT) AS top_count,
+       CAST(cnt * length(bigram) AS DOUBLE) / CAST(nc AS DOUBLE) AS top_char_share
+FROM r WHERE rn = 1
+""",
+)
+def gopher_top_bigram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule repetition signal (Rae et al. 2021 §A1.1, the
+    half doc_repetition_scores doesn't cover): the fraction of a
+    document's characters accounted for by its single most frequent
+    word bigram (count x bigram length / text length). Boilerplate
+    and template spam score high and get cut upstream of training.
+
+    Scale shape: bigrams explode within the scan partition; the
+    per-doc mode is ONE hash aggregation (doc_id, bigram) followed by
+    a (doc_id)-keyed max(struct(count, bigram)) - the second agg's
+    partial_max runs map-side on the first agg's output, so the only
+    exchange carries distinct (doc, bigram) counts, never raw text.
+    Tie-break (count desc, bigram desc) is exactly struct-max order
+    on both engines. Integer counts and one division of identical
+    operands keep it engine-exact."""
+    d = _docs(spark, sf_dir)
+    toked = d.select(
+        "doc_id",
+        F.length("text").alias("__nc"),
+        tokens(F.col("text")).alias("__toks"),
+    ).filter(F.size("__toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("__toks"), i),
+            F.element_at(F.col("__toks"), i + F.lit(1)),
+        ),
+    )
+    bi = toked.select("doc_id", "__nc", F.explode(bigrams).alias("bigram"))
+    cnt = bi.groupBy("doc_id", "__nc", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = cnt.groupBy("doc_id", "__nc").agg(
+        F.max(F.struct(F.col("cnt").alias("c"), F.col("bigram").alias("g"))).alias("t")
+    )
+    return top.select(
+        "doc_id",
+        F.col("t.g").alias("top_bigram"),
+        F.col("t.c").alias("top_count"),
+        (
+            (F.col("t.c") * F.length(F.col("t.g"))).cast("double")
+            / F.col("__nc").cast("double")
+        ).alias("top_char_share"),
+    )

@@ -173,3 +173,96 @@ def test_wav_codec_multichannel_frames():
     wav = encode_wav_pcm16(inter, 16000, n_channels=2)
     got = WavPcmCodec().decode(wav)
     assert got == [16000.0, 3.0, -3.0, 3.0, 0.0, float(sum(s * s for s in inter))]
+
+
+def test_ppm_codec_roundtrip_and_guards():
+    """PpmImageCodec parses real P6 bytes: header comments and
+    arbitrary whitespace are skipped per the netpbm spec; features
+    are the exact channel integers; malformed containers fail
+    loudly."""
+    import pytest
+
+    from machine_downtime_monitor_on_aws_spark.operators.multimodal import (
+        PpmImageCodec,
+        encode_ppm_p6,
+    )
+
+    codec = PpmImageCodec()
+    # 2x2 image, bytes 0..11
+    rgb = bytes(range(12))
+    ppm = encode_ppm_p6(2, 2, rgb)
+    got = codec.decode(ppm)
+    assert got == [
+        2.0, 2.0, 0.0, 11.0,
+        float(0 + 3 + 6 + 9), float(1 + 4 + 7 + 10), float(2 + 5 + 8 + 11),
+        float(sum(b * b for b in rgb)),
+    ]
+
+    # weird-but-legal header: multiple comments, tabs/CRLF separators
+    hairy = b"P6\t# c1\n#c2\n 2\r\n#between\n2 \n255\n" + rgb
+    assert codec.decode(hairy) == got
+
+    assert codec.decode(None) == [0.0] * 8
+    with pytest.raises(ValueError, match="P6"):
+        codec.decode(b"P5\n2 2\n255\n" + rgb)
+    with pytest.raises(ValueError, match="maxval"):
+        codec.decode(b"P6\n2 2\n65535\n" + rgb)
+    with pytest.raises(ValueError, match="truncated"):
+        codec.decode(ppm[:-1])
+    # raster byte that LOOKS like whitespace must not be eaten: first
+    # raster byte 0x0A (newline) — exactly one separator is consumed
+    raster = bytes([0x0A]) + rgb[1:]
+    got_nl = codec.decode(b"P6\n2 2\n255\n" + raster)
+    assert got_nl == [
+        2.0, 2.0, float(min(raster)), float(max(raster)),
+        float(sum(raster[0::3])), float(sum(raster[1::3])),
+        float(sum(raster[2::3])), float(sum(b * b for b in raster)),
+    ]
+
+
+def test_y4m_parse_and_frame_sampling(spark):
+    """parse_y4m walks FRAME markers with exact 4:2:0 plane sizes —
+    a chroma-skip bug would corrupt frame 1+'s luma; sample_video_frames
+    keeps every 2nd frame with exact integer luma stats."""
+    import pytest
+
+    from machine_downtime_monitor_on_aws_spark.operators.multimodal import (
+        encode_y4m,
+        parse_y4m,
+        sample_video_frames,
+    )
+
+    w, h = 4, 2
+    cw, ch = w // 2, h // 2
+    frames = []
+    for f in range(4):
+        y = bytes((f * 50 + i) % 256 for i in range(w * h))
+        u = bytes((f + i) % 256 for i in range(cw * ch))
+        v = bytes((f * 2 + i) % 256 for i in range(cw * ch))
+        frames.append((y, u, v))
+    clip = encode_y4m(w, h, frames)
+
+    pw, ph, planes = parse_y4m(clip)
+    assert (pw, ph) == (w, h)
+    assert planes == [fr[0] for fr in frames]
+
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        parse_y4m(b"JUNK\n" + clip)
+    with pytest.raises(ValueError, match="4:2:0"):
+        parse_y4m(clip.replace(b"C420jpeg", b"C444jpeg"))
+    with pytest.raises(ValueError, match="truncated"):
+        parse_y4m(clip[:-1])
+    # C param absent -> 420jpeg default per the y4m spec
+    assert parse_y4m(clip.replace(b" C420jpeg", b""))[2] == planes
+
+    df = spark.createDataFrame([(7, bytearray(clip))], "media_id long, payload binary")
+    out = {r["frame_idx"]: r for r in sample_video_frames(df, every_n=2).collect()}
+    assert sorted(out) == [0, 2]
+    for f in (0, 2):
+        y = frames[f][0]
+        r = out[f]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["min_luma"], r["max_luma"]) == (min(y), max(y))
+        assert (r["sum_luma"], r["sum_sq_luma"]) == (
+            sum(y), sum(b * b for b in y),
+        )
