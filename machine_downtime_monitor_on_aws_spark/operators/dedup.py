@@ -1297,6 +1297,15 @@ def compact_minhash_index(spark, table_name: str) -> None:
     under ``__compacting`` BEFORE the two-rename swap; the only
     vulnerable window is between the renames (metadata-only, and
     :func:`recover_minhash_index` heals it)."""
+    _swap_rewritten_index(spark, table_name, spark.table(table_name))
+
+
+def _swap_rewritten_index(spark, table_name: str, frame: DataFrame) -> None:
+    """Shared rewrite-and-swap core of compaction and purge: write
+    ``frame`` as a fresh bucketed copy (one file per bucket, verbatim
+    duplicates dropped) under ``__compacting``, re-stamp the signature
+    params, then two-rename swap. The crash window and its healing
+    (:func:`recover_minhash_index`) are identical for both callers."""
     params = read_minhash_index_params(spark, table_name)
     stats = minhash_index_stats(spark, table_name)
     nb = stats["num_buckets"]
@@ -1307,8 +1316,7 @@ def compact_minhash_index(spark, table_name: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     (
-        spark.table(table_name)
-        .repartition(nb, "band_key")
+        frame.repartition(nb, "band_key")
         .dropDuplicates()
         .write.format("parquet")
         .mode("overwrite")
@@ -1320,6 +1328,46 @@ def compact_minhash_index(spark, table_name: str) -> None:
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
     spark.sql(f"DROP TABLE {old}")
     spark.catalog.refreshTable(table_name)
+
+
+def purge_from_minhash_index(
+    spark, table_name: str, doc_ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Targeted deletion (right-to-be-forgotten / takedown): remove
+    every band row of the given documents from the persisted index,
+    PRESERVING the bucketed layout and stamped params the shuffle-free
+    probe stands on. Returns the number of distinct indexed documents
+    actually removed.
+
+    Honest cost: the index is bucketed on band_key, so doc-id rows
+    have no pruned location - a purge is an O(index) bucket-preserving
+    rewrite (the same job shape as compaction, and it shares
+    compaction's crash-window healing). Operate it accordingly at
+    100 TB: accumulate takedown requests and purge in scheduled
+    batches (each batch is one rewrite regardless of how many ids it
+    carries), ideally piggybacked on a due compaction - the rewrite
+    doubles as one. The purge set broadcasts (takedown lists are
+    small); history shuffles once into its own bucket layout.
+
+    Idempotent: re-running with the same ids finds zero hits and
+    returns 0 without rewriting."""
+    recover_minhash_index(spark, table_name)
+    spark.catalog.refreshTable(table_name)
+    ids = doc_ids.select(F.col(id_col).alias("__pid")).distinct()
+    tbl = spark.table(table_name)
+    n = (
+        tbl.join(F.broadcast(ids), tbl["doc_id"] == F.col("__pid"), "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    if n == 0:
+        return 0
+    remaining = tbl.join(
+        F.broadcast(ids), tbl["doc_id"] == F.col("__pid"), "left_anti"
+    )
+    _swap_rewritten_index(spark, table_name, remaining)
+    return n
 
 
 def compact_minhash_index_if_needed(

@@ -774,3 +774,102 @@ def search_ivf_index(
         "cosine_sim",
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+def purge_from_ivf_corpus(
+    spark: SparkSession, path: str, ids: DataFrame, id_col: str = "vec_id"
+) -> int:
+    """Targeted deletion (right-to-be-forgotten / takedown) from a
+    persisted IVF or IVF-PQ index corpus - the PARTITION-PRUNED
+    delete the ``list_id`` layout makes possible, unlike the MinHash
+    index's O(index) rewrite:
+
+    1. one column-pruned scan (id + partition columns; the broadcast
+       semi-join against the purge set never moves the corpus) finds
+       the affected (epoch,) list partitions and per-partition hit
+       counts;
+    2. ONLY those partitions are rewritten minus the purged ids via
+       dynamic partition overwrite - untouched lists (the vast
+       majority: takedown sets are tiny) keep their files byte-for-
+       byte;
+    3. partitions left EMPTY by the purge are removed explicitly: a
+       dynamic overwrite only touches partitions present in its
+       output, so an all-rows-purged list would otherwise silently
+       keep its old files - the subtle trap step 3 exists for
+       (unit-tested).
+
+    Works identically for the raw-vector IVF layout and the IVF-PQ
+    codes layout (both are ``{path}/corpus`` partitioned by
+    ``[__epoch,] list_id``; only vec_id and the partition columns are
+    touched). Centroids/codebooks are statistics, not member data -
+    they keep serving the remaining corpus and retrain on the normal
+    rebuild cadence.
+
+    Crash-safe by idempotence: a crash between steps 2 and 3 leaves
+    purged rows visible in emptied partitions only; re-running the
+    purge re-detects them and completes the removal. Returns the
+    number of corpus rows removed."""
+    from functools import reduce
+    from operator import or_
+
+    from .. import fsio
+
+    corpus_path = f"{path}/corpus"
+    corpus = spark.read.parquet(corpus_path)
+    part_cols = [c for c in ("__epoch", "list_id") if c in corpus.columns]
+    if not part_cols:
+        raise ValueError(f"{corpus_path!r} is not a partitioned IVF corpus")
+    pid = ids.select(F.col(id_col).alias("__pid")).distinct()
+    hits = corpus.join(
+        F.broadcast(pid), corpus["vec_id"] == F.col("__pid"), "left_semi"
+    )
+    per_part = hits.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("__n")).collect()
+    if not per_part:
+        return 0
+    n_deleted = sum(r["__n"] for r in per_part)
+    if "__epoch" in part_cols:
+        by_epoch: dict = {}
+        for r in per_part:
+            by_epoch.setdefault(r["__epoch"], []).append(r["list_id"])
+        pred = reduce(
+            or_,
+            [
+                (F.col("__epoch") == e) & F.col("list_id").isin(lists)
+                for e, lists in by_epoch.items()
+            ],
+        )
+    else:
+        pred = F.col("list_id").isin([r["list_id"] for r in per_part])
+    # localCheckpoint barrier: the rewrite's lineage reads the very
+    # path it dynamic-overwrites (the same reason KeyedParquetStore's
+    # plan_upsert materializes) - and it holds only the AFFECTED
+    # partitions minus the purged rows, not the corpus
+    from ..streaming.store import _tracked_local_checkpoint, release_checkpoint
+
+    remaining = _tracked_local_checkpoint(
+        corpus.filter(pred).join(
+            F.broadcast(pid), corpus["vec_id"] == F.col("__pid"), "left_anti"
+        )
+    )
+    try:
+        # partitions the purge empties entirely (computed BEFORE the
+        # rewrite, from the still-committed files)
+        still = {
+            tuple(r[c] for c in part_cols)
+            for r in remaining.select(*part_cols).distinct().collect()
+        }
+        emptied = {
+            tuple(r[c] for c in part_cols) for r in per_part
+        } - still
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(corpus_path)
+        )
+    finally:
+        release_checkpoint(remaining)
+    for combo in sorted(emptied):
+        sub = "/".join(f"{c}={v}" for c, v in zip(part_cols, combo))
+        fsio.delete(spark, f"{corpus_path}/{sub}")
+    return int(n_deleted)

@@ -1906,13 +1906,15 @@ def gopher_top_bigram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     word bigram (count x bigram length / text length). Boilerplate
     and template spam score high and get cut upstream of training.
 
-    Scale shape: bigrams explode within the scan partition; the
-    per-doc mode is ONE hash aggregation (doc_id, bigram) followed by
-    a (doc_id)-keyed max(struct(count, bigram)) - the second agg's
-    partial_max runs map-side on the first agg's output, so the only
-    exchange carries distinct (doc, bigram) counts, never raw text.
-    Tie-break (count desc, bigram desc) is exactly struct-max order
-    on both engines. Integer counts and one division of identical
+    Scale shape: a document's bigrams all live in its own row, so the
+    per-doc mode never needs a groupBy at all - sort the bigram array
+    and FOLD it (one aggregate() pass tracking the current run and
+    the best run), entirely map-side: ZERO exchanges, text never
+    leaves the scan partition, and the plan is a pure projection
+    (asserted). Tie-break: the array is sorted ascending and a run
+    matching the best count REPLACES it (>=), so the largest bigram
+    wins ties - exactly the oracle's (count desc, bigram desc)
+    row_number order. Integer counts and one division of identical
     operands keep it engine-exact."""
     d = _docs(spark, sf_dir)
     toked = d.select(
@@ -1928,19 +1930,46 @@ def gopher_top_bigram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("__toks"), i + F.lit(1)),
         ),
     )
-    bi = toked.select("doc_id", "__nc", F.explode(bigrams).alias("bigram"))
-    cnt = bi.groupBy("doc_id", "__nc", "bigram").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # materialized projection barrier (no CSE inside HOF lambdas)
+    sorted_bg = toked.select(
+        "doc_id", "__nc", F.array_sort(bigrams).alias("__bg")
     )
-    top = cnt.groupBy("doc_id", "__nc").agg(
-        F.max(F.struct(F.col("cnt").alias("c"), F.col("bigram").alias("g"))).alias("t")
+
+    def step(acc, x):
+        run = F.when(
+            acc["prev"].isNotNull() & (acc["prev"] == x), acc["run"] + F.lit(1)
+        ).otherwise(F.lit(1))
+        better = run >= acc["best_c"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_c"]).alias("best_c"),
+            F.when(better, x).otherwise(acc["best_g"]).alias("best_g"),
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_c"),
+        F.lit(None).cast("string").alias("best_g"),
+    )
+    # second barrier: the fold result is referenced twice below -
+    # alias it ONCE so the O(n) fold isn't duplicated per field
+    folded = sorted_bg.select(
+        "doc_id", "__nc", F.aggregate(F.col("__bg"), init, step).alias("__m")
+    )
+    top = folded.select(
+        "doc_id",
+        "__nc",
+        F.col("__m")["best_c"].alias("top_count"),
+        F.col("__m")["best_g"].alias("top_bigram"),
     )
     return top.select(
         "doc_id",
-        F.col("t.g").alias("top_bigram"),
-        F.col("t.c").alias("top_count"),
+        "top_bigram",
+        "top_count",
         (
-            (F.col("t.c") * F.length(F.col("t.g"))).cast("double")
+            (F.col("top_count") * F.length(F.col("top_bigram"))).cast("double")
             / F.col("__nc").cast("double")
         ).alias("top_char_share"),
     )

