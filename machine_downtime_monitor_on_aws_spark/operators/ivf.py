@@ -100,8 +100,20 @@ def _nearest(
     map-side BEFORE the exchange, where the window shape shuffles all
     N x C. Same argmin semantics (lexicographic struct min = highest
     sim, then smallest cid; sim negation is exact); probe paths
-    (top > 1) keep the window."""
-    sim = dot(vec_col, "cv", dim) / (F.col(norm_col) * F.col("__cn"))
+    (top > 1) keep the window.
+
+    NaN guard (r7 advice): a zero-norm vector or centroid makes the
+    cosine 0/0 = NaN, and the two physical paths would DISAGREE on
+    it - Spark's desc sort ranks NaN first (NaN > everything) while
+    struct-min ranks it last. ``nanvl(sim, -inf)`` pins both paths
+    to the same answer: degenerate candidates rank LAST, and an
+    all-degenerate row falls to the smallest cid in either shape.
+    nanvl is the identity on every non-NaN double, so oracle
+    bit-exactness is untouched."""
+    sim = F.nanvl(
+        dot(vec_col, "cv", dim) / (F.col(norm_col) * F.col("__cn")),
+        F.lit(float("-inf")),
+    )
     joined = side.crossJoin(F.broadcast(cents)).withColumn("__sim", sim)
     if top == 1:
         cent_payload = [c for c in cents.columns if c != "cid"]
@@ -796,7 +808,8 @@ def purge_from_ivf_corpus(
        dynamic overwrite only touches partitions present in its
        output, so an all-rows-purged list would otherwise silently
        keep its old files - the subtle trap step 3 exists for
-       (unit-tested).
+       (unit-tested in tests/test_purge.py, including the
+       crash-between-2-and-3 window healed by re-run).
 
     Works identically for the raw-vector IVF layout and the IVF-PQ
     codes layout (both are ``{path}/corpus`` partitioned by

@@ -55,15 +55,23 @@ def centroids_to_df(
     group_cols: list[str],
 ) -> DataFrame:
     """``{(group..., label): vector}`` -> DataFrame
-    (group..., cluster, cv). Group key values must be plain ints /
-    strings (they round-trip through createDataFrame)."""
+    (group..., cluster, cv). Group key values may be plain ints or
+    strings - each group column's Spark type is inferred from the
+    first key's value (int -> long, str -> string; keys are
+    homogeneous per column by construction), so string-keyed
+    groupings round-trip instead of failing the r7-advice hardcoded
+    '{g} long' schema."""
     if not centroids:
         raise ValueError("centroids must be non-empty")
     rows = [
         (*key[:-1], int(key[-1]), [float(x) for x in vec])
         for key, vec in centroids.items()
     ]
-    gschema = ", ".join(f"{g} long" for g in group_cols)
+    first_key = next(iter(centroids))
+    gschema = ", ".join(
+        f"{g} {'string' if isinstance(first_key[i], str) else 'long'}"
+        for i, g in enumerate(group_cols)
+    )
     schema = (gschema + ", " if gschema else "") + "cluster long, cv array<double>"
     return spark.createDataFrame(rows, schema)
 
@@ -233,16 +241,37 @@ def _weighted_lloyd_py(
     whole region when one dense cluster contributes two heavy
     candidates), standard weighted Lloyd after. Pure Python on
     purpose: the candidate set is driver-scale by construction, so no
-    job is worth launching."""
+    job is worth launching.
+
+    Degenerate-candidate guard (r7 advice): zero-weight candidates
+    (attracting no corpus point) and vectors coinciding with an
+    already-chosen center score 0 in the greedy argmax, and a naive
+    max() would then re-pick a chosen point, silently training
+    k-means with DUPLICATE centroids. They are excluded from the
+    greedy pool instead, and running out of distinct positive-weight
+    candidates before k raises - the caller's guard counts the same
+    distinct set, so the error surfaces with the actionable message
+    (raise l / rounds), never as duplicated centers."""
 
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    ordered = sorted(cands, key=lambda c: (-c[2], c[0]))
+    ordered = sorted((c for c in cands if c[2] > 0), key=lambda c: (-c[2], c[0]))
+    if not ordered:
+        raise ValueError("no positive-weight candidates to seed from")
     centers = [list(ordered[0][1])]
     while len(centers) < k:
+        pool = [
+            c for c in ordered
+            if min(d2(c[1], ctr) for ctr in centers) > 0.0
+        ]
+        if not pool:
+            raise ValueError(
+                f"only {len(centers)} distinct positive-weight candidates "
+                f"for k={k}; raise l or rounds"
+            )
         best = max(
-            ordered,
+            pool,
             key=lambda c: (
                 c[2] * min(d2(c[1], ctr) for ctr in centers),
                 -c[0],
@@ -353,9 +382,17 @@ def kmeans_parallel_init(
     weighted = [
         (cid, v, counts.get(cid, 0)) for cid, v in sorted(cands.items())
     ]
-    if len(weighted) < k:
+    # the greedy reducer can only use DISTINCT positive-weight
+    # vectors (duplicates / zero-weight candidates are excluded so
+    # they can never become duplicate centroids - r7 advice), so the
+    # sufficiency guard counts exactly that set
+    distinct_usable = {
+        tuple(v) for _cid, v, w in weighted if w > 0
+    }
+    if len(distinct_usable) < k:
         raise ValueError(
-            f"k-means|| produced only {len(weighted)} candidates for k={k}; "
+            f"k-means|| produced only {len(distinct_usable)} distinct "
+            f"positive-weight candidates for k={k}; "
             "raise l or rounds (corpus may be smaller than k)"
         )
     centers = _weighted_lloyd_py(weighted, k, final_iters)

@@ -192,11 +192,15 @@ def pq_topk_lut(
     in K - the r6 verdict's large-K requirement). The corpus side
     streams through Arrow batches; only (id, code) columns are read.
 
-    Float caveat: the LUT sums m subspace partials, the literal path
-    folds all dim terms left-to-right - same quantities, different
-    association, so trailing ulps can differ; ranks agree away from
-    exact ties (test-pinned). The oracle-exact catalog queries stay
-    on the literal path at K=16."""
+    Float determinism: every summation here is an EXPLICIT
+    left-to-right fold - per-LUT-cell over the sub dims, per-score
+    over the m subspace partials - so the result is a fixed IEEE
+    expression a relational oracle can reproduce term-for-term
+    (per-subspace list_sum partials, then an ordered list_sum over
+    j; the pq_lut_knn_top5 catalog query pins this at K=256). The
+    association still differs from the literal path's single
+    all-dim fold, so the two paths' scores can differ in trailing
+    ulps; ranks agree away from exact ties (test-pinned)."""
     import numpy as np
     import pandas as pd
 
@@ -214,18 +218,29 @@ def pq_topk_lut(
     ).collect()
     qids = np.array([r.qid for r in qrows])
     qmat = np.array([r.qv for r in qrows], dtype=np.float64)  # (nq, dim)
-    # (nq, m, K): subspace j's distances from query q to every code
+    # (nq, m, K): subspace j's distances from query q to every code.
+    # Summed by an EXPLICIT left fold over the sub dims (numpy .sum
+    # switches to pairwise association past 8 elements, which no SQL
+    # oracle could mirror; elementwise adds in a fixed order can)
     qs = qmat.reshape(len(qrows), m, sub)  # (nq, m, sub)
     bs = book.reshape(kk, m, sub).transpose(1, 0, 2)  # (m, K, sub)
-    lut = ((qs[:, :, None, :] - bs[None, :, :, :]) ** 2).sum(axis=3)
+    diff2 = (qs[:, :, None, :] - bs[None, :, :, :]) ** 2  # (nq, m, K, sub)
+    lut = diff2[..., 0].copy()
+    for t in range(1, sub):
+        lut += diff2[..., t]
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             cmat = np.array(list(pdf["pq_code"]), dtype=np.int64)  # (n, m)
-            # scores[q, i] = sum_j lut[q, j, cmat[i, j]]
-            scores = lut[:, np.arange(m)[None, :], cmat].sum(axis=2)
+            # scores[q, i] = sum_j lut[q, j, cmat[i, j]], folded
+            # left-to-right over j (deterministic IEEE association
+            # the pq_lut_knn_top5 oracle reproduces as an ordered
+            # list_sum over the m subspace partials)
+            scores = lut[:, 0, cmat[:, 0]].copy()  # (nq, n)
+            for j in range(1, m):
+                scores += lut[:, j, cmat[:, j]]
             n, nq = len(pdf), len(qids)
             yield pd.DataFrame(
                 {

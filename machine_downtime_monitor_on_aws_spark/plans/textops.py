@@ -1973,3 +1973,51 @@ def gopher_top_bigram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("__nc").cast("double")
         ).alias("top_char_share"),
     )
+
+
+_SPAN_K = 8
+
+_SPAN_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(t) - {_SPAN_K})) AS pos,
+         unnest(list_transform(generate_series(1, len(t) - {_SPAN_K - 1}),
+                i -> md5(array_to_string(
+                       list_slice(t, i, i + {_SPAN_K - 1}), ' ')))) AS g
+  FROM toks WHERE len(t) >= {_SPAN_K}
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                            ORDER BY pos_a) AS rn
+  FROM m
+)
+SELECT doc_a, doc_b,
+       min(pos_a) AS start_a, min(pos_b) AS start_b,
+       max(pos_a) - min(pos_a) + {_SPAN_K} AS span_tokens
+FROM r GROUP BY doc_a, doc_b, diag, pos_a - rn
+"""
+
+
+@register("duplicated_spans", oracle=_SPAN_SQL)
+def duplicated_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring dedup (operators/spans.duplicated_spans - r7
+    verdict next-round #3, the third leg of the dedup stack beside
+    doc-level MinHash/SimHash and chunk-level winnowing/CDC): every
+    maximal cross-document span of >= 8 consecutive shared tokens,
+    via overlapping k-gram digest windows self-joined on the digest
+    and stitched along alignment diagonals with gaps-and-islands -
+    the relational, shuffle-a-digest-never-the-text reformulation of
+    the Lee et al. 2022 suffix-array pass. Exact (no winnowing
+    sampling, no cap here - the oracle pins the exact mode;
+    production corpora pass max_gram_occurrences as the boilerplate
+    valve) and hash-checked per span row: pair ids, both 0-based
+    start offsets, and the maximal span length."""
+    from ..operators.spans import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), "doc_id", "text", _SPAN_K)

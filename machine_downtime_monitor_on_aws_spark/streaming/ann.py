@@ -84,13 +84,23 @@ def run_incremental_ann_stream(
             # absence means no committed skeleton - (re-)run the
             # deterministic train+build; the batch itself lands via
             # the idempotent epoch append below, never inside build
-            # (a bootstrap crash window must not double-insert it)
-            if e.limit(1).count() == 0:
+            # (a bootstrap crash window must not double-insert it).
+            # A first batch SMALLER than n_centroids trains with
+            # k = batch size instead of raising (r7 advice: the raise
+            # wedged the loop - the marker never commits, so every
+            # restart replays the same too-small batch and fails
+            # again) and instead of returning (which would silently
+            # DROP the batch: foreachBatch advances the checkpoint
+            # either way). Fewer lists only coarsens pruning; the
+            # rebalance gate retrains to full k as the corpus grows.
+            avail = e.limit(n_centroids).count()
+            if avail == 0:
                 return  # nothing to train on yet
             from ..operators.kmeans import kmeans_fit_centroids_df
 
             cents = kmeans_fit_centroids_df(
-                e, n_centroids, dim, iters=train_iters, init="hash"
+                e, min(n_centroids, avail), dim,
+                iters=train_iters, init="hash",
             ).select(F.col("cid"), F.col("cv"))
             build_ivf_index(
                 e.limit(0), index_path, n_centroids, dim,

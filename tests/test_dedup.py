@@ -816,3 +816,64 @@ def test_update_components_rejects_label_id_collision(spark):
     # opting out preserves the old trust-the-caller behavior
     out = update_components(labels, new_pairs, validate_ids=False)
     assert out.count() > 0
+
+
+def test_duplicated_spans_maximal_stitching(spark):
+    """A 20-token verbatim copy embedded at different offsets in two
+    docs must come back as EXACTLY ONE maximal span row with both
+    start offsets and the full length - not 13 window-sized
+    fragments; a doc below k tokens emits nothing."""
+    from machine_downtime_monitor_on_aws_spark.operators.spans import (
+        duplicated_spans,
+    )
+
+    shared = " ".join(f"copy{i}" for i in range(20))
+    docs = _corpus(
+        spark,
+        [
+            (1, "alpha beta gamma " + shared + " tail one here"),
+            (2, "x y z w q r " + shared + " other ending words"),
+            (3, "entirely unrelated text with no overlap at all whatsoever"),
+            (4, "short doc"),  # < k tokens: no windows
+        ],
+    )
+    rows = duplicated_spans(docs, "doc_id", "body", k=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.span_tokens == 20
+    assert r.start_a == 3 and r.start_b == 6
+
+
+def test_duplicated_spans_multiple_alignments_and_cap(spark):
+    """The same shared text at TWO alignments yields two span rows
+    (one per diagonal); the max_gram_occurrences valve drops
+    boilerplate grams entirely (0 spans when every gram is capped
+    out), and a permissive cap equals the exact result."""
+    from machine_downtime_monitor_on_aws_spark.operators.spans import (
+        duplicated_spans,
+    )
+
+    block = " ".join(f"blk{i}" for i in range(10))
+    docs = _corpus(
+        spark,
+        [
+            # doc 1 contains the block twice; doc 2 once -> two
+            # diagonals, two maximal spans
+            (1, block + " middle filler words " + block),
+            (2, "lead in " + block + " out"),
+        ],
+    )
+    exact = duplicated_spans(docs, "doc_id", "body", k=8)
+    got = sorted((r.start_a, r.start_b, r.span_tokens) for r in exact.collect())
+    assert got == [(0, 2, 10), (13, 2, 10)]
+    capped_out = duplicated_spans(
+        docs, "doc_id", "body", k=8, max_gram_occurrences=1
+    )
+    assert capped_out.count() == 0
+    permissive = duplicated_spans(
+        docs, "doc_id", "body", k=8, max_gram_occurrences=100
+    )
+    assert sorted(
+        (r.start_a, r.start_b, r.span_tokens) for r in permissive.collect()
+    ) == got

@@ -382,6 +382,73 @@ def test_ivfpq_search_probe_is_broadcast_and_reads_codes_only(spark, tmp_path):
     assert all("vec:" not in line for line in corpus_schema), corpus_schema
 
 
+def test_ivfpq_rerank_stage1_reads_codes_only(spark, tmp_path):
+    """The two-stage production search (ivfpq_rerank_top5's shape):
+    stage 1's corpus scan must read ONLY (vec_id, pq_code, list_id) -
+    the raw vector column exists ONLY in the stage-2 re-rank scan of
+    the vector source, joined against a BROADCAST shortlist sliver.
+    This is the r7-verdict plan assert for the persisted-index
+    catalog query."""
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        build_ivfpq_index,
+        search_ivfpq_index_rerank,
+    )
+
+    dim, m, n_cent = 8, 2, 4
+    books = [[float(k == j) for j in range(dim)] for k in range(4)]
+    rows = [(i, [float((i + j) % 3) for j in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    path = str(tmp_path / "ivfpq_rerank_plan")
+    build_ivfpq_index(df, path, n_cent, dim, m, pq_centroids=books,
+                      residual=True)
+    # the vector source must be a real scan (parquet) so the plan
+    # shows which columns stage 2 reads
+    src_path = str(tmp_path / "vec_source")
+    df.write.parquet(src_path)
+    src = spark.read.parquet(src_path)
+    q = spark.createDataFrame([(0, rows[5][1])], "qid long, qvec array<double>")
+    out = search_ivfpq_index_rerank(
+        spark, path, q, k=3, shortlist=8, n_probes=2, dim=dim, m=m,
+        pq_centroids=books, vector_source=src,
+    )
+    plan = explain(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # every scan of the INDEX corpus (the pq_code reader) projects
+    # codes, never vectors; the vector column appears only in the
+    # vector_source scan
+    code_scans = [
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "pq_code" in line
+    ]
+    assert code_scans, plan
+    assert all("vec:" not in line for line in code_scans), code_scans
+    vec_scans = [
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "vec:" in line
+    ]
+    assert vec_scans, plan  # stage 2 reads raw vectors for the exact re-rank
+
+
+def test_pq_lut_plan_is_constant_size_in_k(spark):
+    """pq_lut_knn_top5's claim: at K=256 neither the encode join nor
+    the LUT scorer embeds the codebook in the plan - the whole plan
+    stays small (the literal path would carry 16384 doubles)."""
+    from machine_downtime_monitor_on_aws_spark.operators.pq import (
+        pq_encode_join,
+        pq_topk_lut,
+    )
+
+    dim, m, kk = 8, 2, 256
+    books = [[float((k * 7 + j) % 13) for j in range(dim)] for k in range(kk)]
+    rows = [(i, [float((i + j) % 5) for j in range(dim)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    codes = pq_encode_join(df, books, dim, m)
+    q = spark.createDataFrame([(0, rows[3][1])], "qid long, qv array<double>")
+    out = pq_topk_lut(q, codes, books, dim, m, 3)
+    plan = explain(out)
+    assert len(plan) < 50_000, f"plan is {len(plan)} bytes - codebook leaked in?"
+
+
 def test_gram_vectorized_single_exchange_pruned_read(spark):
     """embedding_gram_upper (vectorized path): the only exchange is
     the (dim_i, dim_j) cell aggregation over per-partition integer
