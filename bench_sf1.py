@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""One-shot sf1.0 scale check (r7 verdict next-round #6): run the
+headline query set at ~10x the bench scale and flag any query whose
+wall-time grows super-linearly vs the committed sf0.1 medians.
+
+Data: /root/testdata has no sf1.0, so this script materializes one
+under .bench/sf1.0/ by replicating sf0.1 ten times with
+SHAPE-PRESERVING transforms (testdata itself is read-only and never
+touched):
+
+- fact/dim keys get per-copy offsets (orderkey/custkey/partkey/
+  suppkey/event_id/user_id/doc_id/vec_id), so join fan-ins and
+  group cardinalities scale linearly like a real 10x corpus;
+- region/nation stay single-copy (true dimensions);
+- document TOKENS get a per-copy suffix (copy 0 untouched): each
+  copy reproduces sf0.1's near-dup structure against ITSELF only,
+  so shingle/minhash/simhash pair counts grow 10x (linear), not
+  100x (the quadratic artifact naive text replication would
+  fabricate - cross-copy exact duplicates);
+- embeddings get a per-copy deterministic +-1 sign-flip pattern
+  (copy 0 identity): (s . v) dot (s . w) == v dot w, so every
+  within-copy cosine, bucket, and cluster is EXACTLY preserved,
+  while cross-copy cosines collapse toward 0 and stay below the
+  near-dup threshold - again linear pair growth, and sign flips are
+  exact in IEEE floats (no rounding drift).
+
+Prints ONE JSON line {"metric": "headline_sf1_total", ...,
+"superlinear": {...}} and leaves the full record in
+BENCH_SF1.json. Linearity verdict per query:
+median_sf1 <= LINEAR_SLACK * 10 * median_sf0.1 (slack covers the
+~1.6x box noise plus fixed per-query overhead amortization).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import HEADLINE  # noqa: E402
+
+COPIES = 10
+LINEAR_SLACK = 1.8
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench", "sf1.0")
+SRC_DIR = os.environ.get("SPARK_GRAFT_SF1_SRC", "/root/testdata/sf0.1")
+
+
+def _signs(copy: int, dim: int) -> list[float]:
+    """Deterministic +-1 pattern per copy (identity for copy 0)."""
+    if copy == 0:
+        return [1.0] * dim
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"sf1-signs:{copy}:{i}".encode()).digest()
+        out.append(1.0 if h[0] % 2 == 0 else -1.0)
+    return out
+
+
+def build_sf1(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from machine_downtime_monitor_on_aws_spark.tables import load_table
+
+    marker = os.path.join(SF1_DIR, "_BUILT")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    t0 = time.time()
+
+    def write(df, name):
+        df.write.mode("overwrite").parquet(
+            os.path.join(SF1_DIR, f"{name}.parquet")
+        )
+
+    for name in ("region", "nation"):
+        write(load_table(spark, SRC_DIR, name), name)
+
+    offsets = {
+        "c_custkey": 100_000, "s_suppkey": 10_000, "p_partkey": 1_000_000,
+        "o_orderkey": 10_000_000, "o_custkey": 100_000,
+        "l_orderkey": 10_000_000, "l_partkey": 1_000_000, "l_suppkey": 10_000,
+        "event_id": 10_000_000, "user_id": 1_000_000,
+        "doc_id": 1_000_000, "vec_id": 1_000_000,
+    }
+
+    def replicate(name, text_suffix=False, sign_flip=False):
+        base = load_table(spark, SRC_DIR, name)
+        parts = []
+        for c in range(COPIES):
+            df = base
+            for col, off in offsets.items():
+                if col in df.columns and c > 0:
+                    df = df.withColumn(col, F.col(col) + F.lit(c * off))
+            if text_suffix and c > 0:
+                suffixed = F.array_join(
+                    F.transform(
+                        F.split(F.trim("text"), r"\s+"),
+                        lambda t: F.concat(t, F.lit(f"_r{c}")),
+                    ),
+                    " ",
+                )
+                df = df.withColumn("text", suffixed).withColumn(
+                    "n_chars", F.length("text").cast("long")
+                )
+            if sign_flip and c > 0:
+                dim = len(base.select("embedding").first()[0])
+                sv = F.lit(_signs(c, dim))
+                df = df.withColumn(
+                    "embedding",
+                    F.zip_with(
+                        "embedding", sv, lambda x, s: (x * s).cast("float")
+                    ),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        write(out, name)
+
+    for name in ("customer", "supplier", "part", "orders", "lineitem", "events"):
+        replicate(name)
+    replicate("documents", text_suffix=True)
+    replicate("embeddings", sign_flip=True)
+    with open(marker, "w") as f:
+        f.write(f"built from {SRC_DIR} x{COPIES} in {time.time() - t0:.1f}s\n")
+    print(f"# built sf1.0 in {time.time() - t0:.1f}s", file=sys.stderr)
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+    from machine_downtime_monitor_on_aws_spark.session import (
+        get_spark,
+        unpersist_all_rdds,
+    )
+
+    spark = get_spark("bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_sf1(spark)
+
+    qs = catalog.queries()
+    runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2"))
+    # committed sf0.1 medians for the linearity verdict
+    ref_medians = {}
+    try:
+        with open("bench_out.json") as f:
+            ref_medians = json.load(f).get("query_medians", {})
+    except (OSError, ValueError):
+        pass
+
+    # warmup (shared-JIT ramp, same rationale as bench.py)
+    for name in HEADLINE:
+        qs[name](spark, SF1_DIR).count()
+        spark.catalog.clearCache()
+        unpersist_all_rdds(spark)
+
+    timings, medians, total = {}, {}, 0.0
+    for name in HEADLINE:
+        obs = []
+        for _ in range(runs):
+            t0 = time.time()
+            qs[name](spark, SF1_DIR).count()
+            obs.append(time.time() - t0)
+            spark.catalog.clearCache()
+            unpersist_all_rdds(spark)
+        timings[name] = round(min(obs), 3)
+        medians[name] = round(statistics.median(obs), 3)
+        total += min(obs)
+        print(f"# {name}: best {min(obs):.2f}s median {medians[name]:.2f}s",
+              file=sys.stderr)
+
+    superlinear = {}
+    for name, med in medians.items():
+        ref = ref_medians.get(name)
+        if ref and med > LINEAR_SLACK * COPIES * ref:
+            superlinear[name] = {
+                "sf01_median": ref,
+                "sf1_median": med,
+                "ratio": round(med / ref, 1),
+            }
+
+    full = {
+        "metric": "headline_sf1_total_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "query_medians": medians,
+        "headline_median_total": round(sum(medians.values()), 3),
+        "superlinear": superlinear,
+        "linear_slack": LINEAR_SLACK,
+        "copies": COPIES,
+        "sf": 1.0,
+    }
+    with open("BENCH_SF1.json", "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    line = {
+        "metric": full["metric"], "value": full["value"], "unit": "sec",
+        "n_superlinear": len(superlinear),
+        "superlinear": sorted(superlinear), "sf": 1.0,
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

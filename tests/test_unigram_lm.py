@@ -1,0 +1,152 @@
+"""Unigram-LM tokenizer training (operators/unigram_lm.py): the
+Spark fold pinned against a pure-Python reference model (probs AND
+segmentations, exact doubles), plus the r7-verdict fertility
+comparison against BPE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_downtime_monitor_on_aws_spark.operators.unigram_lm import (
+    probs_from_counts,
+    train_unigram_lm,
+    viterbi_segment_words,
+    word_freqs,
+)
+
+
+def _ref_viterbi(w: str, vocab: dict[str, float], maxp: int = 3):
+    """Reference DP with the operator's exact tie-break order:
+    (p desc, pieces asc, final piece length desc)."""
+    st = [(1.0, 0, [])]
+    for j in range(1, len(w) + 1):
+        cands = []
+        for ln in range(1, min(maxp, j) + 1):
+            prev = st[j - ln]
+            piece = w[j - ln : j]
+            pp = vocab.get(piece)
+            p = -1.0 if pp is None else prev[0] * pp
+            cands.append((p, -(prev[1] + 1), ln, prev[1] + 1, prev[2] + [piece]))
+        best = max(cands)
+        st.append((best[0], best[3], best[4]))
+    return st[len(w)]
+
+
+def _ref_train(words: dict[str, int], iters: int, seedcap: int, prunecap: int):
+    counts: dict[str, int] = {}
+    for w, f in words.items():
+        for ln in (1, 2, 3):
+            for i in range(len(w) - ln + 1):
+                counts[w[i : i + ln]] = counts.get(w[i : i + ln], 0) + f
+    chars = sorted(p for p in counts if len(p) == 1)
+    kept = sorted((p, c) for p, c in counts.items() if len(p) == 1)
+    kept += sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda r: (-r[1], r[0]),
+    )[:seedcap]
+    vocab = probs_from_counts(kept)
+    for _ in range(iters - 1):
+        c2: dict[str, int] = {}
+        for w, f in words.items():
+            for piece in _ref_viterbi(w, vocab)[2]:
+                c2[piece] = c2.get(piece, 0) + f
+        kept = [(ch, max(c2.get(ch, 0), 1)) for ch in chars]
+        kept += sorted(
+            ((p, c) for p, c in c2.items() if len(p) > 1),
+            key=lambda r: (-r[1], r[0]),
+        )[:prunecap]
+        vocab = probs_from_counts(kept)
+    return vocab
+
+
+def test_viterbi_em_matches_python_reference(spark):
+    """Two EM iterations on a small corpus: Spark's fold must equal
+    the reference bit-for-bit - probabilities, piece counts, and
+    segmentations (same seed stats, same prune ties, same DP
+    tie-breaks)."""
+    docs = spark.createDataFrame(
+        [(1, "abab abc cab abab bba"), (2, "abc abc b ccc abba")],
+        "doc_id long, text string",
+    )
+    wf = word_freqs(docs, "text")
+    words = {r.w: r.freq for r in wf.collect()}
+    _vocab, seg = train_unigram_lm(wf, iters=2, seed_multi_cap=6, prune_multi_cap=4)
+    got = sorted(
+        (r.w, r.freq, r.best_prob, r.n_pieces, list(r.seg)) for r in seg.collect()
+    )
+    rv = _ref_train(words, 2, 6, 4)
+    want = sorted(
+        (w, f, *_ref_viterbi(w, rv)[:2], _ref_viterbi(w, rv)[2])
+        for w, f in words.items()
+    )
+    assert got == want
+
+
+def test_unigram_coverage_and_likelihood_sanity(spark):
+    """Every word segments (single-char fallback guarantees
+    coverage even for words made of rare characters), likelihoods
+    are valid probabilities, and a word that IS a frequent vocab
+    piece comes back as one piece."""
+    docs = spark.createDataFrame(
+        [(1, "zzq zzq zzq xy xy unseen")], "doc_id long, text string"
+    )
+    wf = word_freqs(docs, "text")
+    _vocab, seg = train_unigram_lm(wf, iters=2, seed_multi_cap=8, prune_multi_cap=8)
+    rows = {r.w: r for r in seg.collect()}
+    for r in rows.values():
+        assert 0.0 < r.best_prob <= 1.0
+        assert "".join(r.seg) == r.w  # segmentation covers the word
+    assert rows["zzq"].n_pieces == 1  # frequent word = one piece
+
+
+def test_fertility_vs_bpe(spark):
+    """The r7-verdict fertility comparison: on the same corpus,
+    unigram-LM's corpus fertility (freq-weighted pieces per word)
+    must beat the character baseline and be comparable to a BPE
+    tokenizer trained with a similar effective merge budget - both
+    learn multi-char units, so both must land strictly below the
+    char-level fertility; the exact values are pinned against the
+    segmentations themselves (no magic constants)."""
+    from machine_downtime_monitor_on_aws_spark.operators.bpe import (
+        bpe_segment,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox naps under the warm sun"),
+            (3, "quick brown foxes jump over lazy dogs daily"),
+        ],
+        "doc_id long, text string",
+    )
+    wf = word_freqs(docs, "text")
+    _vocab, seg = train_unigram_lm(wf, iters=2, seed_multi_cap=32, prune_multi_cap=24)
+    uni = seg.select(
+        F.sum(F.col("n_pieces") * F.col("freq")).alias("pieces"),
+        F.sum(F.length("w") * F.col("freq")).alias("chars"),
+        F.sum("freq").alias("words"),
+    ).collect()[0]
+    uni_fertility = uni.pieces / uni.words
+    char_fertility = uni.chars / uni.words
+    assert 1.0 <= uni_fertility < char_fertility
+
+    merges = bpe_train_merges(docs, "text", 8)
+    bseg = bpe_segment(docs, "text", merges)
+    b = bseg.select(
+        F.explode("bpe_symbols").alias("sym")
+    ).select(
+        # </w> is an artificial word-end symbol, not a piece the
+        # fertility comparison should count
+        F.size(
+            F.filter(F.split("sym", " "), lambda s: s != F.lit("</w>"))
+        ).alias("n")
+    ).agg(F.sum("n").alias("pieces"), F.count(F.lit(1)).alias("words")).collect()[0]
+    bpe_fertility = b.pieces / b.words
+    assert 1.0 <= bpe_fertility < char_fertility
+    # both tokenizers compress: within 2.5x of each other on this
+    # corpus (a loose sanity band - the point is same order, both
+    # below chars; exactness is covered by the oracle + reference)
+    assert uni_fertility < bpe_fertility * 2.5
+    assert bpe_fertility < uni_fertility * 2.5
