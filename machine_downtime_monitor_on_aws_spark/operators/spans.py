@@ -133,3 +133,90 @@ def duplicated_spans(
     if min_span_tokens > k:
         spans = spans.filter(F.col("span_tokens") >= min_span_tokens)
     return spans
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """The REMOVAL half of exact substring dedup (Lee et al. 2022's
+    actual corpus transform): every span keeps its earliest copy -
+    the ``doc_a`` side (ids are the tie-break; doc_a < doc_b by
+    construction) - and is cut from every later doc. Returns one row
+    per input doc: (doc_id, n_tokens, n_removed, dedup_text).
+
+    Steps, all relational:
+    1. the spans' doc_b sides become half-open token ranges
+       [start_b, start_b + span_tokens);
+    2. per doc, overlapping/adjacent ranges merge (gaps-and-islands
+       again: a range opens a new island iff it starts past the
+       running max end of everything before it);
+    3. the merged ranges ride back onto the doc as ONE array column
+       (groupBy collect_list - ranges per doc are few by
+       construction), and the doc's tokens filter through a nested
+       higher-order expression: keep token at pos iff NO range
+       covers pos. Document text shuffles exactly once (the ranges
+       join is on doc_id against a span-derived sliver).
+
+    Docs untouched by any span pass through with n_removed = 0 -
+    the output is the full deduplicated corpus, not just the edited
+    sliver."""
+    from pyspark.sql import Window
+
+    ranges = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_tokens")).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grouped = (
+        ranges.withColumn(
+            "__new_island",
+            F.when(
+                prev_max.isNull() | (F.col("s") > prev_max), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__new_island").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "__island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__rm")
+        )
+    )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    ).join(grouped, "doc_id", "left")
+    indexed = F.transform(
+        F.col("__t"),
+        lambda tok, i: F.struct(i.alias("pos"), tok.alias("tok")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda x: ~F.exists(
+            F.coalesce(
+                F.col("__rm"),
+                F.array().cast("array<struct<s:long,e:long>>"),
+            ),
+            lambda r: (x["pos"] >= r["s"]) & (x["pos"] < r["e"]),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size("__t").cast("long").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda x: x["tok"]), " ").alias(
+            "dedup_text"
+        ),
+    )

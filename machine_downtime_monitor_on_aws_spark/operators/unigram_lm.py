@@ -243,3 +243,119 @@ def train_unigram_lm(
         vocab = probs_from_counts(kept)
         seg = viterbi_segment_words(words, vocab, max_piece)
     return vocab, seg
+
+
+def vocab_digest(vocab: dict[str, float]) -> str:
+    """md5 over the sorted (piece, IEEE-754 prob) pairs - the same
+    byte-exact model identity the IVF-PQ index stamps for its
+    codebooks: segmenting with a drifted vocabulary produces
+    silently different tokenizations, which poisons every downstream
+    consumer keyed on token ids."""
+    import hashlib
+    import struct as _struct
+
+    h = hashlib.md5()
+    for piece in sorted(vocab):
+        h.update(piece.encode("utf-8"))
+        h.update(b"\x00")
+        h.update(_struct.pack("<d", vocab[piece]))
+    return h.hexdigest()
+
+
+def save_unigram_vocab(
+    spark,
+    path: str,
+    vocab: dict[str, float],
+    max_piece: int = MAX_PIECE,
+) -> None:
+    """Persist a trained vocabulary: a tiny (piece, p) parquet plus
+    params.json carrying max_piece and the vocab digest, written
+    LAST as the commit signal (the build-stamps-last discipline the
+    IVF/MinHash indexes use). Overwrite-safe: rebuilding rewrites
+    both."""
+    from .. import fsio
+
+    rows = [(p, vocab[p]) for p in sorted(vocab)]
+    spark.createDataFrame(rows, "piece string, p double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vocab")
+    import json as _json
+
+    fsio.mkdirs(spark, path)
+    fsio.write_text(
+        spark,
+        f"{path}/params.json",
+        _json.dumps(
+            {
+                "layout": "unigram_lm",
+                "max_piece": int(max_piece),
+                "vocab_size": len(vocab),
+                "vocab_md5": vocab_digest(vocab),
+            },
+            sort_keys=True,
+        ),
+    )
+
+
+def load_unigram_vocab(
+    spark, path: str, expect_digest: str | None = None
+) -> tuple[dict[str, float], dict]:
+    """(vocab, stamped params). The digest in params.json is
+    re-verified against the loaded rows - a torn or tampered store
+    fails loudly instead of tokenizing differently; pass
+    ``expect_digest`` to additionally pin the model a caller was
+    built against."""
+    import json as _json
+
+    from .. import fsio
+
+    if not fsio.exists(spark, f"{path}/params.json"):
+        raise ValueError(f"no committed unigram vocab at {path!r}")
+    params = _json.loads(fsio.read_text(spark, f"{path}/params.json"))
+    vocab = {
+        r["piece"]: float(r["p"])
+        for r in spark.read.parquet(f"{path}/vocab").collect()
+    }
+    actual = vocab_digest(vocab)
+    if params.get("vocab_md5") != actual:
+        raise ValueError(
+            f"unigram vocab at {path!r} fails its own digest "
+            f"({params.get('vocab_md5')} != {actual}): torn write or "
+            "tampered store"
+        )
+    if expect_digest is not None and actual != expect_digest:
+        raise ValueError(
+            f"unigram vocab at {path!r} is not the expected model "
+            f"({actual} != {expect_digest})"
+        )
+    return vocab, params
+
+
+def encode_docs(
+    docs: DataFrame,
+    seg: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_wlen: int = MAX_WLEN,
+) -> DataFrame:
+    """Corpus encode via the segmented WORD TABLE (the production
+    shape: the per-word DP runs once per DISTINCT word in ``seg``,
+    and each document's token stream joins against it instead of
+    re-running the fold per occurrence - Zipf makes that the
+    difference between O(distinct words) and O(corpus tokens) DP
+    evaluations). Returns per doc: (doc_id, n_words, n_pieces,
+    fertility). Words longer than ``max_wlen`` are outside the model
+    (word_freqs excludes them) and are skipped here the same way."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("w"),
+    ).filter(F.length("w") <= max_wlen)
+    joined = toks.join(seg.select("w", "n_pieces"), "w")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_pieces").alias("n_pieces"),
+        (
+            F.sum("n_pieces").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("fertility"),
+    )

@@ -2063,7 +2063,7 @@ def _ulm_viterbi_from(src: str, map_rel: str, maxw: int, maxp: int) -> str:
     return f"(SELECT *, [{blist}][length(w)] AS bf FROM {rel})"
 
 
-def _ulm_oracle(maxw: int, maxp: int, seed_cap: int, prune_cap: int) -> str:
+def _ulm_cte_prefix(maxw: int, maxp: int, seed_cap: int, prune_cap: int) -> str:
     sub_legs = " UNION ALL ".join(
         f"""SELECT freq,
        unnest(list_transform(generate_series(1, length(w) - {ln - 1}),
@@ -2103,11 +2103,35 @@ mp2 AS (SELECT map(list(piece),
         AS m FROM v2),
 seg2 AS (
   SELECT * FROM {_ulm_viterbi_from('wf', 'mp2', maxw, maxp)}
-)
+)"""
+
+
+def _ulm_oracle(maxw: int, maxp: int, seed_cap: int, prune_cap: int) -> str:
+    return (
+        _ulm_cte_prefix(maxw, maxp, seed_cap, prune_cap)
+        + """
 SELECT w AS word, freq, (bf).p AS best_prob, CAST((bf).n AS INT) AS n_pieces,
        array_to_string((bf).seg, ' ') AS seg_str
 FROM seg2
 """
+    )
+
+
+def _ulm_encode_oracle(maxw: int, maxp: int, seed_cap: int, prune_cap: int) -> str:
+    return (
+        _ulm_cte_prefix(maxw, maxp, seed_cap, prune_cap)
+        + f""",
+dt AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents
+  ) WHERE length(w) <= {maxw}
+),
+j AS (SELECT dt.doc_id, (s.bf).n AS n FROM dt JOIN seg2 s ON s.w = dt.w)
+SELECT doc_id, count(*) AS n_words, CAST(sum(n) AS BIGINT) AS n_pieces,
+       CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility
+FROM j GROUP BY doc_id
+"""
+    )
 
 
 @register(
@@ -2147,3 +2171,117 @@ def unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pieces",
         F.array_join("seg", " ").alias("seg_str"),
     )
+
+
+_SPAN_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(t) - {_SPAN_K})) AS pos,
+         unnest(list_transform(generate_series(1, len(t) - {_SPAN_K - 1}),
+                i -> md5(array_to_string(
+                       list_slice(t, i, i + {_SPAN_K - 1}), ' ')))) AS g
+  FROM toks WHERE len(t) >= {_SPAN_K}
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+r AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+         row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                            ORDER BY pos_a) AS rn
+  FROM m
+),
+spans AS (
+  SELECT doc_a, doc_b,
+         min(pos_a) AS start_a, min(pos_b) AS start_b,
+         max(pos_a) - min(pos_a) + {_SPAN_K} AS span_tokens
+  FROM r GROUP BY doc_a, doc_b, diag, pos_a - rn
+),
+rng AS (SELECT doc_b AS doc_id, start_b AS s,
+               start_b + span_tokens AS e FROM spans),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS ni
+  FROM rng
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+merged AS (SELECT doc_id, min(s) AS s, max(e) AS e
+           FROM isl2 GROUP BY doc_id, island),
+rm AS (SELECT doc_id, list({{'s': s, 'e': e}} ORDER BY s, e) AS rl
+       FROM merged GROUP BY doc_id),
+outp AS (
+  SELECT d.doc_id, len(d.t) AS n_tokens,
+         list_filter(
+           list_transform(generate_series(1, len(d.t)),
+                          i -> {{'pos': i - 1, 'tok': d.t[CAST(i AS INT)]}}),
+           x -> len(list_filter(
+                  coalesce(rm.rl, []::STRUCT(s BIGINT, e BIGINT)[]),
+                  q -> x.pos >= q.s AND x.pos < q.e)) = 0) AS kept
+  FROM toks d LEFT JOIN rm ON rm.doc_id = d.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+       -- DuckDB's array_to_string([]) is NULL, Spark's array_join([])
+       -- is '' - a fully-removed doc must render '' in both
+       coalesce(array_to_string(list_transform(kept, x -> x.tok), ' '), '')
+         AS dedup_text
+FROM outp
+"""
+
+
+@register("span_deduped_docs", oracle=_SPAN_DEDUP_SQL)
+def span_deduped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact substring dedup
+    (operators/spans.remove_duplicated_spans - completes r7 verdict
+    next-round #3 with the actual Lee et al. corpus transform):
+    every duplicated span keeps its earliest copy and is cut from
+    every later document - per-doc overlapping ranges merge
+    (gaps-and-islands over the running max end), the merged ranges
+    ride back as one array column, and tokens filter through a
+    nested higher-order predicate. Output is the full deduplicated
+    corpus with per-doc removal accounting, hash-exact against the
+    oracle including the rebuilt text."""
+    from ..operators.spans import duplicated_spans, remove_duplicated_spans
+
+    d = _docs(spark, sf_dir)
+    spans = duplicated_spans(d, "doc_id", "text", _SPAN_K)
+    return remove_duplicated_spans(d, spans, "doc_id", "text", _SPAN_K)
+
+
+@register(
+    "unigram_doc_encoding",
+    oracle=_ulm_encode_oracle(_ULM_MAXW, _ULM_MAXP, _ULM_SEED_CAP, _ULM_PRUNE_CAP),
+)
+def unigram_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODE with the trained unigram LM
+    (operators/unigram_lm.encode_docs): per document the word count,
+    total subword pieces, and fertility (pieces/word) - the encode
+    step a data pipeline runs over every document after training the
+    tokenizer once. The production shape matters: the Viterbi DP
+    runs ONCE per distinct word (the segmented word table), and each
+    document's token stream joins against it - Zipf makes that
+    O(distinct words) DP evaluations instead of O(corpus tokens).
+    Shares the training CTE chain with unigram_lm_segments'
+    oracle (same 2-iteration model), hash-exact including the
+    fertility doubles."""
+    from ..operators.unigram_lm import encode_docs, train_unigram_lm, word_freqs
+
+    d = _docs(spark, sf_dir)
+    wf = word_freqs(d, "text", _ULM_MAXW)
+    _vocab, seg = train_unigram_lm(
+        wf, iters=2,
+        seed_multi_cap=_ULM_SEED_CAP, prune_multi_cap=_ULM_PRUNE_CAP,
+        max_piece=_ULM_MAXP,
+    )
+    return encode_docs(d, seg, "doc_id", "text", _ULM_MAXW)

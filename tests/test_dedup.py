@@ -877,3 +877,37 @@ def test_duplicated_spans_multiple_alignments_and_cap(spark):
     assert sorted(
         (r.start_a, r.start_b, r.span_tokens) for r in permissive.collect()
     ) == got
+
+
+def test_remove_duplicated_spans_policy(spark):
+    """Earliest copy wins: the shared block survives in the lowest
+    doc_id and is cut from every later one (chains included); a doc
+    that IS entirely a copy collapses to the empty string;
+    overlapping removal ranges merge before cutting; untouched docs
+    pass through byte-identical with n_removed = 0."""
+    from machine_downtime_monitor_on_aws_spark.operators.spans import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    block = " ".join(f"blk{i}" for i in range(12))
+    docs = _corpus(
+        spark,
+        [
+            (1, "intro words here then " + block + " tail one"),
+            (2, "other lead " + block + " different tail"),   # later copy
+            (3, block),                                        # doc IS the block
+            (4, "totally unrelated and untouched content right here ok"),
+        ],
+    )
+    spans = duplicated_spans(docs, "doc_id", "body", k=8)
+    out = {
+        r.doc_id: r
+        for r in remove_duplicated_spans(docs, spans, "doc_id", "body", 8).collect()
+    }
+    assert out[1].n_removed == 0 and "blk0" in out[1].dedup_text
+    assert out[2].n_removed == 12 and "blk" not in out[2].dedup_text
+    assert out[2].dedup_text == "other lead different tail"
+    assert out[3].n_removed == 12 and out[3].dedup_text == ""
+    assert out[4].n_removed == 0
+    assert out[4].dedup_text == "totally unrelated and untouched content right here ok"

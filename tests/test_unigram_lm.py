@@ -150,3 +150,40 @@ def test_fertility_vs_bpe(spark):
     # below chars; exactness is covered by the oracle + reference)
     assert uni_fertility < bpe_fertility * 2.5
     assert bpe_fertility < uni_fertility * 2.5
+
+
+def test_vocab_persistence_roundtrip_and_guards(spark, tmp_path):
+    """save -> load round-trips the exact model (bit-equal probs,
+    identical segmentations); the self-digest catches a tampered
+    store; expect_digest pins a caller to the model it was built
+    against."""
+    from machine_downtime_monitor_on_aws_spark.operators.unigram_lm import (
+        load_unigram_vocab,
+        save_unigram_vocab,
+        viterbi_segment_words,
+        vocab_digest,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abc cab abab"), (2, "abc abc b")], "doc_id long, text string"
+    )
+    wf = word_freqs(docs, "text")
+    vocab, seg = train_unigram_lm(wf, iters=2, seed_multi_cap=6, prune_multi_cap=4)
+    path = str(tmp_path / "ulm")
+    save_unigram_vocab(spark, path, vocab)
+    loaded, params = load_unigram_vocab(spark, path)
+    assert loaded == vocab  # bit-equal doubles
+    assert params["vocab_size"] == len(vocab)
+    reseg = viterbi_segment_words(wf, loaded)
+    assert sorted(map(tuple, reseg.collect())) == sorted(map(tuple, seg.collect()))
+    # caller pin
+    load_unigram_vocab(spark, path, expect_digest=vocab_digest(vocab))
+    with pytest.raises(ValueError, match="not the expected model"):
+        load_unigram_vocab(spark, path, expect_digest="0" * 32)
+    # tamper: rewrite one prob; the stamp no longer matches the rows
+    rows = [(p, (v * 2 if i == 0 else v)) for i, (p, v) in enumerate(sorted(vocab.items()))]
+    spark.createDataFrame(rows, "piece string, p double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/vocab")
+    with pytest.raises(ValueError, match="digest"):
+        load_unigram_vocab(spark, path)
