@@ -1100,7 +1100,7 @@ def _minhash_index_rows(band_arrays: DataFrame) -> DataFrame:
 # and SILENTLY finds no cross-history duplicates (r4 advice) - so the
 # params are stamped on the table at write time and validated before
 # every probe/append.
-_IDX_PROPS = ("num_perms", "num_bands", "shingle_n")
+_IDX_PROPS = ("num_perms", "num_bands", "shingle_n", "kgram_k")
 
 
 def _stamp_index_params(spark, table_name: str, **params: int | None) -> None:

@@ -118,17 +118,22 @@ def pq_encode_join(
     codebook never hits the JIT-bytecode cliff the literal encoder
     would (r6 verdict What's-wrong #1). Each vector explodes into its
     m subvectors, the broadcast join fans each out to K candidates
-    (all map-side), the per-(doc, subspace) argmin rides one window,
-    and codes reassemble with a grouped sort_array. Two exchanges on
-    (doc) - independent of K and dim.
+    (all map-side), the per-(doc, subspace) argmin runs as a hash
+    aggregate ``min(struct(d, code))`` whose partial_min collapses
+    the N*m*K candidate rows to N*m MAP-SIDE before any exchange
+    (the ivf._nearest top==1 discipline; the previous window shape
+    shuffled all N*m*K scored rows - 256x more exchange than needed
+    at K=256), and codes reassemble with a grouped sort_array.
+    Struct-min is exactly the window's argmin - lexicographic
+    (distance asc, code asc) - and sq_l2 distances are never NaN for
+    finite inputs, so the two shapes cannot diverge. Exchanges carry
+    N*m then N rows - independent of K and dim.
 
     Bit-identical to :func:`pq_encode_reconstruct`'s codes (same
     left-fold distances, same smallest-code tie-break) - unit-pinned,
     so the two encoders interchange freely; this one returns
     ``(df.columns..., pq_code)`` without the reconstruction column
     (large-K scoring uses the LUT path, which needs only codes)."""
-    from .topk import top_k_per_group
-
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     if not centroids:
@@ -158,8 +163,10 @@ def pq_encode_join(
     scored = sub_rows.join(F.broadcast(book), "__j").withColumn(
         "__d", sq_l2(F.col("__sv"), F.col("__bv"))
     )
-    best = top_k_per_group(
-        scored, ["__sid", "__j"], [F.col("__d").asc(), F.col("__code").asc()], 1
+    best = (
+        scored.groupBy("__sid", "__j")
+        .agg(F.min(F.struct(F.col("__d"), F.col("__code"))).alias("__m"))
+        .select("__sid", "__j", F.col("__m.__code").alias("__code"))
     )
     codes = best.groupBy("__sid").agg(
         F.transform(

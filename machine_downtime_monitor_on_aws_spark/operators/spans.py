@@ -116,6 +116,15 @@ def duplicated_spans(
         "g",
     )
     m = a.join(b, "g").filter(F.col("doc_a") < F.col("doc_b"))
+    return _stitch_spans(m, k, min_span_tokens)
+
+
+def _stitch_spans(m: DataFrame, k: int, min_span_tokens: int) -> DataFrame:
+    """Diagonal gaps-and-islands stitching of matched window pairs
+    (doc_a, doc_b, pos_a, pos_b) into maximal spans - shared by the
+    batch self-join and the incremental index probe (identical
+    stitching guarantees the incremental result can be pinned
+    set-equal to a full rerun)."""
     diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
     run = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
     r = m.select("doc_a", "doc_b", "pos_a", "pos_b", diag).withColumn(
@@ -220,3 +229,123 @@ def remove_duplicated_spans(
             "dedup_text"
         ),
     )
+
+
+def write_kgram_index(
+    docs: DataFrame,
+    table_name: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> None:
+    """Persist a corpus's k-gram windows as a table bucketed on the
+    digest - the layout that makes INCREMENTAL substring dedup (each
+    new batch vs the whole historical corpus) shuffle-free on the
+    history side, the exact discipline write_minhash_index
+    established for band rows. The window size ``k`` is stamped as a
+    table property and validated on every probe/append: windows
+    hashed with a drifted k are incomparable digests and would
+    SILENTLY find zero cross-history spans."""
+    from ..operators.dedup import _stamp_index_params
+    from ..sources.lake import write_bucketed_table
+
+    w = kgram_windows(docs, id_col, text_col, k)
+    write_bucketed_table(w, table_name, "g", num_buckets)
+    _stamp_index_params(docs.sparkSession, table_name, kgram_k=k)
+
+
+def append_to_kgram_index(
+    docs: DataFrame,
+    table_name: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> None:
+    """Grow the window index with a processed batch - O(batch),
+    bucket layout validated by Spark, k validated against the
+    stamp."""
+    from ..operators.dedup import _check_index_params
+    from ..sources.lake import write_bucketed_table
+
+    spark = docs.sparkSession
+    _check_index_params(spark, table_name, kgram_k=k)
+    w = kgram_windows(docs, id_col, text_col, k)
+    write_bucketed_table(w, table_name, "g", num_buckets, mode="append")
+    spark.catalog.refreshTable(table_name)
+
+
+def incremental_duplicated_spans(
+    spark,
+    new_docs: DataFrame,
+    table_name: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int | None = None,
+) -> DataFrame:
+    """Duplicated spans for a NEW batch of documents against (a) the
+    persisted historical window index and (b) itself - exactly the
+    spans :func:`duplicated_spans` would produce on
+    (history ∪ batch) restricted to pairs touching the batch
+    (test-pinned set-equal), at O(batch + touched buckets) instead
+    of O(corpus²) per ingest batch.
+
+    Scale shape mirrors incremental_candidate_pairs: the history
+    side is bucketed on the digest, so the probe join shuffles ONLY
+    the batch's window rows; history never moves. Docs present in
+    BOTH the index and the batch (append-then-crash replay,
+    overlapping batches) are handled: the history side anti-joins
+    the batch's ids (broadcast - batch-sized), so a duplicate doc
+    can never pair from both legs or in both orientations. The
+    stitching is the shared :func:`_stitch_spans`, so maximality
+    semantics are identical to the batch path."""
+    from ..operators.dedup import _check_index_params
+
+    if min_span_tokens is None:
+        min_span_tokens = k
+    _check_index_params(spark, table_name, kgram_k=k)
+    spark.catalog.refreshTable(table_name)
+    bw = kgram_windows(new_docs, id_col, text_col, k)
+    batch_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    hist = spark.table(table_name).join(
+        F.broadcast(batch_ids), "doc_id", "left_anti"
+    )
+    # cross leg: orientation by id so doc_a < doc_b holds regardless
+    # of which side is historical
+    cross = (
+        bw.select(
+            F.col("doc_id").alias("__bid"), F.col("pos").alias("__bpos"), "g"
+        )
+        .join(
+            hist.select(
+                F.col("doc_id").alias("__hid"),
+                F.col("pos").alias("__hpos"),
+                "g",
+            ),
+            "g",
+        )
+        .select(
+            F.least("__bid", "__hid").alias("doc_a"),
+            F.greatest("__bid", "__hid").alias("doc_b"),
+            F.when(F.col("__bid") < F.col("__hid"), F.col("__bpos"))
+            .otherwise(F.col("__hpos"))
+            .alias("pos_a"),
+            F.when(F.col("__bid") < F.col("__hid"), F.col("__hpos"))
+            .otherwise(F.col("__bpos"))
+            .alias("pos_b"),
+        )
+    )
+    # batch-internal leg: in-memory self-join, same shape as the
+    # batch path
+    ba = bw.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "g"
+    )
+    bb = bw.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "g"
+    )
+    internal = ba.join(bb, "g").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "pos_a", "pos_b"
+    )
+    return _stitch_spans(cross.unionByName(internal), k, min_span_tokens)

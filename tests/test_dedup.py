@@ -911,3 +911,91 @@ def test_remove_duplicated_spans_policy(spark):
     assert out[3].n_removed == 12 and out[3].dedup_text == ""
     assert out[4].n_removed == 0
     assert out[4].dedup_text == "totally unrelated and untouched content right here ok"
+
+
+def test_incremental_duplicated_spans_matches_full_rerun(spark):
+    """Incremental span detection (new batch vs persisted k-gram
+    window index + itself) must produce exactly the spans a full
+    duplicated_spans rerun over (history ∪ batch) yields, restricted
+    to pairs touching the batch; the k-drift guard fails loudly; the
+    history side of the probe consumes the bucketed layout with no
+    exchange of its own."""
+    import re
+
+    import pytest as _pytest
+
+    from machine_downtime_monitor_on_aws_spark.operators.spans import (
+        append_to_kgram_index,
+        duplicated_spans,
+        incremental_duplicated_spans,
+        write_kgram_index,
+    )
+
+    block = " ".join(f"sh{i}" for i in range(15))
+    hist = _corpus(
+        spark,
+        [(i, f"history doc {i} " + " ".join(f"w{i}x{j}" for j in range(10)))
+         for i in range(10)]
+        + [(50, "lead in " + block + " trailing words here")],
+    )
+    batch = _corpus(
+        spark,
+        [(100, "fresh start " + block + " new ending"),      # vs history 50
+         (101, "one two " + block),                            # vs 50 AND 100
+         (110, "totally novel content with nothing shared at all here ok")],
+    )
+    table = "kgram_idx_test"
+    try:
+        write_kgram_index(hist, table, k=8, text_col="body", num_buckets=8)
+        inc = incremental_duplicated_spans(
+            spark, batch, table, 8, text_col="body"
+        )
+        got = {tuple(r) for r in inc.collect()}
+
+        full = duplicated_spans(
+            hist.unionByName(batch), "doc_id", "body", 8
+        )
+        batch_ids = {100, 101, 110}
+        want = {
+            tuple(r)
+            for r in full.collect()
+            if r.doc_a in batch_ids or r.doc_b in batch_ids
+        }
+        assert got == want and want
+        # both orientations occurred: history id < batch id (50 vs
+        # 100) and batch-internal (100 vs 101)
+        pairs = {(a, b) for a, b, *_ in got}
+        assert (50, 100) in pairs and (100, 101) in pairs
+
+        # k drift fails loudly
+        with _pytest.raises(ValueError, match="kgram_k"):
+            incremental_duplicated_spans(spark, batch, table, 9, text_col="body")
+
+        # append then probe: the appended docs are now history
+        append_to_kgram_index(batch, table, 8, text_col="body", num_buckets=8)
+        probe = _corpus(spark, [(200, "xx " + block + " yy")])
+        rows = incremental_duplicated_spans(
+            spark, probe, table, 8, text_col="body"
+        ).collect()
+        assert {r.doc_b for r in rows} == {200}
+        assert {r.doc_a for r in rows} == {50, 100, 101}
+
+        # history never moves: with broadcast off, the probe must
+        # consume the bucketed layout (history scan takes no Exchange)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                incremental_duplicated_spans(
+                    spark, probe, table, 8, text_col="body"
+                ).explain("formatted")
+            plan = buf.getvalue()
+            assert "Bucketed: true" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -498,3 +498,22 @@ def test_pareto_window_input_is_aggregated(spark):
     agg_ids = [m.start() for m in re.finditer(r"\(\d+\) HashAggregate", plan)]
     assert any(i > win for i in agg_ids) or "HashAggregate" in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pq_encode_join_partial_aggregates_before_exchange(spark):
+    """r8 encode contract: the large-K encoder's per-(doc, subspace)
+    argmin must be a hash aggregate with a MAP-SIDE partial_min (the
+    exchange carries N*m rows, never the N*m*K broadcast fan-out)
+    and no window anywhere in the encode plan."""
+    from machine_downtime_monitor_on_aws_spark.operators.pq import pq_encode_join
+
+    dim, m, kk = 8, 2, 64
+    books = [[float((k * 3 + j) % 7) for j in range(dim)] for k in range(kk)]
+    df = spark.createDataFrame(
+        [(i, [float((i + j) % 5) for j in range(dim)]) for i in range(30)],
+        "vec_id long, vec array<double>",
+    )
+    plan = _formatted_plan(pq_encode_join(df, books, dim, m))
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
