@@ -179,6 +179,82 @@ def pq_encode_join(
     ).drop("__sid")
 
 
+def pq_encode_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`pq_encode_join` - bit-identical
+    codes (unit-pinned), one mapInPandas pass, ZERO shuffles.
+
+    Why it exists: the relational encoder's per-(doc, subspace)
+    argmin is ``min(struct(d, code))``, and a struct-typed aggregation
+    buffer is outside HashAggregate's mutable-primitive support, so
+    Spark plans a SortAggregate - every one of the N*m*K scored
+    candidate rows is SORTED map-side before the partial min
+    (measured: the sort dominates the whole LUT query at K=256,
+    ~9 s of a 10 s run at sf0.1). This path never materializes the
+    candidate fan-out at all: the codebook rides the task closure
+    ((m, K, sub) float64, ~128 KB at K=256/dim=64 - LUT-closure
+    scale), each Arrow batch computes all m argmins in numpy, and the
+    plan stays O(1) in K with no exchange anywhere.
+
+    Bit-identity contract with the join encoder (and so with the
+    pq_lut_knn_top5 DuckDB oracle): distances accumulate as an
+    EXPLICIT left fold over the sub dims (numpy ``.sum`` switches to
+    pairwise association past 8 elements; ``0.0 + e0`` == ``e0``
+    exactly for the non-negative squares, so starting the fold at
+    ``diff2[..., 0]`` matches sq_l2's 0.0-seeded fold bit-for-bit),
+    and ``argmin`` returns the FIRST minimal index - exactly the
+    (distance asc, code asc) lexicographic tie-break of
+    ``min(struct(d, code))``.
+
+    Returns ``(df.columns..., pq_code)`` like the join encoder."""
+    import numpy as np
+    import pandas as pd
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if not centroids:
+        raise ValueError("empty codebook")
+    sub = dim // m
+    kk = len(centroids)
+    book = np.asarray(centroids, dtype=np.float64)
+    if book.shape != (kk, dim):
+        raise ValueError(f"codebook shape {book.shape} != ({kk}, {dim})")
+    bs = book.reshape(kk, m, sub).transpose(1, 0, 2)  # (m, K, sub)
+    out_fields = df.schema.fields
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
+            vs = vm.reshape(len(pdf), m, sub)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            # one subspace at a time: peak extra memory is n*K*sub
+            # doubles, never the n*m*K*sub full fan-out
+            for j in range(m):
+                diff2 = (vs[:, j, None, :] - bs[j][None, :, :]) ** 2
+                d = diff2[..., 0].copy()
+                for t in range(1, sub):
+                    d += diff2[..., t]
+                codes[:, j] = d.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf["pq_code"] = list(codes)
+            yield pdf
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(out_fields) + [StructField("pq_code", ArrayType(IntegerType()))]
+    )
+    return df.mapInPandas(enc, schema)
+
+
 def pq_topk_lut(
     queries: DataFrame,
     codes: DataFrame,
@@ -296,15 +372,15 @@ def adc_topk(
     """Size-dispatched ADC top-k over RAW vectors: encodes then
     scores, picking the literal expression path (oracle-exact, plan
     embeds the codebook) below ``max_literal_doubles`` embedded
-    doubles and the join-encode + LUT-score path (plan size O(1) in
-    K) above it. One call site, both scales."""
+    doubles and the Arrow-encode + LUT-score path (plan size O(1) in
+    K, zero encode shuffles) above it. One call site, both scales."""
     if len(centroids) * dim < max_literal_doubles:
         enc = pq_encode_reconstruct(df, centroids, dim, m, vec_col=vec_col)
         q = queries.select(
             F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
         )
         return pq_topk(q, enc, k, id_col=id_col)
-    codes = pq_encode_join(df, centroids, dim, m, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode_arrow(df, centroids, dim, m, id_col=id_col, vec_col=vec_col)
     return pq_topk_lut(
         queries, codes, centroids, dim, m, k,
         query_id_col=query_id_col, query_vec_col=query_vec_col, id_col=id_col,

@@ -178,10 +178,25 @@ def viterbi_segment_words(
 ) -> DataFrame:
     """E-step over the word table: (w, freq, best_prob, n_pieces,
     seg). Pure scan-side expression work - the word table never
-    shuffles."""
+    shuffles.
+
+    The DP expression is deliberately wrapped in an always-true
+    guard on ``freq`` (a count, so ``freq >= 0`` holds by
+    construction). Without it the fold is a pure function of the
+    GROUPING key ``w`` alone, and when a consumer explodes ``seg``,
+    InferFiltersFromGenerate adds ``size(seg) > 0`` which
+    PushDownPredicates then pushes THROUGH the word groupBy into the
+    per-token-occurrence scan - the Viterbi DP re-runs once per
+    corpus token instead of once per distinct word (measured 33 s vs
+    0.4 s at sf0.1: a ~1000x Zipf factor). Referencing the aggregate
+    output ``freq`` pins every derived predicate above the
+    aggregation, where the word table is already distinct."""
     pieces = sorted(vocab)
     probs = [vocab[p] for p in pieces]
-    bf = viterbi_state(F.col("w"), pieces, probs, max_piece)
+    bf = F.when(
+        F.col("freq") >= F.lit(0),
+        viterbi_state(F.col("w"), pieces, probs, max_piece),
+    )
     return words.select(
         "w",
         "freq",

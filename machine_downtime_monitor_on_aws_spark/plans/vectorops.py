@@ -789,9 +789,12 @@ def pq_lut_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LARGE-K production PQ path, driver-verified (r7 verdict
     next-round #1): K={k} standard-size codebooks would embed
     K*dim = {kd} doubles as plan literals on the demo path - far past
-    the JIT-bytecode cliff - so encoding runs pq_encode_join (the
-    codebook is a BROADCAST DataFrame of m*K sub-centroid rows; plan
-    size O(1) in K) and scoring runs pq_topk_lut (per query an m x K
+    the JIT-bytecode cliff - so encoding runs pq_encode_arrow (the
+    codebook rides the task closure; one mapInPandas pass, zero
+    shuffles, plan size O(1) in K, bit-identical to the relational
+    pq_encode_join whose struct-min argmin plans a SortAggregate
+    over the N*m*K candidate fan-out - the Arrow twin skips that
+    sort entirely) and scoring runs pq_topk_lut (per query an m x K
     lookup table computed once in numpy and shipped in the
     mapInPandas closure; scoring a stored code is m table lookups +
     a left-fold sum - O(m) per candidate, no codebook anywhere in
@@ -799,14 +802,14 @@ def pq_lut_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     association, so the DuckDB oracle mirrors it term-for-term:
     per-subspace list_sum partials, ordered list(d ORDER BY j),
     list_sum over the m partials - hash-exact at K={k}."""
-    from ..operators.pq import pq_encode_join, pq_topk_lut
+    from ..operators.pq import pq_encode_arrow, pq_topk_lut
 
     e = _emb(spark, sf_dir).select("vec_id", "vec")
     cents = [
         list(r.vec)
         for r in e.filter(F.col("vec_id") < _LUT_K).orderBy("vec_id").collect()
     ]
-    codes = pq_encode_join(e, cents, _DIM, _LUT_M)
+    codes = pq_encode_arrow(e, cents, _DIM, _LUT_M)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
     )

@@ -530,6 +530,47 @@ def test_pq_encode_join_matches_literal_encoder(spark):
     assert lit == join
 
 
+def test_pq_encode_arrow_matches_join_encoder(spark):
+    """The Arrow-vectorized encoder (the zero-shuffle production
+    path: the relational argmin's min(struct) buffer forces a
+    SortAggregate over the N*m*K candidate fan-out, which the numpy
+    twin skips entirely) must produce codes BIT-identical to
+    pq_encode_join - same left-fold distance association, same
+    (distance asc, code asc) tie-break. The fixture includes an
+    exact-duplicate centroid so the tie-break is actually exercised:
+    numpy argmin keeps the FIRST minimal index, which is the
+    smallest code."""
+    import random
+
+    from machine_downtime_monitor_on_aws_spark.operators.pq import (
+        pq_encode_arrow,
+        pq_encode_join,
+    )
+
+    rng = random.Random(41)
+    dim, m, k = 8, 4, 6
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(80)]
+    books = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(k)]
+    books.append(list(books[2]))  # duplicate: every word ties 2 vs 6
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    join = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode_join(df, books, dim, m).collect()
+    }
+    arrow = {
+        r.vec_id: list(r.pq_code)
+        for r in pq_encode_arrow(df, books, dim, m).collect()
+    }
+    assert join == arrow
+    # the duplicate centroid (code 6) must never be picked: code 2
+    # wins every tie in both encoders
+    assert all(6 not in c for c in arrow.values())
+    # the Arrow encode plan has no exchange at all
+    plan = pq_encode_arrow(df, books, dim, m)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_lut_adc_matches_literal_path(spark):
     """r6 verdict next-round #3: the LUT scorer must return the same
     ranked neighbors as the literal ADC path on a shared fixture
