@@ -50,6 +50,31 @@ def _stamp_index_params(spark: SparkSession, path: str, params: dict) -> None:
     fsio.write_text(spark, f"{path}/params.json", json.dumps(params, sort_keys=True))
 
 
+def load_ivfpq_codebooks(spark: SparkSession, path: str) -> list[list[float]]:
+    """The PQ codebook an IVF-PQ index at ``path`` was built with,
+    read back from the store and RE-VERIFIED against the digest the
+    build stamped into params.json - a torn or tampered codebook
+    store fails loudly instead of decoding every stored code into
+    the wrong reconstruction (the unigram-vocab self-digest
+    discipline). Lets consumers re-open a persisted index with no
+    out-of-band codebook at all."""
+    from .. import fsio
+
+    if not fsio.exists(spark, f"{path}/params.json"):
+        raise ValueError(f"no committed ivfpq index at {path!r}")
+    params = read_ivf_index_params(spark, path)
+    rows = spark.read.parquet(f"{path}/codebooks").collect()
+    books = [list(r.cv) for r in sorted(rows, key=lambda r: r.code)]
+    actual = codebook_digest(books)
+    if params.get("codebook_md5") != actual:
+        raise ValueError(
+            f"ivfpq codebooks at {path!r} fail the stamped digest "
+            f"({params.get('codebook_md5')} != {actual}): torn write "
+            "or tampered store"
+        )
+    return books
+
+
 def read_ivf_index_params(spark: SparkSession, path: str) -> dict:
     """Params the index at ``path`` was built with ({} for a
     pre-metadata index - the guard is advisory-strict, never lossy,
@@ -321,6 +346,14 @@ def build_ivfpq_index(
     encoded.select("vec_id", "pq_code", "list_id").write.mode(
         "overwrite"
     ).partitionBy("list_id").parquet(f"{path}/corpus")
+    # the index carries its own codebook: consumers (re-open, serve,
+    # append) load it from the store instead of threading it
+    # out-of-band, and the params stamp (written LAST, the commit
+    # marker) pins it by digest so a torn write fails loudly
+    df.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(pq_centroids)],
+        "code int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
     _stamp_index_params(
         df.sparkSession,
         path,

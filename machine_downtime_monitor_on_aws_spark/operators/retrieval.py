@@ -153,3 +153,109 @@ def rrf_fuse(
         F.coalesce("__ida", "__idb").alias(id_col),
         (part(F.col("__ra")) + part(F.col("__rb"))).alias("rrf_score"),
     )
+
+
+def tfidf_rank(
+    df: DataFrame,
+    terms: list[str],
+    top_n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top_n`` documents by tf-idf COSINE similarity to the
+    term query - the classic vector-space retrieval leg beside
+    :func:`bm25_rank` (tf-idf remains the standard cheap baseline
+    and the weighting inside most sparse-retrieval indexes).
+
+    Weighting is deliberately log-free (the BM25 rational-idf
+    discipline): ``idf = (N + 1) / (df + 1)`` as one double
+    division, ``w = tf * idf``. The cosine needs the FULL document
+    norm - every term of every document, not just query terms - so
+    unlike BM25 this operator aggregates the whole postings table:
+    one corpus-token-sized map-side-combining exchange for
+    (doc, term, tf), a term-keyed join against the document
+    frequencies (an aggregate of the same postings - co-partitioned,
+    no second scan), and a per-doc quantized (1e-9 BIGINT) sum of
+    squared weights whose ``sqrt`` is IEEE-correctly-rounded on
+    every engine. The query-side dot product then reuses only the
+    docs x |terms| posting rows, and the query norm is a 1-row
+    broadcast. Global cut = TakeOrdered heap + window over top_n
+    rows, the bm25_rank shape.
+
+    Returns (doc_id, score, rnk), score desc / doc_id asc; docs
+    sharing no term with the query never enter the ranking."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    spark = df.sparkSession
+    post_all = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = df.select(F.count(F.lit(1)).alias("__n"))
+    dfreq = post_all.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = (F.col("__n") + F.lit(1)).cast("double") / (
+        F.col("__df") + F.lit(1)
+    ).cast("double")
+    weighted = (
+        post_all.join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__w", F.col("tf").cast("double") * idf)
+        .withColumn("__idf", idf)
+    )
+    quant = lambda c: F.floor(c * F.lit(_QUANT) + F.lit(0.5)).cast("long")
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(quant(F.col("__w") * F.col("__w"))).cast("double")
+            / F.lit(_QUANT)
+        ).alias("__dnorm")
+    )
+    dots = (
+        weighted.filter(F.col("term").isin(list(terms)))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(quant(F.col("__w") * F.col("__idf"))).cast("double")
+                / F.lit(_QUANT)
+            ).alias("__dot")
+        )
+    )
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    qnorm = (
+        tdf.join(dfreq, "term", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            (
+                (F.col("__n") + F.lit(1)).cast("double")
+                / (F.coalesce(F.col("__df"), F.lit(0)) + F.lit(1)).cast("double")
+            ).alias("__qidf")
+        )
+        .agg(
+            F.sqrt(
+                F.sum(quant(F.col("__qidf") * F.col("__qidf"))).cast("double")
+                / F.lit(_QUANT)
+            ).alias("__qnorm")
+        )
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            (
+                F.col("__dot") / (F.col("__dnorm") * F.col("__qnorm"))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    cut = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(
+        top_n
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return cut.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "score", F.col("rnk").cast("int").alias("rnk")
+    )

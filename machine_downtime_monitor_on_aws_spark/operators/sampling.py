@@ -304,3 +304,203 @@ def cdc_chunks(
             )
         ).alias("chunk_md5"),
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how target-like its token distribution
+    is - the importance-resampling signal for selecting pretraining
+    data that matches a target domain. Two add-one-smoothed unigram
+    models train over the split ``is_target`` defines (shared
+    smoothing vocabulary); each document's weight is the product of
+    per-token likelihood RATIOS p_target(tok)/p_raw(tok), folded
+    left-to-right over token positions with the two-sided
+    mantissa/exponent accumulator (operators/nbayes.
+    signed_product_fold) so neither log() nor overflow/underflow
+    ever enters - the whole computation is correctly-rounded IEEE
+    arithmetic a DuckDB list_reduce replays bit-for-bit.
+
+    Returns (doc_id, is_target, weight_m, weight_e): true weight =
+    ``weight_m * 1e150**weight_e``; rank by (weight_e desc,
+    weight_m desc). Resampling composes downstream (weighted_sample
+    / top-k by weight); this operator deliberately emits weights
+    only - no global sort.
+
+    Scale shape: two count aggregations (map-side combining) train
+    both models; scoring joins each token row against the two count
+    tables on the token key and regroups per doc - token-sized
+    skinny rows, no fan-out (unlike NB's L-label broadcast, the
+    "label" here is a 2-model ratio folded into one factor)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+    from .nbayes import signed_product_fold
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.alias("is_target"),
+        F.col(text_col).alias("__text"),
+    )
+    tok_rows = base.select(
+        "doc_id",
+        "is_target",
+        F.posexplode(tokens(F.col("__text"))).alias("pos", "tok"),
+    )
+    ct = (
+        tok_rows.filter(F.col("is_target"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    cs = (
+        tok_rows.filter(~F.col("is_target"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    tot = tok_rows.agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("tt"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("ts"),
+        F.countDistinct("tok").alias("v"),
+    ).collect()[0]
+    tt, ts, v = int(tot.tt or 0), int(tot.ts or 0), int(tot.v or 0)
+    p_t = (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double") / F.lit(
+        tt + v
+    ).cast("double")
+    p_s = (F.coalesce(F.col("cs"), F.lit(0)) + F.lit(1)).cast("double") / F.lit(
+        ts + v
+    ).cast("double")
+    arrs = (
+        tok_rows.join(ct, "tok", "left")
+        .join(cs, "tok", "left")
+        .withColumn("r", p_t / p_s)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "r"))),
+                lambda s: s["r"],
+            ).alias("rs")
+        )
+    )
+    folded = base.join(arrs, "doc_id", "left").select(
+        "doc_id",
+        "is_target",
+        signed_product_fold(
+            F.coalesce(F.col("rs"), F.array().cast("array<double>")),
+            F.lit(1.0),
+        ).alias("s"),
+    )
+    return folded.select(
+        "doc_id",
+        "is_target",
+        F.col("s")["m"].alias("weight_m"),
+        F.col("s")["e"].cast("int").alias("weight_e"),
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    budget_frac: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture sampling at alpha = 0.5 (the
+    classic multilingual/multi-source rebalancing: sample source i
+    proportionally to n_i**alpha instead of n_i, lifting small
+    sources): target share s_i = sqrt(n_i) / sum_j sqrt(n_j), a
+    total budget of ``budget_frac`` * N docs, per-source keep rate
+    r_i = s_i * M / n_i (clamped to 1), applied as the
+    deterministic hash-threshold filter.
+
+    alpha = 0.5 is deliberately the ONE temperature that stays
+    engine-exact: n**0.5 is ``sqrt``, correctly rounded per
+    IEEE-754 everywhere, where a general ``pow`` is a libm call
+    with no cross-engine ulp guarantee. The sqrt shares are summed
+    via the 1e-9-quantized BIGINT scheme so the normalizer is
+    partition-order independent. Scale shape: one tiny per-source
+    aggregate broadcast back onto the scan filter - zero extra
+    shuffles over the corpus."""
+    from pyspark.sql import functions as F
+
+    if not 0 < budget_frac <= 1:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+    sizes = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    sq = F.floor(
+        F.sqrt(F.col("__n").cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    sized = sizes.withColumn("__sq", sq)
+    tot = sized.agg(
+        F.sum("__sq").alias("__tot"), F.sum("__n").alias("__nall")
+    )
+    rated = sized.crossJoin(F.broadcast(tot)).select(
+        "__g",
+        F.least(
+            F.lit(10_000),
+            F.floor(
+                (
+                    F.col("__sq").cast("double") / F.col("__tot").cast("double")
+                )
+                * (F.col("__nall").cast("double") * F.lit(float(budget_frac)))
+                / F.col("__n").cast("double")
+                * F.lit(10_000.0)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("__thr"),
+    )
+    return (
+        df.join(
+            F.broadcast(rated), df[group_col] == rated["__g"]
+        )
+        .filter(sample_hash(F.col(id_col), salt) < F.col("__thr"))
+        .select(*df.columns, F.col("__thr").cast("int").alias("keep_threshold"))
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, value_col: str, k: int, salt: str = "kmv"
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch - the
+    DETERMINISTIC, engine-portable alternative to HLL++ for
+    cardinality estimates that must reproduce bit-for-bit across
+    runs and engines (approx_count_distinct's sketch is
+    implementation-defined, so its catalog query is rows-only;
+    this one oracle-pairs). Hash every distinct value to a 52-bit
+    uniform fraction (md5 hex prefix - 52 bits fits a double
+    EXACTLY), keep the k smallest via a TakeOrdered heap (never a
+    global sort), and estimate distinct = (k-1) / kth_min_fraction.
+    Fewer than k distinct values degrade to the exact count (the
+    standard KMV fallback). Returns one row:
+    (n_hashed, kmv_estimate)."""
+    from pyspark.sql import functions as F
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.md5(
+        F.concat(F.lit(f"{salt}:"), F.col(value_col).cast("string"))
+    )
+    frac = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    top = (
+        df.select(frac.alias("__f"))
+        .distinct()
+        .orderBy(F.col("__f").asc())
+        .limit(k)
+    )
+    two52 = float(16**13)
+    return top.agg(
+        F.count(F.lit(1)).alias("n_hashed"),
+        F.when(
+            F.count(F.lit(1)) < F.lit(k),
+            F.count(F.lit(1)).cast("double"),
+        )
+        .otherwise(
+            F.lit(float(k - 1))
+            / (F.max("__f").cast("double") / F.lit(two52))
+        )
+        .alias("kmv_estimate"),
+    )

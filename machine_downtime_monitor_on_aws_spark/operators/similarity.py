@@ -331,3 +331,59 @@ def hard_negative_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def semdedup_flags(
+    assign: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    cluster_col: str = "cluster",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over a CLUSTERED embedding corpus - within each
+    k-means cluster, cosine-similar pairs above ``threshold`` are
+    duplicates and only one survives. ``assign`` is the output of
+    operators/kmeans.kmeans_assign (or any (id, vec, cluster)
+    frame); returns it with a ``kept`` flag (False = a more-senior
+    semantic duplicate exists).
+
+    Keep rule: the LOWEST id in each similar pair survives -
+    deterministic earliest-wins, the same discipline as
+    remove_duplicated_spans (the paper keeps the point farthest
+    from the centroid; any fixed rule dedups equally, and id-order
+    is reproducible without tie-break caveats).
+
+    Scale shape - the whole reason SemDeDup clusters first: the
+    quadratic pair search runs per cluster, never corpus-wide, so
+    the self-join's equi-key is the cluster id and the fan-out is
+    bounded by the largest cluster (K scales with the corpus to
+    hold cluster sizes roughly constant; AQE's skew-join splitting
+    covers stragglers). The drop set is distinct ids - an id-sized
+    broadcast/keyed anti-join back, the exact-dedup shape."""
+    from ..functions.vectors import cosine
+
+    a = assign.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__aid"),
+        F.col(vec_col).alias("__avec"),
+    )
+    b = assign.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bvec"),
+    )
+    dropped = (
+        a.join(b, "__cl")
+        .filter(F.col("__aid") < F.col("__bid"))
+        .filter(cosine(F.col("__avec"), F.col("__bvec"), dim) >= F.lit(threshold))
+        .select(F.col("__bid").alias("__dropped"))
+        .distinct()
+    )
+    return assign.join(
+        dropped, assign[id_col] == dropped["__dropped"], "left"
+    ).select(
+        *assign.columns,
+        F.col("__dropped").isNull().alias("kept"),
+    )

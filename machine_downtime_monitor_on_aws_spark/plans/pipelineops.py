@@ -459,3 +459,97 @@ def per_source_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RESERVOIR_K,
         rank_col="sample_rank",
     ).select("source", "doc_id", F.col("sample_rank").cast("int").alias("sample_rank"))
+
+
+# ---- temperature mixing + KMV sketch
+
+_TEMP_ORACLE = f"""
+WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+sized AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+           AS sq
+  FROM sizes),
+tot AS (SELECT sum(sq) AS tot, sum(n) AS nall FROM sized),
+rated AS (
+  SELECT source,
+         least(10000, CAST(floor(
+           (CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE))
+             * (CAST(nall AS DOUBLE) * CAST(0.5 AS DOUBLE))
+             / CAST(n AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS thr
+  FROM sized, tot)
+SELECT d.doc_id, d.source, CAST(r.thr AS INT) AS keep_threshold
+FROM documents d JOIN rated r USING (source)
+WHERE {sample_hash_sql('d.doc_id', 'temp')} < r.thr
+"""
+
+
+@register("temperature_mixture_sample", oracle=_TEMP_ORACLE)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing at alpha = 0.5
+    (operators/sampling.temperature_sample): sample each source
+    proportionally to sqrt(n_i) under a half-corpus budget - the
+    standard multilingual/multi-source mix that lifts small sources
+    without letting any one dominate. alpha = 0.5 is the one
+    temperature that stays engine-exact (sqrt is IEEE-correctly
+    rounded; general pow is libm), the share normalizer sums
+    1e-9-quantized BIGINTs, and membership is the deterministic
+    md5 hash-threshold - so the kept set hash-matches DuckDB
+    exactly. One tiny per-source aggregate broadcast back onto the
+    scan filter: zero extra shuffles over the corpus."""
+    from ..operators.sampling import temperature_sample
+
+    d = _docs(spark, sf_dir)
+    return temperature_sample(
+        d, "doc_id", "source", budget_frac=0.5, salt="temp"
+    ).select("doc_id", "source", "keep_threshold")
+
+
+_KMV_K = 16
+_KMV_TWO52 = 16**13
+
+
+def _kmv_frac_sql(val_sql: str, salt: str) -> str:
+    md5 = f"md5('{salt}:' || CAST({val_sql} AS VARCHAR))"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring({md5}, {j + 1}, 1)) - 1)"
+        f" * {16 ** (12 - j)}"
+        for j in range(13)
+    )
+    return f"({terms})"
+
+
+_KMV_ORACLE = f"""
+WITH f AS (
+  SELECT DISTINCT {_kmv_frac_sql('tok', 'kmv')} AS f
+  FROM (SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)
+),
+top AS (SELECT f FROM f ORDER BY f ASC LIMIT {_KMV_K})
+SELECT CAST(count(*) AS BIGINT) AS n_hashed,
+       CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+            ELSE CAST({_KMV_K - 1} AS DOUBLE)
+                 / (CAST(max(f) AS DOUBLE) / CAST({_KMV_TWO52} AS DOUBLE)) END
+         AS kmv_estimate
+FROM top
+"""
+
+
+@register("kmv_distinct_tokens", oracle=_KMV_ORACLE)
+def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over the corpus vocabulary
+    (operators/sampling.kmv_distinct_estimate) - the DETERMINISTIC
+    cardinality estimate beside approx_distinct_and_percentiles'
+    HLL++ (implementation-defined, rows-only): md5-hash each
+    distinct token to a 52-bit fraction (fits a double exactly),
+    keep the k smallest via a TakeOrdered heap, estimate
+    (k-1)/kth_min. Bit-reproducible across engines, runs, and
+    partitionings, so it oracle-pairs - the sketch a pipeline uses
+    when estimates must be stable across reruns (cache keys,
+    drift alarms)."""
+    from ..operators.sampling import kmv_distinct_estimate
+
+    from ..functions.text import tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return kmv_distinct_estimate(toks, "tok", _KMV_K, salt="kmv")

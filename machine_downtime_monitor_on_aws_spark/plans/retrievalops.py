@@ -150,3 +150,69 @@ def hybrid_rrf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "rrf_score", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+post AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+weighted AS (
+  SELECT p.doc_id, p.term,
+         CAST(p.tf AS DOUBLE)
+           * (CAST(s.n + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE)) AS w,
+         CAST(s.n + 1 AS DOUBLE) / CAST(d.df + 1 AS DOUBLE) AS idf
+  FROM post p, dfreq d, stats s WHERE d.term = p.term
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(CAST(sum(CAST(floor(w * w * 1000000000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1000000000.0) AS dnorm
+  FROM weighted GROUP BY doc_id
+),
+dots AS (
+  SELECT doc_id,
+         CAST(sum(CAST(floor(w * idf * 1000000000.0 + 0.5) AS BIGINT))
+              AS DOUBLE) / 1000000000.0 AS dot
+  FROM weighted WHERE term IN {_TERMS_SQL} GROUP BY doc_id
+),
+qn AS (
+  SELECT sqrt(CAST(sum(CAST(floor(qidf * qidf * 1000000000.0 + 0.5) AS BIGINT))
+                   AS DOUBLE) / 1000000000.0) AS qnorm
+  FROM (
+    SELECT CAST(s.n + 1 AS DOUBLE) / CAST(coalesce(d.df, 0) + 1 AS DOUBLE)
+             AS qidf
+    FROM (SELECT unnest({list(_TERMS)!r}) AS term) t
+    LEFT JOIN dfreq d ON d.term = t.term, stats s)
+)
+SELECT doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT dt.doc_id, dt.dot / (n.dnorm * q.qnorm) AS score,
+         row_number() OVER (ORDER BY dt.dot / (n.dnorm * q.qnorm) DESC,
+                            dt.doc_id ASC) AS rnk
+  FROM dots dt JOIN norms n ON n.doc_id = dt.doc_id, qn q
+) WHERE rnk <= {_TOP_N}
+"""
+
+
+@register("tfidf_top_docs", oracle=_TFIDF_ORACLE)
+def tfidf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf cosine retrieval (operators/retrieval.tfidf_rank) over
+    the same 4-term query as bm25_top_docs, top-20 - the classic
+    vector-space baseline beside BM25. Log-free rational idf
+    ((N+1)/(df+1)), quantized (1e-9 BIGINT) sums for both the dot
+    product and the squared-norm accumulations (addition-order
+    independent), and sqrt is correctly rounded per IEEE-754 on
+    both engines, so the ranking hash-matches the DuckDB oracle.
+    Honest cost note vs BM25: the cosine's document norm needs the
+    FULL postings table (every term, not just query terms) - one
+    corpus-token-sized map-side-combining exchange; BM25 avoids it,
+    which is why it is the cheaper production default."""
+    pin_utc(spark)
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.retrieval import tfidf_rank
+
+    return tfidf_rank(d, list(_TERMS), _TOP_N)

@@ -1773,9 +1773,7 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bigram_lm_doc_scores",
-    oracle=f"""
+_BIGRAM_LM_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 v AS (SELECT count(DISTINCT tok) AS v
       FROM (SELECT unnest(toks) AS tok FROM t)),
@@ -1803,8 +1801,10 @@ SELECT doc_id,
          / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mean_bigram_prob,
        min(p) AS min_bigram_prob
 FROM p GROUP BY doc_id
-""",
-)
+"""
+
+
+@register("bigram_lm_doc_scores", oracle=_BIGRAM_LM_ORACLE)
 def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-LM quality scoring: train an add-one-smoothed
     bigram model on the corpus itself (p(w2|w1) =
@@ -2285,3 +2285,209 @@ def unigram_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece=_ULM_MAXP,
     )
     return encode_docs(d, seg, "doc_id", "text", _ULM_MAXW)
+
+
+# ---- Naive Bayes source attribution (operators/nbayes.py)
+
+_NB_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+tok_rows AS (
+  SELECT d.doc_id, d.source, s.pos, s.tok FROM
+  (SELECT doc_id, source, toks FROM documents JOIN t USING (doc_id)) d,
+  unnest(list_transform(range(1, len(toks) + 1),
+         i -> struct_pack(pos := i, tok := toks[CAST(i AS INT)]))) u(s)
+),
+v AS (SELECT count(DISTINCT tok) AS v FROM tok_rows),
+ls AS (SELECT source AS label, count(*) AS n_docs FROM documents GROUP BY source),
+lt AS (SELECT source AS label, count(*) AS n_tokens FROM tok_rows GROUP BY source),
+tc AS (SELECT source AS label, tok, count(*) AS c FROM tok_rows GROUP BY source, tok),
+probs AS (
+  SELECT tr.doc_id, l.label, tr.pos,
+         CAST(coalesce(tc.c, 0) + 1 AS DOUBLE)
+           / CAST(coalesce(lt.n_tokens, 0) + (SELECT v FROM v) AS DOUBLE) AS p
+  FROM tok_rows tr
+  CROSS JOIN ls l
+  LEFT JOIN tc ON tc.label = l.label AND tc.tok = tr.tok
+  LEFT JOIN lt ON lt.label = l.label
+),
+arrs AS (SELECT doc_id, label, list(p ORDER BY pos) AS ps
+         FROM probs GROUP BY doc_id, label),
+folded AS (
+  SELECT b.doc_id, b.label,
+         list_reduce(
+           list_prepend(
+             struct_pack(m := CAST(b.n_docs AS DOUBLE)
+                              / CAST((SELECT n FROM n) AS DOUBLE), e := 0),
+             list_transform(coalesce(a.ps, CAST([] AS DOUBLE[])),
+                            x -> struct_pack(m := x, e := 0))),
+           (acc, x) -> CASE
+             WHEN acc.m * x.m < CAST(1e-150 AS DOUBLE)
+             THEN struct_pack(m := acc.m * x.m * CAST(1e150 AS DOUBLE),
+                              e := acc.e + 1)
+             ELSE struct_pack(m := acc.m * x.m, e := acc.e) END) AS s
+  FROM (SELECT d.doc_id, l.label, l.n_docs FROM documents d CROSS JOIN ls l) b
+  LEFT JOIN arrs a ON a.doc_id = b.doc_id AND a.label = b.label
+),
+ranked AS (
+  SELECT doc_id, label, (s).m AS m, (s).e AS e,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY (s).e ASC, (s).m DESC, label ASC) AS rn
+  FROM folded
+)
+SELECT doc_id, label AS pred_label, m AS score_m, CAST(e AS INT) AS score_e
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("nb_source_predictions", oracle=_NB_ORACLE)
+def nb_source_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source attribution
+    (operators/nbayes.py) - the counts-based classifier role a
+    training pipeline fills with fastText-style models (domain
+    filtering, source attribution): train per-source token
+    statistics on the corpus, then attribute every document to its
+    most probable source. Entirely log-free - per-token add-one
+    likelihoods are rational double divisions and the per-doc
+    product runs as a mantissa/exponent left fold (rescale at
+    1e-150, count the rescales) - so the WHOLE train-then-classify
+    pipeline hash-matches a DuckDB oracle that replays the fold
+    with list_reduce. Scale shape: two count aggregations for
+    training; scoring is one broadcast label fan-out + a keyed join
+    against the (label, token) counts + one regroup per
+    (doc, label) - token-sized skinny rows, the BM25-postings
+    shape, no global sort."""
+    from ..operators.nbayes import nb_classify, nb_train
+
+    d = _docs(spark, sf_dir)
+    label_stats, token_counts, vocab_size, n_total = nb_train(
+        d, "source", "text"
+    )
+    return nb_classify(
+        d, "doc_id", "text", label_stats, token_counts, vocab_size, n_total
+    )
+
+
+# ---- CCNet-style perplexity bucketing
+
+_PPL_BUCKET_ORACLE = f"""
+WITH scores AS ({_BIGRAM_LM_ORACLE}),
+j AS (
+  SELECT s.doc_id, d.source, s.mean_bigram_prob AS lm_score
+  FROM scores s JOIN documents d USING (doc_id)
+),
+th AS (
+  SELECT source,
+         quantile_cont(lm_score, CAST(1.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) AS t1,
+         quantile_cont(lm_score, CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) AS t2
+  FROM j GROUP BY source
+)
+SELECT j.doc_id, j.source, j.lm_score,
+       CASE WHEN j.lm_score >= th.t2 THEN 'head'
+            WHEN j.lm_score >= th.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN th USING (source)
+"""
+
+
+@register("ccnet_perplexity_buckets", oracle=_PPL_BUCKET_ORACLE)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality partitioning (Wenzek et al. 2020): score
+    every document with the corpus bigram LM
+    (bigram_lm_doc_scores' rational perplexity proxy - higher mean
+    bigram probability = lower perplexity), then split EACH SOURCE
+    into head/middle/tail terciles by per-source
+    percentile thresholds - the standard pre-training corpus
+    stratification (train on head+middle, sample tail sparingly).
+    Spark ``percentile`` and DuckDB ``quantile_cont`` share the
+    linear-interpolation formula bit-for-bit, and the tercile
+    fractions are computed as 1.0/3.0 IEEE divisions on BOTH
+    engines (never decimal-folded literals - the r7 oracle
+    pitfall), so bucket boundaries are exact. Scale shape: scoring
+    is the bigram query's three keyed token-sized exchanges; the
+    thresholds are a per-source aggregate (S rows broadcast back);
+    no global sort."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    scores = bigram_lm_doc_scores(spark, sf_dir).select(
+        "doc_id", F.col("mean_bigram_prob").alias("lm_score")
+    )
+    j = scores.join(d, "doc_id")
+    third = F.lit(1.0) / F.lit(3.0)
+    two_thirds = F.lit(2.0) / F.lit(3.0)
+    th = j.groupBy("source").agg(
+        F.percentile(F.col("lm_score"), third).alias("t1"),
+        F.percentile(F.col("lm_score"), two_thirds).alias("t2"),
+    )
+    return j.join(F.broadcast(th), "source").select(
+        "doc_id",
+        "source",
+        "lm_score",
+        F.when(F.col("lm_score") >= F.col("t2"), F.lit("head"))
+        .when(F.col("lm_score") >= F.col("t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# ---- DSIR importance weights
+
+_DSIR_TARGET = "src0"
+
+_DSIR_ORACLE = f"""
+WITH t AS (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents),
+tok_rows AS (
+  SELECT doc_id, source = '{_DSIR_TARGET}' AS is_target, s.pos, s.tok FROM t,
+  unnest(list_transform(range(1, len(toks) + 1),
+         i -> struct_pack(pos := i, tok := toks[CAST(i AS INT)]))) u(s)
+),
+v AS (SELECT count(DISTINCT tok) AS v FROM tok_rows),
+tt AS (SELECT count(*) AS tt FROM tok_rows WHERE is_target),
+ts AS (SELECT count(*) AS ts FROM tok_rows WHERE NOT is_target),
+ct AS (SELECT tok, count(*) AS ct FROM tok_rows WHERE is_target GROUP BY tok),
+cs AS (SELECT tok, count(*) AS cs FROM tok_rows WHERE NOT is_target GROUP BY tok),
+rr AS (
+  SELECT tr.doc_id, tr.pos,
+         (CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE)
+            / CAST((SELECT tt FROM tt) + (SELECT v FROM v) AS DOUBLE))
+       / (CAST(coalesce(cs.cs, 0) + 1 AS DOUBLE)
+            / CAST((SELECT ts FROM ts) + (SELECT v FROM v) AS DOUBLE)) AS r
+  FROM tok_rows tr LEFT JOIN ct USING (tok) LEFT JOIN cs USING (tok)
+),
+arrs AS (SELECT doc_id, list(r ORDER BY pos) AS rs FROM rr GROUP BY doc_id),
+folded AS (
+  SELECT d.doc_id, d.source = '{_DSIR_TARGET}' AS is_target,
+         list_reduce(
+           list_prepend(struct_pack(m := CAST(1.0 AS DOUBLE), e := 0),
+                        list_transform(coalesce(a.rs, CAST([] AS DOUBLE[])),
+                                       x -> struct_pack(m := x, e := 0))),
+           (acc, x) -> CASE
+             WHEN acc.m * x.m < CAST(1e-150 AS DOUBLE)
+             THEN struct_pack(m := acc.m * x.m * CAST(1e150 AS DOUBLE),
+                              e := acc.e - 1)
+             WHEN acc.m * x.m > CAST(1e150 AS DOUBLE)
+             THEN struct_pack(m := acc.m * x.m * CAST(1e-150 AS DOUBLE),
+                              e := acc.e + 1)
+             ELSE struct_pack(m := acc.m * x.m, e := acc.e) END) AS s
+  FROM documents d LEFT JOIN arrs a ON a.doc_id = d.doc_id
+)
+SELECT doc_id, is_target, (s).m AS weight_m, CAST((s).e AS INT) AS weight_e
+FROM folded
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.
+    dsir_importance_weights): treat one source as the TARGET domain,
+    train target-vs-raw unigram models, and weight every document by
+    its product of per-token likelihood ratios - the importance-
+    resampling signal for matching pretraining data to a target
+    distribution. Log-free end to end (the NB mantissa/exponent
+    discipline, two-sided for ratios that exceed 1), so the whole
+    train-then-weigh pipeline hash-matches the DuckDB list_reduce
+    oracle. Resampling by these weights composes with the existing
+    weighted/stratified sampling operators."""
+    from ..operators.sampling import dsir_importance_weights as dsir
+
+    d = _docs(spark, sf_dir)
+    return dsir(d, F.col("source") == F.lit(_DSIR_TARGET), "doc_id", "text")

@@ -701,26 +701,40 @@ def ivfpq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector source, recovering the recall quantization lost while the
     exact math runs on queries x {sl} rows. Unlike ivfpq_knn_top5
     (the inline exactness demo), THIS query exercises the persisted
-    index lifecycle a 100 TB corpus actually serves: the index here
-    is rebuilt per call only because a catalog query owns no state
-    across calls - the build cost is the demo's, the search plan is
-    production's. Same deterministic first-16-residual codebooks, so
-    the DuckDB oracle re-derives build + probe + shortlist + re-rank
+    index lifecycle a 100 TB corpus actually serves: the index is
+    built ONCE per corpus (build-if-absent, keyed by the corpus
+    file's identity like neardup_pagerank_from_store's pair store)
+    and warm calls re-open it with load_ivfpq_codebooks - no
+    out-of-band codebook, no rebuild; the serve path is the whole
+    query. Same deterministic first-16-residual codebooks, so the
+    DuckDB oracle re-derives build + probe + shortlist + re-rank
     and the result hash-matches bit-for-bit."""
     import hashlib
     import os
     import tempfile
 
-    from ..operators.ivf import build_ivfpq_index, search_ivfpq_index_rerank
+    from ..operators.ivf import (
+        build_ivfpq_index,
+        load_ivfpq_codebooks,
+        search_ivfpq_index_rerank,
+    )
 
     e = _emb(spark, sf_dir).select("vec_id", "vec")
-    cents, books = _ivfpq_books(e)
-    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:{_N_CENTROIDS}:{_PQ_M}:{_PQ_K}"
+    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_idx_{tag}")
-    build_ivfpq_index(
-        e, path, _N_CENTROIDS, _DIM, _PQ_M, books,
-        centroids=cents, residual=True,
-    )
+    from .. import fsio
+
+    if not fsio.exists(spark, f"{path}/params.json"):
+        cents, books = _ivfpq_books(e)
+        build_ivfpq_index(
+            e, path, _N_CENTROIDS, _DIM, _PQ_M, books,
+            centroids=cents, residual=True,
+        )
+    else:
+        books = load_ivfpq_codebooks(spark, path)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
     )
@@ -902,13 +916,10 @@ _KM_K = 8
 _KM_ITERS = 3
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
-    """Unrolled Lloyd's as a DuckDB CTE chain: deterministic first-K
-    init + fixed iteration count make the whole training loop
-    relationally expressible, and the quantized re-center
-    (label_centroid_sums' integer-sum scheme) plus list-fold
-    distances make every iteration bit-identical to the Spark
-    operator. Empty clusters coalesce to their previous centroid."""
+def _kmeans_parts(k: int, iters: int, dim: int) -> list[str]:
+    """The unrolled-Lloyd's CTE chain shared by the kmeans oracle
+    and every oracle that consumes trained clusters (semdedup):
+    ends with ``cent_{iters}`` holding the final centroids."""
     parts = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         f"cent_0 AS (SELECT vec_id AS cluster, v AS cv FROM e WHERE vec_id < {k})",
@@ -940,6 +951,17 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
             f"cent_{i} AS (SELECT c.cluster, coalesce(n.cv, c.cv) AS cv "
             f"FROM {prev} c LEFT JOIN newc_{i} n ON n.cluster = c.cluster)"
         )
+    return parts
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd's as a DuckDB CTE chain: deterministic first-K
+    init + fixed iteration count make the whole training loop
+    relationally expressible, and the quantized re-center
+    (label_centroid_sums' integer-sum scheme) plus list-fold
+    distances make every iteration bit-identical to the Spark
+    operator. Empty clusters coalesce to their previous centroid."""
+    parts = _kmeans_parts(k, iters, dim)
     return (
         "WITH "
         + ",\n".join(parts)
@@ -1259,4 +1281,65 @@ def neardup_pagerank_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.read.parquet(path)
     return pagerank_unrolled(pairs, _PR_ITERS).select(
         F.col("node").alias("vec_id"), "degree", "pagerank"
+    )
+
+
+# ---- SemDeDup (operators/similarity.semdedup_flags)
+
+_SEMDEDUP_THRESHOLD = 0.3
+
+
+def _semdedup_oracle(k: int, iters: int, dim: int, tau: float) -> str:
+    parts = _kmeans_parts(k, iters, dim)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+fin AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sq_l2_sql('e.v', 'c.cv')} ASC,
+                                       c.cluster ASC) AS rn
+    FROM e, cent_{iters} c) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id AS d
+  FROM fin a JOIN fin b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= CAST({tau!r} AS DOUBLE))
+SELECT f.vec_id, CAST(f.cluster AS INT) AS cluster, (d.d IS NULL) AS kept
+FROM fin f LEFT JOIN dropped d ON d.d = f.vec_id
+"""
+    )
+
+
+@register(
+    "semdedup_survivors",
+    oracle=_semdedup_oracle(_KM_K, _KM_ITERS, _DIM, _SEMDEDUP_THRESHOLD),
+)
+def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end: train k-means
+    (the kmeans_assignments chain - same seeds, same quantized
+    re-centering), assign every embedding to its cluster, then flag
+    within-cluster cosine duplicates above the near-dup threshold,
+    lowest id surviving. The whole train-cluster-dedup pipeline
+    hash-matches the unrolled DuckDB oracle. This is the scale
+    answer to embedding_dup_clusters' LSH formulation: clustering
+    first bounds the quadratic pair search to single clusters
+    (K grows with the corpus to hold cluster sizes flat), which is
+    why the method works at billion-document scale."""
+    from ..operators.kmeans import (
+        centroids_to_df,
+        first_k_init,
+        kmeans_assign,
+        lloyd_iterations,
+    )
+    from ..operators.similarity import semdedup_flags
+
+    e = _emb(spark, sf_dir).select("vec_id", "vec")
+    init = first_k_init(e, _KM_K)
+    trained = lloyd_iterations(e, init, _DIM, _KM_ITERS)
+    cdf = centroids_to_df(spark, trained, [])
+    assign = kmeans_assign(e, cdf, _DIM).select("vec_id", "vec", "cluster")
+    return semdedup_flags(assign, _SEMDEDUP_THRESHOLD, dim=_DIM).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "kept"
     )

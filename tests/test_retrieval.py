@@ -89,3 +89,56 @@ def test_bm25_requires_terms(spark):
     df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty"):
         bm25_rank(df, [], 5)
+
+
+def test_tfidf_rank_matches_python_model(spark):
+    """tfidf_rank pinned bit-equal to a Python replay of the same
+    arithmetic (rational idf, 1e-9-quantized dot/norm sums, IEEE
+    sqrt), with a query term absent from the corpus contributing to
+    the query norm but no document's dot product."""
+    import math
+
+    from machine_downtime_monitor_on_aws_spark.operators.retrieval import (
+        tfidf_rank,
+    )
+
+    rows = [
+        (1, "join hash join scan"),
+        (2, "vector vector scan"),
+        (3, "filter sort merge"),
+        (4, ""),
+    ]
+    terms = ["join", "vector", "zzz_absent"]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.doc_id, r.score, r.rnk)
+           for r in tfidf_rank(df, terms, 10).collect()]
+
+    # python replay
+    Q = 1_000_000_000.0
+    toks = {i: t.split() for i, t in rows}
+    from collections import Counter
+
+    N = len(rows)
+    dfreq = Counter()
+    tf = {}
+    for i, ws in toks.items():
+        c = Counter(ws)
+        tf[i] = c
+        for w in c:
+            dfreq[w] += 1
+    idf = lambda t: float(N + 1) / float(dfreq.get(t, 0) + 1)
+    qz = lambda x: math.floor(x * Q + 0.5)
+    scores = {}
+    for i, c in tf.items():
+        dn = math.sqrt(
+            float(sum(qz((n * idf(t)) * (n * idf(t))) for t, n in c.items())) / Q
+        )
+        dot = float(sum(qz((c[t] * idf(t)) * idf(t)) for t in terms if t in c)) / Q
+        if dot or any(t in c for t in terms):
+            qn = math.sqrt(float(sum(qz(idf(t) * idf(t)) for t in terms)) / Q)
+            scores[i] = dot / (dn * qn)
+    ref = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    ref = [(d, s, r + 1) for r, (d, s) in enumerate(ref)]
+    assert got == ref
+    # docs 3 (no query term) and 4 (empty) never enter the ranking
+    assert len(got) == 2

@@ -426,6 +426,40 @@ def test_ivfpq_index_compressed_search(spark, tmp_path):
             assert got_cluster == want, (qid, nid, by_q)
 
 
+def test_ivfpq_codebooks_roundtrip_and_tamper_guard(spark, tmp_path):
+    """The index carries its own codebook: load_ivfpq_codebooks
+    re-opens a persisted index with no out-of-band codebook and
+    returns EXACTLY what the build was given; a tampered codebook
+    store fails the stamped digest loudly (the unigram-vocab
+    self-digest discipline)."""
+    import pytest
+
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        build_ivfpq_index,
+        load_ivfpq_codebooks,
+    )
+
+    dim, m, n_cent = 8, 2, 4
+    books = [[float(k == j) + 0.25 * j for j in range(dim)] for k in range(4)]
+    rows = [(i, [float((i + j) % 3) for j in range(dim)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    path = str(tmp_path / "ivfpq_cb")
+    build_ivfpq_index(df, path, n_cent, dim, m, pq_centroids=books,
+                      residual=True)
+    assert load_ivfpq_codebooks(spark, path) == books
+    # tamper: rewrite the codebook store with a drifted entry but
+    # leave the params stamp alone
+    drifted = [list(b) for b in books]
+    drifted[0][0] += 0.5
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(drifted)], "code int, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    with pytest.raises(ValueError, match="digest"):
+        load_ivfpq_codebooks(spark, path)
+    with pytest.raises(ValueError, match="no committed"):
+        load_ivfpq_codebooks(spark, str(tmp_path / "nowhere"))
+
+
 def test_ivfpq_index_param_guards(spark, tmp_path):
     """r6 advice (medium): the IVF-PQ index stamps m/dim/K and a
     codebook digest at build time; search with a drifted codebook or
@@ -636,3 +670,33 @@ def test_large_k_adc_plan_stays_bounded(spark):
     # small and constant in K
     plan = auto._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan) < 50_000, len(plan)
+
+
+def test_semdedup_flags_earliest_wins(spark):
+    """SemDeDup keep rule: within a cluster, cosine-similar pairs
+    above the threshold keep only the LOWEST id; similar vectors in
+    DIFFERENT clusters are both kept (the method trades that recall
+    for the bounded per-cluster pair search); chains (a~b, b~c)
+    drop every non-minimal member."""
+    from machine_downtime_monitor_on_aws_spark.operators.similarity import (
+        semdedup_flags,
+    )
+
+    rows = [
+        # cluster 0: 1~2~3 all parallel (cos=1), 4 orthogonal
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [2.0, 0.0, 0.0, 0.0], 0),
+        (3, [0.5, 0.0, 0.0, 0.0], 0),
+        (4, [0.0, 1.0, 0.0, 0.0], 0),
+        # cluster 1: 5 parallel to 1 but in another cluster -> kept
+        (5, [3.0, 0.0, 0.0, 0.0], 1),
+        (6, [0.0, 0.0, 1.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, vec array<double>, cluster int"
+    )
+    got = {
+        r.vec_id: r.kept
+        for r in semdedup_flags(df, 0.99, dim=4).collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: True, 5: True, 6: True}

@@ -125,3 +125,55 @@ def test_bpe_requires_positive_merges(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train_merges(df, "text", 0)
+
+
+def test_temperature_sample_lifts_small_sources(spark):
+    """alpha=0.5 temperature sampling: a source 100x larger than
+    another gets a much LOWER keep rate (sqrt flattening), the small
+    source's rate clamps at 100%, and membership is the
+    deterministic md5 threshold (re-run identical)."""
+    from machine_downtime_monitor_on_aws_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    rows = [(i, "big") for i in range(1000)] + [
+        (1000 + i, "small") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = temperature_sample(df, "doc_id", "grp", budget_frac=0.5)
+    thr = {
+        r.grp: r.keep_threshold
+        for r in out.select("grp", "keep_threshold").distinct().collect()
+    }
+    # shares: sqrt(1000):sqrt(10) ~ 10:1 over a 505-doc budget ->
+    # small source wants ~46 docs from its 10 -> clamped to 100%
+    assert thr["small"] == 10_000
+    assert 0 < thr["big"] < 10_000
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in temperature_sample(
+        df, "doc_id", "grp", budget_frac=0.5).collect())
+    assert a == b and a
+
+
+def test_kmv_distinct_estimate_fallback_and_accuracy(spark):
+    from machine_downtime_monitor_on_aws_spark.operators.sampling import (
+        kmv_distinct_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    # fewer distinct values than k: exact fallback
+    small = spark.createDataFrame(
+        [(i % 5,) for i in range(50)], "v long"
+    )
+    r = kmv_distinct_estimate(small, "v", k=16).collect()[0]
+    assert (r.n_hashed, r.kmv_estimate) == (5, 5.0)
+    # 2000 distinct values, k=64: estimate within ~3 std errors
+    # (se ~ n/sqrt(k-2) ~ 254)
+    big = spark.createDataFrame([(i,) for i in range(2000)], "v long")
+    r = kmv_distinct_estimate(big, "v", k=64).collect()[0]
+    assert r.n_hashed == 64
+    assert abs(r.kmv_estimate - 2000) < 800, r.kmv_estimate
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct_estimate(big, "v", k=1)
