@@ -553,3 +553,177 @@ def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return kmv_distinct_estimate(toks, "tok", _KMV_K, salt="kmv")
+
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+_CMS_TOPN = 20
+
+
+def _cms_cell_sql(row_var: str, val_sql: str, salt: str) -> str:
+    """DuckDB twin of operators/sketch._positions for one hash row:
+    md5-24bit of 'salt<row>:<value>' mod the table width."""
+    expr = f"'{salt}' || CAST({row_var} AS VARCHAR) || ':' || CAST({val_sql} AS VARCHAR)"
+    return f"(({_md5_24bit_sql(expr)}) % {_CMS_WIDTH})"
+
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_TOKENS_SQL}) AS tok FROM documents
+),
+exact AS (SELECT tok, COUNT(*) AS exact_ct FROM toks GROUP BY tok),
+cells AS (
+  SELECT r, {_cms_cell_sql('r', 'tok', 'cms')} AS c, COUNT(*) AS ct
+  FROM toks CROSS JOIN range({_CMS_DEPTH}) t(r)
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT e.tok, r, {_cms_cell_sql('r', 'e.tok', 'cms')} AS c
+  FROM exact e CROSS JOIN range({_CMS_DEPTH}) t(r)
+),
+est AS (
+  SELECT pr.tok, MIN(COALESCE(cells.ct, 0)) AS cms_ct
+  FROM pr LEFT JOIN cells ON pr.r = cells.r AND pr.c = cells.c
+  GROUP BY pr.tok
+)
+SELECT e.tok, CAST(e.exact_ct AS BIGINT) AS exact_ct,
+       CAST(est.cms_ct AS BIGINT) AS cms_ct
+FROM exact e JOIN est ON e.tok = est.tok
+ORDER BY est.cms_ct DESC, e.tok ASC
+LIMIT {_CMS_TOPN}
+"""
+
+
+@register("cms_token_heavy_hitters", oracle=_CMS_ORACLE)
+def cms_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (operators/sketch.cms_build /
+    cms_estimate): the fixed-memory frequency summary a streaming /
+    multi-pass pipeline keeps instead of a full token count table.
+    The sketch is depth*width = 2048 cells REGARDLESS of corpus
+    size, so it broadcasts to the probe join; estimates are
+    upward-biased only (min over the token's 4 cells), and the
+    output reports the top-20 estimated tokens BESIDE their exact
+    counts so the bias is visible and checked. md5-positioned cells
+    make the whole sketch engine-portable - DuckDB rebuilds the
+    identical cell table and the comparison is hash-exact."""
+    from ..functions.text import tokens
+    from ..operators.sketch import cms_build, cms_estimate
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_ct"))
+    cells = cms_build(toks, "tok", _CMS_DEPTH, _CMS_WIDTH, salt="cms")
+    est = cms_estimate(exact, "tok", cells, _CMS_DEPTH, _CMS_WIDTH, salt="cms")
+    return (
+        exact.join(est, "tok")
+        .select("tok", "exact_ct", "cms_ct")
+        .orderBy(F.desc("cms_ct"), F.asc("tok"))
+        .limit(_CMS_TOPN)
+    )
+
+
+_BLOOM_BITS = 2048
+_BLOOM_K = 3
+# One month of buyers (~12% of customers at sf0.01): the member set
+# must be a strict subset of the probe set or the no-false-negative
+# and false-positive branches are both vacuous; 2048 bits over ~180
+# keys gives a ~1% FP rate - visibly nonzero at the driver's sf, and
+# honestly saturating toward 1 as sf grows past the filter's sizing
+# (the classic undersized-bloom failure mode, reported, not hidden).
+_BLOOM_LO = "1995-01-01"
+_BLOOM_HI = "1995-02-01"
+
+
+def _bloom_bit_sql(hash_var: str, val_sql: str) -> str:
+    expr = f"'bloom' || CAST({hash_var} AS VARCHAR) || ':' || CAST({val_sql} AS VARCHAR)"
+    return f"(({_md5_24bit_sql(expr)}) % {_BLOOM_BITS})"
+
+
+_BLOOM_ORACLE = f"""
+WITH buyers AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_BLOOM_LO}'
+    AND o_orderdate < TIMESTAMP '{_BLOOM_HI}'
+),
+bits AS (
+  SELECT DISTINCT {_bloom_bit_sql('j', 'o_custkey')} AS bit
+  FROM buyers CROSS JOIN range({_BLOOM_K}) t(j)
+),
+pr AS (
+  SELECT c.c_custkey, c.c_mktsegment, {_bloom_bit_sql('j', 'c.c_custkey')} AS bit
+  FROM customer c CROSS JOIN range({_BLOOM_K}) t(j)
+),
+mem AS (
+  SELECT pr.c_custkey, pr.c_mktsegment,
+         bool_and(b.bit IS NOT NULL) AS bloom_member
+  FROM pr LEFT JOIN bits b ON pr.bit = b.bit
+  GROUP BY pr.c_custkey, pr.c_mktsegment
+),
+agg AS (
+  SELECT m.c_mktsegment,
+         COUNT(*) AS probed,
+         SUM(CASE WHEN m.bloom_member THEN 1 ELSE 0 END) AS bloom_pos,
+         SUM(CASE WHEN a.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS actual_pos
+  FROM mem m LEFT JOIN buyers a ON m.c_custkey = a.o_custkey
+  GROUP BY m.c_mktsegment
+)
+SELECT c_mktsegment, CAST(probed AS BIGINT) AS probed,
+       CAST(bloom_pos AS BIGINT) AS bloom_pos,
+       CAST(actual_pos AS BIGINT) AS actual_pos,
+       CAST(bloom_pos - actual_pos AS BIGINT) AS false_pos
+FROM agg
+"""
+
+
+@register("bloom_prefilter_fp_rate", oracle=_BLOOM_ORACLE)
+def bloom_prefilter_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filtering (operators/sketch.bloom_build /
+    bloom_probe), measured: build a 2048-bit / 3-hash filter over
+    the distinct January-1995 buyer keys (a ~12% slice - the member
+    set must be a strict subset of the probes or both interesting
+    branches are vacuous), probe EVERY customer, and report per
+    market segment how many probes the bloom passes vs how many are
+    real buyers - false_pos is the price of the pre-filter, and
+    no-false-negatives (every actual buyer passes) is the guarantee
+    that makes it safe. This is the relational shape of Spark's
+    runtime row-level bloom filtering: the bit table broadcasts,
+    the fact side never shuffles for the pre-screen."""
+    from ..operators.sketch import bloom_build, bloom_probe
+
+    pin_utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    buyers = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit(_BLOOM_LO)))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit(_BLOOM_HI)))
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    bits = bloom_build(buyers, "o_custkey", _BLOOM_BITS, _BLOOM_K, salt="bloom")
+    member = bloom_probe(
+        customer, "c_custkey", bits, _BLOOM_BITS, _BLOOM_K, salt="bloom"
+    )
+    joined = (
+        customer.select("c_custkey", "c_mktsegment")
+        .join(member, "c_custkey")
+        .join(
+            buyers.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+                "__actual", F.lit(1)
+            ),
+            "c_custkey",
+            "left",
+        )
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("probed"),
+        F.sum(F.when(F.col("bloom_member"), 1).otherwise(0)).alias("bloom_pos"),
+        F.sum(F.when(F.col("__actual").isNotNull(), 1).otherwise(0)).alias(
+            "actual_pos"
+        ),
+        (
+            F.sum(F.when(F.col("bloom_member"), 1).otherwise(0))
+            - F.sum(F.when(F.col("__actual").isNotNull(), 1).otherwise(0))
+        ).alias("false_pos"),
+    )
