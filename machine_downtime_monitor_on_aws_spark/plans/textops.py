@@ -2491,3 +2491,96 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return dsir(d, F.col("source") == F.lit(_DSIR_TARGET), "doc_id", "text")
+
+
+# ---- Full-batch perceptron (hashed bag-of-words linear classifier)
+
+_PCEP_DIM = 64
+_PCEP_ITERS = 3
+
+
+def _perceptron_oracle(dim: int, iters: int) -> str:
+    """Unrolled batch-perceptron training as a DuckDB CTE chain (the
+    kmeans_assignments discipline): token counts feature-hash through
+    the shared md5-24-bit scheme, every iteration derives margins
+    under w_{i-1}, the misclassified set (margin <= 0), the integer
+    gradient, and w_i; the final SELECT scores the corpus under
+    w_{iters}. All-integer arithmetic, so no quantization CTEs are
+    needed anywhere."""
+    parts = [
+        f"tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents)",
+        f"""feats AS (
+  SELECT doc_id AS id, ({_md5_24bit_sql("'pcep:' || tok")}) % {dim} AS bucket,
+         CAST(count(*) AS BIGINT) AS x
+  FROM tok GROUP BY 1, 2
+  UNION ALL
+  SELECT doc_id AS id, CAST({dim} AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS x
+  FROM documents)""",
+        "labels AS (SELECT doc_id AS id,"
+        " CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents)",
+        f"w_0 AS (SELECT CAST(i AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w "
+        f"FROM generate_series(0, {dim}) t(i))",
+    ]
+    score = (
+        "SELECT f.id, CAST(sum(f.x * w.w) AS BIGINT) AS wx "
+        "FROM feats f JOIN {w} w USING (bucket) GROUP BY f.id"
+    )
+    for i in range(1, iters + 1):
+        prev = f"w_{i - 1}"
+        parts.append(f"""mar_{i} AS (
+  SELECT l.id, l.y, CAST(l.y * coalesce(m.wx, 0) AS BIGINT) AS margin
+  FROM labels l LEFT JOIN ({score.format(w=prev)}) m USING (id))""")
+        parts.append(f"""grad_{i} AS (
+  SELECT f.bucket, CAST(sum(m.y * f.x) AS BIGINT) AS g
+  FROM feats f JOIN (SELECT id, y FROM mar_{i} WHERE margin <= 0) m USING (id)
+  GROUP BY f.bucket)""")
+        parts.append(f"""w_{i} AS (
+  SELECT w.bucket, w.w + coalesce(g.g, 0) AS w
+  FROM {prev} w LEFT JOIN grad_{i} g USING (bucket))""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT l.id, l.y, CAST(coalesce(m.wx, 0) AS BIGINT) AS score,
+       CAST(l.y * coalesce(m.wx, 0) AS BIGINT) AS margin,
+       coalesce(m.wx, 0) > 0 AS pred
+FROM labels l LEFT JOIN ({score.format(w=f'w_{iters}')}) m USING (id)"""
+    )
+
+
+@register(
+    "perceptron_lang_margins",
+    oracle=_perceptron_oracle(_PCEP_DIM, _PCEP_ITERS),
+)
+def perceptron_lang_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch perceptron training (operators/perceptron.py) for a
+    fixed 3 steps on the en-vs-rest task over 64 hashed
+    bag-of-words buckets + a bias feature, then the final per-doc
+    scores/margins/predictions. The ENTIRE training loop is integer
+    arithmetic (counts, weights, dot products), so it hash-matches
+    the unrolled DuckDB CTE chain with no quantization scheme at
+    all - the exactness story one tier simpler than kmeans'. Honesty
+    about the fixture: the synthetic corpus shares ONE 31-word
+    vocabulary across every lang/source (FIXTURES.md), so linear
+    separation is impossible and 3 steps of frequency-noise fitting
+    reach 61% (majority class 56%) - the query demonstrates exact
+    distributed training machinery; real convergence is pinned by
+    tests/test_perceptron.py's separable fixture. Scale shape per
+    step: margins are one keyed agg over skinny (doc, bucket, x)
+    rows, the gradient is one map-side-combining agg to dim+1 rows,
+    and only those dim+1 integers reach the driver - the corpus
+    never collects."""
+    from ..operators.perceptron import (
+        hashed_token_features,
+        perceptron_predict,
+        perceptron_train,
+    )
+
+    d = _docs(spark, sf_dir)
+    feats = hashed_token_features(d, "doc_id", "text", _PCEP_DIM, bias=True)
+    labels = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("y"),
+    )
+    w = perceptron_train(feats, labels, _PCEP_DIM + 1, _PCEP_ITERS)
+    return perceptron_predict(feats, labels, w)
