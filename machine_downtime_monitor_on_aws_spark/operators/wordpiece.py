@@ -1,0 +1,194 @@
+"""WordPiece tokenizer training: likelihood-scored merges,
+relationally.
+
+WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) differs from
+BPE in exactly one place: instead of merging the most FREQUENT
+adjacent pair, it merges the pair maximizing
+``score = count(ab) / (count(a) * count(b))`` - the pair whose merge
+most increases a unigram-LM likelihood of the corpus. That score is a
+single division of exact integer counts cast to doubles, so - like
+every rational in this repo - it is bit-identical across engines and
+partitionings, and the whole training loop carries a hash-exact
+DuckDB oracle (the bpe_first_merges discipline). No log, no libm.
+
+Symbol alphabet: word-initial characters stay bare, word-internal
+characters carry the ``##`` continuation prefix ("abc" ->
+"a ##b ##c"), and a merge's name strips the right side's prefix
+("##b ##c" -> "##bc") - the BERT vocab convention. There is no
+end-of-word marker; the continuation prefix already encodes the
+boundary.
+
+Scale shape per iteration (the operators/bpe.py shape plus one tiny
+join): one pair-count aggregation and one symbol-count aggregation
+over exploded symbols (both map-side-combining; distinct symbols and
+pairs are vocabulary-sized), a broadcast-sized join scoring pairs
+against their constituent counts, and ONE argmax row collected to
+the driver. Merges apply as the shared greedy left-fold
+(operators/bpe.apply_merge) - pure expression work, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from .bpe import adjacent_pairs, apply_merge
+
+
+def wp_symbolized_words(
+    df: DataFrame, text_col: str, parallelism: int | None = None
+) -> DataFrame:
+    """One row per word occurrence: the word as a space-separated
+    WordPiece symbol string ("abc" -> "a ##b ##c"). Repartitions the
+    narrow text projection before the explode (the bpe
+    symbolized_words rationale: one input split would otherwise pin
+    the whole training loop to a single core)."""
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    w = F.explode(tokens(F.col(text_col))).alias("w")
+    chars = F.split(F.col("w"), "")
+    rest = F.slice(chars, 2, F.size(chars) - 1)
+    # first char bare + ' ##'-joined continuations; index-free so the
+    # DuckDB twin is a plain list_slice/array_to_string mirror.
+    sym = F.concat(
+        F.element_at(chars, 1),
+        F.when(
+            F.size(chars) > 1,
+            F.concat(F.lit(" ##"), F.array_join(rest, " ##")),
+        ).otherwise(F.lit("")),
+    )
+    return df.select(F.col(text_col)).repartition(n).select(w).select(
+        sym.alias("sym")
+    )
+
+
+def merged_name(pair: str) -> str:
+    """'a ##b' -> 'ab'; '##b ##c' -> '##bc' (strip the right side's
+    continuation prefix; the left keeps its own)."""
+    left, right = pair.split(" ", 1)
+    return left + (right[2:] if right.startswith("##") else right)
+
+
+def _scored_pairs(cur: DataFrame) -> DataFrame:
+    """(pair, lft, rgt, pair_count, left_count, right_count, score)
+    for the current symbol state. Counts are corpus-wide occurrence
+    counts; score = c_ab / (c_a * c_b) computed as
+    double(c_ab) / (double(c_a) * double(c_b)) - the exact order the
+    oracle replays."""
+    syms = (
+        cur.select(F.explode(F.split(F.col("sym"), " ")).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        cur.select(F.explode(adjacent_pairs(F.col("sym"))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .withColumn("lft", F.split(F.col("pair"), " ").getItem(0))
+        .withColumn("rgt", F.split(F.col("pair"), " ").getItem(1))
+    )
+    return (
+        pairs.join(syms.selectExpr("s AS lft", "c AS left_count"), "lft")
+        .join(syms.selectExpr("s AS rgt", "c AS right_count"), "rgt")
+        .select(
+            "pair",
+            "lft",
+            "rgt",
+            "pair_count",
+            "left_count",
+            "right_count",
+            (
+                F.col("pair_count").cast("double")
+                / (
+                    F.col("left_count").cast("double")
+                    * F.col("right_count").cast("double")
+                )
+            ).alias("score"),
+        )
+    )
+
+
+def wordpiece_train_merges(
+    df: DataFrame, text_col: str, n_merges: int
+) -> list[dict]:
+    """Train the first ``n_merges`` WordPiece merges. Returns
+    ``[{iteration, pair, merged, pair_count, left_count, right_count,
+    score}, ...]`` in merge order; stops early when no pairs remain.
+    Ties break (score desc, pair asc) - both engines compare the
+    same IEEE doubles, so the choice is deterministic everywhere.
+    Same per-iteration materialization barrier as bpe_train_merges
+    (without it, iteration i re-runs every earlier fold)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    from ..streaming.store import (
+        _tracked_local_checkpoint,
+        release_checkpoint,
+    )
+
+    cur = wp_symbolized_words(df, text_col)
+    out: list[dict] = []
+    held: DataFrame | None = None
+    try:
+        for it in range(1, n_merges + 1):
+            cur = _tracked_local_checkpoint(cur)
+            if held is not None:
+                release_checkpoint(held)
+            held = cur
+            top = (
+                _scored_pairs(cur)
+                .orderBy(F.col("score").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            row = top[0]
+            merged = merged_name(row["pair"])
+            out.append(
+                {
+                    "iteration": it,
+                    "pair": row["pair"],
+                    "merged": merged,
+                    "pair_count": int(row["pair_count"]),
+                    "left_count": int(row["left_count"]),
+                    "right_count": int(row["right_count"]),
+                    "score": float(row["score"]),
+                }
+            )
+            cur = cur.select(
+                apply_merge(F.col("sym"), row["pair"], merged).alias("sym")
+            )
+    finally:
+        if held is not None:
+            release_checkpoint(held)
+    return out
+
+
+def wordpiece_segment(
+    df: DataFrame,
+    text_col: str,
+    merges: list[dict],
+    out_col: str = "wp_symbols",
+) -> DataFrame:
+    """Apply trained merges to a corpus: each document's words become
+    their merged WordPiece symbol strings. Merge REPLAY (the training
+    segmentation), not vocab longest-match - the two agree on any
+    corpus the merges were trained on far from vocab boundaries, and
+    replay is what the oracle can mirror fold-for-fold. Pure
+    expression work, no shuffle."""
+
+    def seg(w: Column) -> Column:
+        chars = F.split(w, "")
+        rest = F.slice(chars, 2, F.size(chars) - 1)
+        sym = F.concat(
+            F.element_at(chars, 1),
+            F.when(
+                F.size(chars) > 1,
+                F.concat(F.lit(" ##"), F.array_join(rest, " ##")),
+            ).otherwise(F.lit("")),
+        )
+        for m in merges:
+            sym = apply_merge(sym, m["pair"], m["merged"])
+        return sym
+
+    return df.withColumn(out_col, F.transform(tokens(F.col(text_col)), seg))

@@ -2584,3 +2584,220 @@ def perceptron_lang_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = perceptron_train(feats, labels, _PCEP_DIM + 1, _PCEP_ITERS)
     return perceptron_predict(feats, labels, w)
+
+
+# ---- WordPiece tokenizer training (likelihood-scored merges)
+
+_WP_MERGES = 3
+
+
+def _wp_chain_ctes(n_merges: int) -> list[str]:
+    """Unrolled WordPiece training CTE chain: wp-symbolized words
+    (bare initial + '##' continuations), per-iteration symbol counts
+    AND pair counts, the (score desc, pair asc) argmax where
+    score = double(c_ab) / (double(c_a) * double(c_b)), and the
+    shared greedy list_reduce merge application."""
+    parts = [
+        f"""w_0 AS (
+  SELECT doc_id,
+         s[1] || CASE WHEN len(s) > 1
+                      THEN ' ##' || array_to_string(list_slice(s, 2, len(s)), ' ##')
+                      ELSE '' END AS sym
+  FROM (SELECT doc_id, string_split(w, '') AS s
+        FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents)))"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w_{i - 1}"
+        parts.append(
+            f"""sc_{i} AS (
+  SELECT s1 AS s, count(*) AS c
+  FROM (SELECT unnest(string_split(sym, ' ')) AS s1 FROM {prev})
+  GROUP BY s1)"""
+        )
+        parts.append(
+            f"""p_{i} AS (
+  SELECT pair, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(
+      list_zip(list_slice(s, 1, len(s) - 1), list_slice(s, 2, len(s))),
+      x -> x[1] || ' ' || x[2])) AS pair
+    FROM (SELECT string_split(sym, ' ') AS s FROM {prev}))
+  GROUP BY pair)"""
+        )
+        parts.append(
+            f"""m_{i} AS (
+  SELECT {i} AS iteration, q.pair, q.lft, q.rgt,
+         q.lft || CASE WHEN starts_with(q.rgt, '##')
+                       THEN substr(q.rgt, 3) ELSE q.rgt END AS merged,
+         q.cnt AS pair_count, ca.c AS left_count, cb.c AS right_count,
+         CAST(q.cnt AS DOUBLE) / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS score
+  FROM (SELECT pair, string_split(pair, ' ')[1] AS lft,
+               string_split(pair, ' ')[2] AS rgt, cnt FROM p_{i}) q
+  JOIN sc_{i} ca ON ca.s = q.lft
+  JOIN sc_{i} cb ON cb.s = q.rgt
+  ORDER BY score DESC, q.pair ASC LIMIT 1)"""
+        )
+        if i < n_merges:
+            parts.append(
+                f"""w_{i} AS (
+  SELECT w.doc_id, list_reduce(string_split(w.sym, ' '), (acc, x) -> CASE
+    WHEN (acc = m.lft OR ends_with(acc, ' ' || m.lft)) AND x = m.rgt
+    THEN substr(acc, 1, len(acc) - len(m.lft)) || m.merged
+    ELSE acc || ' ' || x END) AS sym
+  FROM {prev} w, m_{i} m)"""
+            )
+    return parts
+
+
+def _wp_oracle(n_merges: int) -> str:
+    parts = _wp_chain_ctes(n_merges)
+    union = "\nUNION ALL\n".join(
+        f"SELECT iteration, pair, merged, pair_count, left_count,"
+        f" right_count, score FROM m_{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(iteration AS INT) AS iteration, pair, merged,
+       CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(left_count AS BIGINT) AS left_count,
+       CAST(right_count AS BIGINT) AS right_count,
+       score
+FROM ({union})"""
+    )
+
+
+@register("wordpiece_first_merges", oracle=_wp_oracle(_WP_MERGES))
+def wordpiece_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training, first 3 merges
+    (operators/wordpiece.py) - the BERT-family tokenizer beside BPE
+    (frequency argmax) and unigram-LM (Viterbi-EM): each iteration
+    merges the pair maximizing count(ab) / (count(a) * count(b)),
+    the unigram-likelihood gain. The score is one division of exact
+    integer counts cast to doubles - engine-exact with no
+    quantization - so the merge CHOICES, counts, and scores all
+    hash-match the unrolled DuckDB chain. Scale shape per
+    iteration: two map-side-combining aggregations over exploded
+    symbols (vocabulary-sized outputs), a broadcast-sized scoring
+    join, one argmax row to the driver; merges apply as the shared
+    greedy fold expression, no shuffle."""
+    from ..operators.wordpiece import wordpiece_train_merges
+
+    pin_utc(spark)
+    d = load_table(spark, sf_dir, "documents")
+    merges = wordpiece_train_merges(d, "text", _WP_MERGES)
+    return spark.createDataFrame(
+        [
+            (
+                m["iteration"],
+                m["pair"],
+                m["merged"],
+                m["pair_count"],
+                m["left_count"],
+                m["right_count"],
+                m["score"],
+            )
+            for m in merges
+        ],
+        "iteration int, pair string, merged string, pair_count bigint,"
+        " left_count bigint, right_count bigint, score double",
+    )
+
+
+# ---- PMI-ranked collocations
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@register(
+    "pmi_top_collocations",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+uni AS (SELECT tok, count(*) AS c
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+nu AS (SELECT sum(c) AS n FROM uni),
+bi AS (SELECT bigram, count(*) AS c FROM (
+  SELECT unnest(list_transform(range(1, len(toks)),
+         i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2) GROUP BY bigram),
+nb AS (SELECT sum(c) AS n FROM bi),
+scored AS (
+  SELECT b.bigram, b.c AS pair_count, ua.c AS left_count, ub.c AS right_count,
+         (CAST(b.c AS DOUBLE) / CAST((SELECT n FROM nb) AS DOUBLE))
+         / ((CAST(ua.c AS DOUBLE) / CAST((SELECT n FROM nu) AS DOUBLE))
+            * (CAST(ub.c AS DOUBLE) / CAST((SELECT n FROM nu) AS DOUBLE))) AS pmi_ratio
+  FROM bi b
+  JOIN uni ua ON ua.tok = string_split(b.bigram, ' ')[1]
+  JOIN uni ub ON ub.tok = string_split(b.bigram, ' ')[2]
+  WHERE b.c >= {_PMI_MIN_COUNT})
+SELECT bigram, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(left_count AS BIGINT) AS left_count,
+       CAST(right_count AS BIGINT) AS right_count, pmi_ratio
+FROM scored ORDER BY pmi_ratio DESC, bigram LIMIT {_PMI_TOPK}
+""",
+)
+def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top
+    bigrams by p(ab) / (p(a) p(b)) with a min-count support filter -
+    the phrase-detection signal (word2vec-style phrase building,
+    multi-word-expression extraction) beside vocab_top_bigrams'
+    raw-frequency ranking. PMI itself is log(ratio); log is monotone,
+    so ranking by the RATIO is ranking by PMI and the query stays
+    libm-free - the ratio is exact-integer counts pushed through a
+    pinned tree of double divisions, identical on both engines.
+    Scale shape: two map-side-combining count aggregations
+    (vocabulary-sized outputs), two joins against the unigram table
+    (vocab-sized - broadcastable), two scalar-aggregate crossJoins
+    (1-row broadcast slivers), and a TakeOrdered top-20 - the corpus
+    text never shuffles."""
+    d = _docs(spark, sf_dir)
+    toked = d.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    uni = (
+        toked.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = toked.filter(F.size("__toks") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("__toks"), i),
+            F.element_at(F.col("__toks"), i + F.lit(1)),
+        ),
+    )
+    bi_all = (
+        big.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    bi = bi_all.filter(F.col("pair_count") >= _PMI_MIN_COUNT)
+    nu = uni.agg(F.sum("c").alias("n_uni"))
+    nb_all = bi_all.agg(F.sum("pair_count").alias("n_bi"))
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    scored = (
+        bi.withColumn("lft", F.split(F.col("bigram"), " ").getItem(0))
+        .withColumn("rgt", F.split(F.col("bigram"), " ").getItem(1))
+        .join(uni.selectExpr("tok AS lft", "c AS left_count"), "lft")
+        .join(uni.selectExpr("tok AS rgt", "c AS right_count"), "rgt")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb_all))
+        .select(
+            "bigram",
+            "pair_count",
+            "left_count",
+            "right_count",
+            (
+                (dbl(F.col("pair_count")) / dbl(F.col("n_bi")))
+                / (
+                    (dbl(F.col("left_count")) / dbl(F.col("n_uni")))
+                    * (dbl(F.col("right_count")) / dbl(F.col("n_uni")))
+                )
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), F.col("bigram").asc()
+    ).limit(_PMI_TOPK)

@@ -1,0 +1,123 @@
+"""operators/wordpiece.py - likelihood-scored merges pinned bit-equal
+to a pure-Python replay, the score-vs-frequency divergence from BPE,
+and symbolization/merged-name conventions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_downtime_monitor_on_aws_spark.operators.wordpiece import (
+    merged_name,
+    wordpiece_segment,
+    wordpiece_train_merges,
+    wp_symbolized_words,
+)
+
+
+def _py_wordpiece(texts, n_merges):
+    """Exact replay of the operator's arithmetic: occurrence counts,
+    score = double(c_ab) / (double(c_a) * double(c_b)), argmax by
+    (score desc, pair asc), greedy left-to-right merge application."""
+    words = []
+    for t in texts:
+        for w in t.split():
+            words.append([w[0]] + [f"##{c}" for c in w[1:]])
+    out = []
+    for it in range(1, n_merges + 1):
+        sc, pc = {}, {}
+        for syms in words:
+            for s in syms:
+                sc[s] = sc.get(s, 0) + 1
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + 1
+        if not pc:
+            break
+        scored = {
+            p: float(c) / (float(sc[p[0]]) * float(sc[p[1]]))
+            for p, c in pc.items()
+        }
+        best = min(scored, key=lambda p: (-scored[p], f"{p[0]} {p[1]}"))
+        pair = f"{best[0]} {best[1]}"
+        merged = merged_name(pair)
+        out.append(
+            {
+                "iteration": it,
+                "pair": pair,
+                "merged": merged,
+                "pair_count": pc[best],
+                "left_count": sc[best[0]],
+                "right_count": sc[best[1]],
+                "score": scored[best],
+            }
+        )
+        nxt = []
+        for syms in words:
+            res = []
+            for s in syms:
+                if res and res[-1] == best[0] and s == best[1]:
+                    res[-1] = merged
+                else:
+                    res.append(s)
+            nxt.append(res)
+        words = nxt
+    return out, words
+
+
+TEXTS = [
+    "unhappy unhappy undo redo redo redo",
+    "happy happy sun fun fun run",
+    "do so do",
+]
+
+
+def test_train_matches_python_model_bit_exact(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    got = wordpiece_train_merges(df, "text", 4)
+    want, _ = _py_wordpiece(TEXTS, 4)
+    assert got == want  # ints exact AND the score doubles bit-equal
+
+
+def test_score_diverges_from_frequency_argmax(spark):
+    """The defining WordPiece property: a rare-but-exclusive pair
+    (q ##z below: both symbols occur ONLY together, score 1/c) beats
+    the most frequent pair made of promiscuous symbols."""
+    texts = ["qz", "ab ab ab ab ab ba ba ba ab a b"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m = wordpiece_train_merges(df, "text", 1)[0]
+    assert m["pair"] == "q ##z" and m["merged"] == "qz"
+    assert m["pair_count"] == 1  # NOT the frequency argmax ('a ##b' x6)
+    assert m["score"] == 1.0
+
+
+def test_symbolization_and_merged_names(spark):
+    df = spark.createDataFrame([(0, "abc x")], "doc_id long, text string")
+    syms = {r.sym for r in wp_symbolized_words(df, "text").collect()}
+    assert syms == {"a ##b ##c", "x"}
+    assert merged_name("a ##b") == "ab"
+    assert merged_name("##b ##c") == "##bc"
+
+
+def test_segment_replays_training_state(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges = wordpiece_train_merges(df, "text", 3)
+    seg = wordpiece_segment(df, "text", merges)
+    got = [
+        s
+        for r in seg.orderBy("doc_id").collect()
+        for s in [x.split(" ") for x in r.wp_symbols]
+    ]
+    _, want = _py_wordpiece(TEXTS, 3)
+    assert got == want
+
+
+def test_requires_positive_merges(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_merges"):
+        wordpiece_train_merges(df, "text", 0)
