@@ -2801,3 +2801,40 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_ratio").desc(), F.col("bigram").asc()
     ).limit(_PMI_TOPK)
+
+
+# ---- Exact all-pairs Jaccard join (prefix filtering)
+
+@register(
+    "allpairs_exact_jaccard",
+    oracle=f"""
+WITH sh_t AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+           / CAST(len(a.sh) + len(b.sh)
+                  - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+           AS jaccard
+  FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+""",
+)
+def allpairs_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard join (operators/allpairs.py, the
+    AllPairs/PPJoin prefix-filtering family): every document pair
+    with 5-gram-shingle Jaccard >= 0.5, with zero false negatives -
+    unlike the MinHash queries, which probabilistically miss pairs
+    landing in no shared band. The oracle brute-forces ALL n*(n-1)/2
+    pairs in DuckDB, so the hash match is a machine-checked
+    losslessness proof for the prefix-filter candidate generation.
+    Scale shape: no global sort (the rarity order is realized
+    per-document by sorting its own struct array), candidates join
+    on each doc's few RAREST shingles, and exact verification runs
+    only on the surviving sliver - the relational form of the
+    standard exact similarity-join used when recall guarantees
+    matter (benchmark decontamination, takedown compliance)."""
+    from ..operators.allpairs import allpairs_jaccard_join
+
+    d = _docs(spark, sf_dir)
+    return allpairs_jaccard_join(d, "doc_id", "text", 0.5, _SHINGLE_N)
