@@ -2838,3 +2838,84 @@ def allpairs_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return allpairs_jaccard_join(d, "doc_id", "text", 0.5, _SHINGLE_N)
+
+
+# ---- Incremental exact near-dup over a persisted shingle index
+
+@register(
+    "incremental_exact_neardup",
+    oracle=f"""
+WITH sh_t AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
+b AS (SELECT * FROM sh_t WHERE doc_id % 10 = 0),
+h AS (SELECT * FROM sh_t WHERE doc_id % 10 <> 0),
+up AS (
+  SELECT h.doc_id AS x, b.doc_id AS y, h.sh AS sx, b.sh AS sy FROM h, b
+  UNION ALL
+  SELECT p.doc_id, q.doc_id, p.sh, q.sh FROM b p JOIN b q ON p.doc_id < q.doc_id
+),
+scored AS (
+  SELECT least(x, y) AS doc_a, greatest(x, y) AS doc_b,
+         CAST(len(list_filter(sx, e -> list_contains(sy, e))) AS DOUBLE)
+           / CAST(len(sx) + len(sy)
+                  - len(list_filter(sx, e -> list_contains(sy, e))) AS DOUBLE)
+           AS jaccard
+  FROM up
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+""",
+)
+def incremental_exact_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(batch) EXACT near-dedup against a PERSISTED shingle-postings
+    index (operators/allpairs.incremental_exact_jaccard): every pair
+    with Jaccard >= 0.5 touching the arriving batch (docs with
+    doc_id % 10 = 0; the rest is indexed history), zero false
+    negatives - the lossless steady-state twin of the minhash
+    incremental probe, for compliance-grade dedup. The count-join
+    identity makes one bucketed join + one pair aggregation compute
+    exact intersection sizes directly (candidates and verification
+    in a single pass; non-overlapping pairs never materialize). The
+    index is build-if-absent keyed by the corpus file's identity
+    (the neardup_pagerank_from_store discipline); the oracle
+    brute-forces every history-x-batch and batch-x-batch pair in
+    DuckDB - a hash match machine-checks losslessness of the whole
+    index+probe lifecycle."""
+    import hashlib
+    import os
+
+    from ..operators.allpairs import (
+        incremental_exact_jaccard,
+        shingle_postings,
+        write_shingle_index,
+    )
+
+    pin_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:{_SHINGLE_N}"
+    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
+    table = f"spark_graft_shx_{tag}"
+    d = _docs(spark, sf_dir)
+    if not spark.catalog.tableExists(table):
+        # table registrations are SESSION-scoped but the managed
+        # location persists in the warehouse dir: a fresh session
+        # would hit LOCATION_ALREADY_EXISTS on rebuild. Clear the
+        # stale location first - the bucketing metadata (and the
+        # stamped params) lived in the dead session's catalog, so the
+        # files alone are not a usable index anyway.
+        from .. import fsio
+
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = f"{wh.rstrip('/')}/{table}"
+        if fsio.exists(spark, loc):
+            fsio.delete(spark, loc)
+        hist = d.filter(F.col("doc_id") % 10 != 0)
+        write_shingle_index(
+            shingle_postings(hist, "doc_id", "text", _SHINGLE_N),
+            table,
+            num_buckets=16,
+            shingle_n=_SHINGLE_N,
+        )
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    return incremental_exact_jaccard(
+        spark, batch, "doc_id", "text", table, 0.5, _SHINGLE_N
+    )
