@@ -320,3 +320,69 @@ def incremental_exact_jaccard(
             "jaccard",
         )
     )
+
+
+# ---- shingle-index maintenance: recover / compact / purge
+#
+# The minhash index's lifecycle discipline applies verbatim - the
+# swap core (operators/dedup._swap_rewritten_index), the two-rename
+# crash window and its healing, and the stamped-params re-stamp are
+# all shared code parameterized on the bucket column, so the two
+# indexes cannot drift apart in their filesystem behavior.
+
+def recover_shingle_index(spark, table_name: str) -> bool:
+    """Heal a compaction/purge interrupted mid-swap (two catalog
+    renames; a crash between them leaves the live name missing while
+    a complete copy exists under a side name). Shared with minhash:
+    the recovery logic never touches the bucket column."""
+    from .dedup import recover_minhash_index
+
+    return recover_minhash_index(spark, table_name)
+
+
+def compact_shingle_index(spark, table_name: str) -> None:
+    """Fold a sustained-append postings table back to one file per
+    bucket, dropping verbatim duplicate rows (crash re-appends),
+    preserving the CLUSTERED BY (shingle) spec and stamped params
+    the shuffle-free probe stands on. O(index); gate it by file
+    count like compact_minhash_index_if_needed."""
+    from .dedup import _swap_rewritten_index
+
+    _swap_rewritten_index(
+        spark, table_name, spark.table(table_name), bucket_col="shingle"
+    )
+
+
+def purge_from_shingle_index(
+    spark, table_name: str, doc_ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Targeted deletion (takedown / right-to-be-forgotten): remove
+    every posting row of the given documents, preserving the bucketed
+    layout. Returns the number of distinct indexed documents actually
+    removed; idempotent (zero hits -> zero rewrites). Honest cost:
+    postings are bucketed on shingle, so doc rows have no pruned
+    location - a purge is an O(index) bucket-preserving rewrite
+    (batch takedowns; piggyback a due compaction, the rewrite doubles
+    as one). Correctness note specific to THIS index: a purged doc's
+    rows also carried its ``sz`` payload, so after the rewrite the
+    doc is fully gone - no partial-row state can skew any future
+    pair's intersection count."""
+    from .dedup import _swap_rewritten_index
+
+    recover_shingle_index(spark, table_name)
+    spark.catalog.refreshTable(table_name)
+    ids = doc_ids.select(F.col(id_col).alias("__pid")).distinct()
+    tbl = spark.table(table_name)
+    n = (
+        tbl.join(F.broadcast(ids), tbl["doc_id"] == F.col("__pid"), "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    if n == 0:
+        return 0
+    remaining = tbl.join(
+        F.broadcast(ids), tbl["doc_id"] == F.col("__pid"), "left_anti"
+    )
+    _swap_rewritten_index(spark, table_name, remaining, bucket_col="shingle")
+    return n

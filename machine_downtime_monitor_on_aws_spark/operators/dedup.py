@@ -1300,27 +1300,32 @@ def compact_minhash_index(spark, table_name: str) -> None:
     _swap_rewritten_index(spark, table_name, spark.table(table_name))
 
 
-def _swap_rewritten_index(spark, table_name: str, frame: DataFrame) -> None:
+def _swap_rewritten_index(
+    spark, table_name: str, frame: DataFrame, bucket_col: str = "band_key"
+) -> None:
     """Shared rewrite-and-swap core of compaction and purge: write
     ``frame`` as a fresh bucketed copy (one file per bucket, verbatim
     duplicates dropped) under ``__compacting``, re-stamp the signature
     params, then two-rename swap. The crash window and its healing
-    (:func:`recover_minhash_index`) are identical for both callers."""
+    (:func:`recover_minhash_index`) are identical for both callers.
+    ``bucket_col`` parameterizes the layout so every bucketed index
+    (minhash band_key, allpairs shingle postings) shares one swap
+    discipline."""
     params = read_minhash_index_params(spark, table_name)
     stats = minhash_index_stats(spark, table_name)
     nb = stats["num_buckets"]
     if nb <= 0:
-        raise ValueError(f"{table_name!r} is not a bucketed minhash index")
+        raise ValueError(f"{table_name!r} is not a bucketed index")
     tmp = f"{table_name}__compacting"
     old = f"{table_name}__old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     (
-        frame.repartition(nb, "band_key")
+        frame.repartition(nb, bucket_col)
         .dropDuplicates()
         .write.format("parquet")
         .mode("overwrite")
-        .bucketBy(nb, "band_key")
+        .bucketBy(nb, bucket_col)
         .saveAsTable(tmp)
     )
     _stamp_index_params(spark, tmp, **{k: params.get(k) for k in _IDX_PROPS})

@@ -247,3 +247,67 @@ def test_incremental_exact_skew_valve_only_lowers(spark):
         assert (1, 100) in exact  # the true near-dup survives exact mode
     finally:
         spark.sql("DROP TABLE IF EXISTS shx_skew")
+
+
+def test_shingle_index_purge_compact_recover(spark):
+    """Lifecycle maintenance: purge removes exactly the targeted
+    docs' postings (idempotent, layout-preserving - probes keep their
+    exactness after it), compaction folds crash re-appends, and an
+    interrupted swap heals."""
+    from machine_downtime_monitor_on_aws_spark.operators.allpairs import (
+        append_to_shingle_index,
+        compact_shingle_index,
+        incremental_exact_jaccard,
+        purge_from_shingle_index,
+        recover_shingle_index,
+        shingle_postings,
+        write_shingle_index,
+    )
+
+    hist = _inc_corpus(
+        spark,
+        [(1, "p q r s t u"), (2, "z y x w v u"), (3, "p q r s t u")],
+    )
+    new = _inc_corpus(spark, [(100, "p q r s t u")])
+    t = "shx_maint"
+    try:
+        po = shingle_postings(hist, "doc_id", "text", 2, parallelism=2)
+        write_shingle_index(po, t, num_buckets=4, shingle_n=2)
+        probe = lambda: {  # noqa: E731
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in incremental_exact_jaccard(
+                spark, new, "doc_id", "text", t, 0.5, 2
+            ).collect()
+        }
+        assert set(probe()) == {(1, 100), (3, 100)}
+
+        # purge doc 1: exactly its pairs disappear, survivors intact
+        ids = spark.createDataFrame([(1,)], "doc_id long")
+        assert purge_from_shingle_index(spark, t, ids) == 1
+        assert set(probe()) == {(3, 100)}
+        assert purge_from_shingle_index(spark, t, ids) == 0  # idempotent
+        # layout survived the rewrite: stamped param still enforced
+        with pytest.raises(Exception, match="shingle_n"):
+            incremental_exact_jaccard(spark, new, "doc_id", "text", t, 0.5, 4)
+
+        # crash re-append then compaction: probe results never change
+        po3 = shingle_postings(
+            hist.filter("doc_id = 3"), "doc_id", "text", 2, parallelism=2
+        )
+        append_to_shingle_index(po3, t, num_buckets=4, shingle_n=2)  # replay
+        before = probe()
+        compact_shingle_index(spark, t)
+        assert probe() == before
+        n_rows = spark.table(t).count()
+        assert (
+            spark.table(t).dropDuplicates(["shingle", "doc_id"]).count() == n_rows
+        )  # compaction folded the verbatim re-append
+
+        # interrupted swap: live name missing, side copy present
+        spark.sql(f"ALTER TABLE {t} RENAME TO {t}__old")
+        assert recover_shingle_index(spark, t) is True
+        assert probe() == before
+        assert recover_shingle_index(spark, t) is False  # no-op when live
+    finally:
+        for side in (t, f"{t}__old", f"{t}__compacting"):
+            spark.sql(f"DROP TABLE IF EXISTS {side}")
