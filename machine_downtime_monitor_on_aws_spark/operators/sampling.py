@@ -504,3 +504,71 @@ def kmv_distinct_estimate(
         )
         .alias("kmv_estimate"),
     )
+
+
+def largest_remainder_allocation(
+    weights: DataFrame,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Hamilton (largest-remainder) apportionment: split an integer
+    ``budget`` across groups proportionally to integer ``weight_col``,
+    exactly - floor every quota, then hand the leftover units to the
+    largest fractional remainders (ties: group asc). The mixture
+    PLANNER a training run needs upstream of the samplers: target
+    shares come from a mixing policy (e.g. the alpha=0.5 sqrt
+    weights), and this turns them into per-source token/doc counts
+    that sum to the budget EXACTLY - no drift for the epoch
+    scheduler to absorb.
+
+    Exactness: weights are integers (callers quantize rational
+    policies, e.g. the 1e-9 sqrt scheme), quotas are one pinned tree
+    of double ops (budget * w / total), floors/remainders derive from
+    them, and the remainder ranking is a deterministic
+    (rem desc, group asc) order - every step engine-identical, so
+    the whole apportionment is oracle-exact. Scale shape: one
+    map-side-combining total, one broadcast of the 1-row scalar, a
+    window over the per-group SLIVER (S rows - groups, never corpus),
+    zero corpus shuffles."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    tot = weights.agg(F.sum(F.col(weight_col)).alias("__tot"))
+    based = weights.crossJoin(F.broadcast(tot)).select(
+        F.col(group_col).alias("group"),
+        F.col(weight_col).alias("weight"),
+        (
+            F.lit(budget).cast("double")
+            * F.col(weight_col).cast("double")
+            / F.col("__tot").cast("double")
+        ).alias("quota"),
+    )
+    based = based.select(
+        "group",
+        "weight",
+        "quota",
+        F.floor(F.col("quota")).cast("long").alias("alloc_floor"),
+        (F.col("quota") - F.floor(F.col("quota"))).alias("__rem"),
+    )
+    leftover = based.agg(
+        (F.lit(budget) - F.sum("alloc_floor")).alias("__left")
+    )
+    w = Window.orderBy(F.col("__rem").desc(), F.col("group").asc())
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            "group",
+            "weight",
+            "quota",
+            "alloc_floor",
+            (
+                F.col("alloc_floor")
+                + F.when(F.col("__rk") <= F.col("__left"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("allocation"),
+        )
+    )

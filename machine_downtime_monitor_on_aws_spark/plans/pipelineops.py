@@ -727,3 +727,81 @@ def bloom_prefilter_fp_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum(F.when(F.col("__actual").isNotNull(), 1).otherwise(0))
         ).alias("false_pos"),
     )
+
+
+# ---- Hamilton (largest-remainder) mixture apportionment
+
+_ALLOC_BUDGET = 100_000
+
+
+@register(
+    "mixture_token_allocation",
+    oracle=f"""
+WITH nt AS (
+  SELECT source, CAST(sum(len({_TOKENS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+wt AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000000.0 + 0.5)
+              AS BIGINT) AS weight
+  FROM nt
+),
+tot AS (SELECT CAST(sum(weight) AS BIGINT) AS t FROM wt),
+based AS (
+  SELECT source, n_tokens, weight,
+         CAST({_ALLOC_BUDGET} AS DOUBLE) * CAST(weight AS DOUBLE)
+           / CAST((SELECT t FROM tot) AS DOUBLE) AS quota
+  FROM wt
+),
+fl AS (
+  SELECT source, n_tokens, weight, quota,
+         CAST(floor(quota) AS BIGINT) AS alloc_floor,
+         quota - floor(quota) AS rem
+  FROM based
+),
+lv AS (SELECT {_ALLOC_BUDGET} - CAST(sum(alloc_floor) AS BIGINT) AS lft FROM fl)
+SELECT source, n_tokens, weight, quota, alloc_floor,
+       CAST(alloc_floor + CASE WHEN row_number()
+                OVER (ORDER BY rem DESC, source ASC) <= (SELECT lft FROM lv)
+            THEN 1 ELSE 0 END AS BIGINT) AS allocation
+FROM fl
+""",
+)
+def mixture_token_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning (operators/sampling.
+    largest_remainder_allocation): apportion a fixed token budget
+    across sources proportionally to the alpha=0.5 temperature
+    weights (quantized sqrt of per-source token counts), by Hamilton
+    largest-remainder - floors plus leftover units to the biggest
+    fractional remainders, so the per-source integer allocations sum
+    to the budget EXACTLY. This is the planner upstream of the
+    hash-threshold samplers: policies make shares, this makes exact
+    integer counts. Every step (quantized weights, one pinned
+    double tree for quotas, remainder ranking) is engine-identical,
+    so the whole plan hash-matches. Scale shape: one per-source
+    aggregation over the corpus; everything after runs on the
+    S-row sliver."""
+    from ..operators.sampling import largest_remainder_allocation
+
+    d = _docs(spark, sf_dir)
+    nt = d.groupBy("source").agg(
+        F.sum(token_count(F.col("text"))).alias("n_tokens")
+    )
+    wt = nt.withColumn(
+        "weight",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e9) + F.lit(0.5)
+        ).cast("long"),
+    )
+    alloc = largest_remainder_allocation(wt, "source", "weight", _ALLOC_BUDGET)
+    return alloc.join(
+        wt.select(F.col("source").alias("group"), "n_tokens"), "group"
+    ).select(
+        F.col("group").alias("source"),
+        "n_tokens",
+        "weight",
+        "quota",
+        "alloc_floor",
+        "allocation",
+    )

@@ -177,3 +177,40 @@ def test_kmv_distinct_estimate_fallback_and_accuracy(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         kmv_distinct_estimate(big, "v", k=1)
+
+
+def test_largest_remainder_allocation_properties(spark):
+    """Hamilton apportionment: allocations sum to the budget exactly,
+    each is floor(quota) or floor+1, leftovers go to the largest
+    remainders with group-asc ties, zero-weight groups get zero, and
+    budget=0 / degenerate single-group cases hold."""
+    import pytest as _pt
+
+    from machine_downtime_monitor_on_aws_spark.operators.sampling import (
+        largest_remainder_allocation,
+    )
+
+    w = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3), ("d", 0)], "g string, w long"
+    )
+    got = {
+        r.group: (r.quota, r.alloc_floor, r.allocation)
+        for r in largest_remainder_allocation(w, "g", "w", 10).collect()
+    }
+    assert sum(v[2] for v in got.values()) == 10
+    for q, fl, al in got.values():
+        assert al in (fl, fl + 1)
+    # quotas: a=50/11=4.54.., b=c=30/11=2.72.., d=0 -> floors 4,2,2,0
+    # leftover 2 -> remainders .72 (b, c) beat .54 (a); b before c is
+    # irrelevant here (both get one), but a must NOT get an extra
+    assert got["a"][2] == 4 and got["b"][2] == 3 and got["c"][2] == 3
+    assert got["d"] == (0.0, 0, 0)
+
+    solo = largest_remainder_allocation(
+        spark.createDataFrame([("x", 7)], "g string, w long"), "g", "w", 5
+    ).collect()
+    assert solo[0].allocation == 5
+    zero = largest_remainder_allocation(w, "g", "w", 0).collect()
+    assert all(r.allocation == 0 for r in zero)
+    with _pt.raises(ValueError, match="budget"):
+        largest_remainder_allocation(w, "g", "w", -1)
