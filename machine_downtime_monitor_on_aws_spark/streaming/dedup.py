@@ -404,3 +404,151 @@ def run_incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_exact_dedup_stream(
+    doc_stream: DataFrame,
+    index_table: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 5,
+    num_buckets: int = 64,
+    parallelism: int | None = None,
+    max_shingle_df: int | None = None,
+    compact_max_files_per_bucket: int | None = None,
+    takedown_requests_path: str | None = None,
+) -> StreamingQuery:
+    """The EXACT (zero-false-negative) twin of
+    :func:`run_incremental_dedup_stream`, for compliance-grade
+    continuously-ingesting dedup: each micro-batch probes the
+    persisted shingle-postings index with the count-join
+    (operators/allpairs.incremental_exact_jaccard - every pair with
+    Jaccard >= threshold touching the batch, verified exactly, in
+    one bucketed join), lands VERIFIED pairs (with their jaccard) in
+    an epoch-partitioned sink, and appends its postings so the next
+    batch probes against them.
+
+    Crash semantics mirror the minhash loop exactly - epoch markers
+    gate committed replays, the pairs sink is a dynamic overwrite
+    keyed by the checkpoint-lineage token, and the index is a plain
+    bucketed append whose crash re-appends are COUNT-SAFE: the
+    probe's (shingle, doc_id) dedupe rides the bucketing, so a
+    replayed batch's duplicate posting rows can never inflate an
+    intersection count (tested; a corrupted count would skew
+    jaccard, a stronger hazard than minhash's duplicate pairs).
+
+    ``takedown_requests_path`` drains pending id batches through
+    :func:`~..operators.allpairs.purge_from_shingle_index` after each
+    committed epoch (one layout-preserving rewrite per drain, the
+    rewrite doubling as a compaction - it runs before the file-count
+    gate); ``compact_max_files_per_bucket`` bounds append file growth
+    via the shared stats + compact path."""
+    from ..operators.allpairs import (
+        allpairs_jaccard_join,
+        append_to_shingle_index,
+        compact_shingle_index,
+        incremental_exact_jaccard,
+        purge_from_shingle_index,
+        recover_shingle_index,
+        shingle_postings,
+        write_shingle_index,
+    )
+    from ..operators.dedup import minhash_index_stats
+
+    spark = doc_stream.sparkSession
+    recover_shingle_index(spark, index_table)
+    token = _checkpoint_sink_token(spark, checkpoint_dir)
+    marker_dir = checkpoint_dir.rstrip("/") + "/exact_dedup_epochs"
+    fsio.mkdirs(spark, marker_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_val = f"{token}-{epoch_id}"
+        marker = f"{marker_dir}/{epoch_val}"
+        if fsio.exists(spark, marker):
+            return
+        batch = _tracked_local_checkpoint(
+            batch_df.select(F.col(id_col), F.col(text_col))
+        )
+        pairs = None
+        try:
+            index_exists = spark.catalog.tableExists(index_table)
+            if index_exists:
+                pairs = incremental_exact_jaccard(
+                    spark,
+                    batch,
+                    id_col,
+                    text_col,
+                    index_table,
+                    threshold,
+                    shingle_n,
+                    max_shingle_df=max_shingle_df,
+                )
+            else:
+                pairs = allpairs_jaccard_join(
+                    batch, id_col, text_col, threshold, shingle_n
+                )
+            pairs = _tracked_local_checkpoint(pairs)
+            if pairs.count() > 0:
+                pairs.withColumn("__epoch_id", F.lit(epoch_val)).write.mode(
+                    "overwrite"
+                ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                    "__epoch_id"
+                ).parquet(pairs_path)
+            po = shingle_postings(
+                batch, id_col, text_col, shingle_n, parallelism=parallelism
+            )
+            if index_exists:
+                append_to_shingle_index(
+                    po, index_table, num_buckets, shingle_n=shingle_n
+                )
+            else:
+                write_shingle_index(
+                    po, index_table, num_buckets, shingle_n=shingle_n
+                )
+            spark.catalog.refreshTable(index_table)
+            fsio.write_text_atomic(spark, marker, epoch_val)
+            for old in fsio.list_names(spark, marker_dir):
+                if old == epoch_val or old.endswith(".tmp") or old.startswith("."):
+                    continue
+                old_tok, _, old_eid = old.rpartition("-")
+                stale = old_tok != token or (
+                    old_eid.isdigit() and int(old_eid) < epoch_id
+                )
+                if stale:
+                    fsio.delete(spark, f"{marker_dir}/{old}", recursive=False)
+            if takedown_requests_path is not None:
+                pending = takedown_requests_path.rstrip("/") + "/pending"
+                if any(
+                    f.endswith(".parquet")
+                    for f in fsio.list_files_recursive(spark, pending)
+                ):
+                    ids = spark.read.parquet(pending).select(id_col).distinct()
+                    purge_from_shingle_index(
+                        spark, index_table, ids, id_col=id_col
+                    )
+                    fsio.rename(
+                        spark,
+                        pending,
+                        takedown_requests_path.rstrip("/") + f"/done-{epoch_val}",
+                    )
+            if compact_max_files_per_bucket is not None:
+                recover_shingle_index(spark, index_table)
+                stats = minhash_index_stats(spark, index_table)
+                if stats["n_files"] > compact_max_files_per_bucket * max(
+                    stats["num_buckets"], 1
+                ):
+                    compact_shingle_index(spark, index_table)
+        finally:
+            release_checkpoint(batch)
+            if pairs is not None:
+                release_checkpoint(pairs)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1921,3 +1921,89 @@ def test_epoch_layout_guards(spark, tmp_path):
     build_ivf_index(df, epochy, 4, 2, epoch_partitioned=True)
     with pytest.raises(ValueError, match="epoch-partitioned"):
         append_to_ivf_index(df, epochy, 2)
+
+
+def test_streaming_exact_dedup_loop(spark, tmp_path):
+    """The exact-index steady-state loop: batch 1 bootstraps the
+    postings table and finds its internal pair WITH its exact
+    jaccard; batch 2 pairs against history and itself; a takedown
+    drain purges a doc and subsequent probes see only survivors;
+    restart with no new data is a no-op."""
+    from machine_downtime_monitor_on_aws_spark.streaming.dedup import (
+        run_exact_dedup_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    pairs_path = str(tmp_path / "pairs")
+    takedown = str(tmp_path / "takedown")
+    os.makedirs(src)
+    table = "sdedup_exact_test"
+
+    def stream():
+        return spark.readStream.schema("doc_id long, text string").json(src)
+
+    def run():
+        q = run_exact_dedup_stream(
+            stream(), table, pairs_path, ckpt,
+            threshold=0.5, shingle_n=3, num_buckets=8, parallelism=4,
+            takedown_requests_path=takedown,
+        )
+        q.awaitTermination(120)
+
+    try:
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in [
+                {"doc_id": 1, "text": "a duplicated body shared within the batch"},
+                {"doc_id": 2, "text": "a duplicated body shared within the batch"},
+                {"doc_id": 3, "text": "something entirely different and unique"},
+            ]))
+        run()
+        feed = spark.read.parquet(pairs_path)
+        p1 = {(r.doc_a, r.doc_b): r.jaccard for r in feed.collect()}
+        assert p1 == {(1, 2): 1.0}  # verified pairs carry exact J
+        assert spark.table(table).select("doc_id").distinct().count() == 3
+
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in [
+                {"doc_id": 10, "text": "a duplicated body shared within the batch"},
+                {"doc_id": 11, "text": "fresh new duplicated content here"},
+                {"doc_id": 12, "text": "fresh new duplicated content here"},
+            ]))
+        run()
+        p_all = {
+            (r.doc_a, r.doc_b) for r in spark.read.parquet(pairs_path).collect()
+        }
+        assert p_all == {(1, 2), (1, 10), (2, 10), (11, 12)}
+        assert spark.read.parquet(pairs_path).count() == 4  # exactly once
+        assert spark.table(table).select("doc_id").distinct().count() == 6
+
+        run()  # no new data: markers + checkpoint make it a no-op
+        assert spark.read.parquet(pairs_path).count() == 4
+
+        # takedown: doc 1 purges during the next epoch's drain
+        req = spark.createDataFrame([(1,)], "doc_id long")
+        req.write.parquet(takedown + "/pending")
+        with open(os.path.join(src, "b3.jsonl"), "w") as f:
+            f.write(json.dumps(
+                {"doc_id": 20, "text": "a duplicated body shared within the batch"}
+            ))
+        run()
+        # doc 20's probe ran BEFORE the drain (epoch-then-maintain),
+        # so it still saw doc 1; the NEXT epoch must not
+        assert not os.path.isdir(os.path.join(takedown, "pending"))
+        hist_ids = {r.doc_id for r in spark.table(table).select("doc_id").distinct().collect()}
+        assert 1 not in hist_ids and 20 in hist_ids
+        with open(os.path.join(src, "b4.jsonl"), "w") as f:
+            f.write(json.dumps(
+                {"doc_id": 30, "text": "a duplicated body shared within the batch"}
+            ))
+        run()
+        p30 = {
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(pairs_path).collect()
+            if r.doc_b == 30 or r.doc_a == 30
+        }
+        assert p30 == {(2, 30), (10, 30), (20, 30)}  # doc 1 is gone
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
