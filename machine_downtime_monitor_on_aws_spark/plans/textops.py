@@ -2919,3 +2919,68 @@ def incremental_exact_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_exact_jaccard(
         spark, batch, "doc_id", "text", table, 0.5, _SHINGLE_N
     )
+
+
+# ---- Lexical diversity (Simpson / type-token)
+
+@register(
+    "doc_lexical_diversity",
+    oracle=f"""
+WITH t AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+s AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS distinct_tokens,
+         CAST(sum(c * (c - 1)) AS BIGINT) AS rep_pairs
+  FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.distinct_tokens, 0) AS distinct_tokens,
+       CASE WHEN coalesce(s.n_tokens, 0) >= 1
+            THEN CAST(s.distinct_tokens AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS ttr,
+       CASE WHEN coalesce(s.n_tokens, 0) >= 2
+            THEN CAST(1.0 AS DOUBLE)
+                 - CAST(s.rep_pairs AS DOUBLE)
+                   / CAST(s.n_tokens * (s.n_tokens - 1) AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS simpson_diversity
+FROM documents d LEFT JOIN s USING (doc_id)
+""",
+)
+def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals, entirely rational: type-
+    token ratio and Simpson diversity 1 - sum(c_i(c_i-1))/(n(n-1)) -
+    the probability two token draws (without replacement) differ.
+    The libm-free stand-in for entropy-based diversity: the repeat
+    mass sum(c(c-1)) is an INTEGER, so one double division is the
+    only rounding anywhere and both engines agree bit-for-bit.
+    Template/boilerplate spam scores low and gets gated with the
+    other doc_quality signals. Scale shape: one (doc, token) count
+    aggregation and one per-doc rollup, both map-side-combining;
+    empty docs rejoin with zeros."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    c = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    s = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("rep_pairs"),
+    )
+    dbl = lambda col: col.cast("double")  # noqa: E731
+    return d.select("doc_id").join(s, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.col("distinct_tokens"), F.lit(0)).alias("distinct_tokens"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) >= 1,
+            dbl(F.col("distinct_tokens")) / dbl(F.col("n_tokens")),
+        ).otherwise(F.lit(0.0)).alias("ttr"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) >= 2,
+            F.lit(1.0)
+            - dbl(F.col("rep_pairs"))
+            / dbl(F.col("n_tokens") * (F.col("n_tokens") - 1)),
+        ).otherwise(F.lit(0.0)).alias("simpson_diversity"),
+    )

@@ -1343,3 +1343,63 @@ def semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_flags(assign, _SEMDEDUP_THRESHOLD, dim=_DIM).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster"), "kept"
     )
+
+
+# ---- Known-label retrieval quality: reciprocal rank
+
+@register(
+    "knn_label_mrr",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+ranked AS (
+  SELECT q.qid, q.qlabel, e.vec_id AS neighbor_id, e.label AS nlabel,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {_cos_sql('q.qv', 'e.v')} DESC,
+                                     e.vec_id ASC) AS rnk
+  FROM q JOIN e ON e.vec_id <> q.qid
+)
+SELECT qid, CAST(min(rnk) AS INT) AS first_relevant_rank,
+       CAST(1.0 AS DOUBLE) / CAST(min(rnk) AS DOUBLE) AS reciprocal_rank
+FROM ranked WHERE nlabel = qlabel
+GROUP BY qid
+""",
+)
+def knn_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation beside ivf_recall_at5: for each
+    query vector, the rank of the FIRST same-label neighbor under
+    the exact cosine ranking, and its reciprocal rank - the
+    known-item/MRR metric an embedding pipeline is tuned on.
+    Deliberately per-query rows (the mean is one quantized fold away
+    but the per-query ranks are the actionable signal), and
+    deliberately rational: rank is an integer and 1/rank one IEEE
+    division, so the metric hash-matches with no quantization.
+    Scale shape: queries broadcast, full ranking per query via the
+    per-key window (no global sort), label filter after ranking (the
+    rank must be the UNFILTERED retrieval rank)."""
+    from ..operators.similarity import brute_force_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    ranked = brute_force_topk(
+        e, q, (1 << 31) - 1, dim=_DIM,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    nl = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nl"))
+    ql = e.select(F.col("vec_id").alias("qid"), F.col("label").alias("__ql"))
+    first = (
+        ranked.join(nl, "neighbor_id")
+        .join(ql, "qid")
+        .filter(F.col("__nl") == F.col("__ql"))
+        .groupBy("qid")
+        .agg(F.min("rnk").alias("first_relevant_rank"))
+    )
+    return first.select(
+        "qid",
+        "first_relevant_rank",
+        (F.lit(1.0) / F.col("first_relevant_rank").cast("double")).alias(
+            "reciprocal_rank"
+        ),
+    )
