@@ -192,3 +192,104 @@ def wordpiece_segment(
         return sym
 
     return df.withColumn(out_col, F.transform(tokens(F.col(text_col)), seg))
+
+
+UNK = "[UNK]"
+
+
+def wordpiece_vocab(df: DataFrame, text_col: str, merges: list[dict]) -> list[str]:
+    """The trained WordPiece vocabulary: every base symbol the corpus
+    symbolization produces (bare word-initial chars + ##-continuation
+    chars - full character coverage by construction) plus every
+    merge's name, sorted. Driver-held like the merge list itself -
+    vocabulary-sized, never corpus-sized (ONE distinct-aggregation
+    collect)."""
+    base = [
+        r.s
+        for r in wp_symbolized_words(df, text_col)
+        .select(F.explode(F.split(F.col("sym"), " ")).alias("s"))
+        .distinct()
+        .collect()
+    ]
+    return sorted(set(base) | {m["merged"] for m in merges})
+
+
+def wordpiece_encode_words(
+    words: DataFrame,
+    word_col: str,
+    vocab: list[str],
+    n_steps: int,
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece ENCODING (the production
+    tokenize path, e.g. BERT's): at each position take the longest
+    vocab piece matching the remaining word (##-prefixed when not
+    word-initial); a position with no match makes the whole word
+    ``[UNK]`` - the standard whole-word-UNK semantics. This is NOT
+    merge replay (wordpiece_segment): longest-match can segment
+    unseen words differently, which is exactly why the encode path
+    needs its own operator and oracle.
+
+    One fold expression per word over ``n_steps`` steps (pass the
+    corpus max word length - each step consumes >= 1 char), with the
+    per-step longest match scanned longest-first against the vocab
+    LITERAL (vocabulary-sized - rides the plan like k-means
+    centroids; at a vocab too large for a literal, the same fold
+    runs against a broadcast map). Run it on DISTINCT words and join
+    back (the unigram_lm encode_docs Zipf trick): O(distinct words)
+    fold evaluations, not O(corpus tokens)."""
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    max_piece = max(
+        len(v[2:]) if v.startswith("##") else len(v) for v in vocab
+    )
+    vlit = F.lit(sorted(vocab)).cast("array<string>")
+    w = F.col(word_col)
+    ln = F.length(w)
+
+    def piece(pos, L):
+        return F.concat(
+            F.when(pos > 0, F.lit("##")).otherwise(F.lit("")),
+            F.substr(w, pos + 1, L),
+        )
+
+    init = F.struct(
+        F.lit(0).alias("pos"),
+        F.array().cast("array<string>").alias("pieces"),
+        F.lit(False).alias("failed"),
+    )
+
+    def step(acc, _):
+        pos, pieces, failed = acc["pos"], acc["pieces"], acc["failed"]
+        done = failed | (pos >= ln)
+        lens = F.filter(
+            F.sequence(F.lit(1), F.least(F.lit(max_piece), ln - pos)),
+            lambda l: F.array_contains(vlit, piece(pos, l)),
+        )
+        best = F.array_max(lens)
+        return (
+            F.when(done, acc)
+            .when(
+                best.isNull(),
+                F.struct(
+                    ln.alias("pos"),
+                    F.array(F.lit(UNK)).alias("pieces"),
+                    F.lit(True).alias("failed"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    (pos + best).alias("pos"),
+                    F.concat(pieces, F.array(piece(pos, best))).alias("pieces"),
+                    F.lit(False).alias("failed"),
+                )
+            )
+        )
+
+    state = F.aggregate(F.sequence(F.lit(1), F.lit(n_steps)), init, step)
+    # single-reference alias: the fold runs once; fields project out
+    return words.withColumn("__st", state).select(
+        *words.columns,
+        F.col("__st")["pieces"].alias(out_col),
+        F.col("__st")["failed"].alias("is_unk"),
+    )

@@ -2984,3 +2984,133 @@ def doc_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / dbl(F.col("n_tokens") * (F.col("n_tokens") - 1)),
         ).otherwise(F.lit(0.0)).alias("simpson_diversity"),
     )
+
+
+# ---- WordPiece greedy longest-match encoding
+
+_WP_ENC_MAXP = 6  # >= longest vocab piece after _WP_MERGES merges
+
+
+def _wp_encode_oracle(n_merges: int, maxp: int) -> str:
+    """Training chain + relationally-derived vocab + the greedy
+    longest-match encode as a RECURSIVE CTE over distinct words (one
+    step per emitted piece; plain column refs only). Deliberately NOT
+    a list_reduce fold: DuckDB 1.0's list_reduce miscomputes when
+    rows exit the fold at different steps and the lambda builds
+    row-dependent strings (verified minimal repro: appending
+    substr(acc.w, acc.pos+1, 1) per step yields another row's
+    characters) - the recursive CTE sidesteps lambdas entirely."""
+    parts = _wp_chain_ctes(n_merges)
+    vocab_union = "\nUNION\n".join(
+        f"SELECT merged AS s FROM m_{i}" for i in range(1, n_merges + 1)
+    )
+
+    def piece(L: int) -> str:
+        return (
+            "(CASE WHEN pos > 0 THEN '##' ELSE '' END)"
+            f" || substr(w, pos + 1, {L})"
+        )
+
+    best_cases = " ".join(
+        f"WHEN pos + {L} <= len(w) AND list_contains(lv, {piece(L)}) THEN {L}"
+        for L in range(maxp, 0, -1)
+    )
+    parts += [
+        f"""vocab AS (
+  SELECT DISTINCT s FROM (SELECT unnest(string_split(sym, ' ')) AS s FROM w_0)
+  UNION
+{vocab_union})""",
+        "vl AS (SELECT list(s ORDER BY s) AS lv FROM vocab)",
+        f"tok AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS w FROM documents)",
+        "dw AS (SELECT DISTINCT w FROM tok)",
+        f"""enc(w, pos, pieces, failed) AS (
+  SELECT w, 0, CAST([] AS VARCHAR[]), false FROM dw
+  UNION ALL
+  SELECT w,
+         CASE WHEN bl IS NULL THEN len(w) ELSE pos + bl END,
+         CASE WHEN bl IS NULL THEN ['[UNK]']
+              ELSE list_append(pieces,
+                     (CASE WHEN pos > 0 THEN '##' ELSE '' END)
+                       || substr(w, pos + 1, bl)) END,
+         bl IS NULL
+  FROM (
+    SELECT e.w, e.pos, e.pieces, (CASE {best_cases} ELSE NULL END) AS bl
+    FROM enc e, vl WHERE e.pos < len(e.w) AND NOT e.failed
+  ))""",
+        """fin AS (
+  SELECT w, pieces, failed FROM enc WHERE failed OR pos >= len(w))""",
+        """agg AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(f.pieces)) AS BIGINT) AS n_pieces,
+         CAST(sum(CASE WHEN f.failed THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
+  FROM tok t JOIN fin f USING (w) GROUP BY t.doc_id)""",
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(parts)
+        + """
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_pieces, 0) AS n_pieces,
+       coalesce(a.n_unk_words, 0) AS n_unk_words,
+       CASE WHEN coalesce(a.n_words, 0) >= 1
+            THEN CAST(a.n_pieces AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS fertility
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    )
+
+
+@register(
+    "wordpiece_doc_encoding",
+    oracle=_wp_encode_oracle(_WP_MERGES, _WP_ENC_MAXP),
+)
+def wordpiece_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match ENCODING over the corpus with
+    the vocabulary trained by wordpiece_first_merges - the
+    production tokenize path (BERT semantics incl. whole-word
+    [UNK]), distinct from merge replay: longest-match can segment a
+    word differently than training did, so the encode needs its own
+    oracle. Per doc: word/piece/UNK counts and fertility
+    (pieces per word, one IEEE division). The encode fold runs once
+    per DISTINCT word (Zipf: O(vocab of words), not O(corpus
+    tokens)) with the vocab riding the plan as a literal; documents
+    join the encoded word table and aggregate map-side. The oracle
+    re-derives the SAME vocab relationally and replays the greedy
+    match as a recursive CTE, so training, vocab assembly, encoding,
+    and the doc rollup all hash-match end to end."""
+    from ..operators.wordpiece import (
+        wordpiece_encode_words,
+        wordpiece_train_merges,
+        wordpiece_vocab,
+    )
+
+    d = _docs(spark, sf_dir)
+    merges = wordpiece_train_merges(d, "text", _WP_MERGES)
+    vocab = wordpiece_vocab(d, "text", merges)
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    n_steps = int(
+        tok.agg(F.max(F.length("w")).alias("m")).first()["m"] or 1
+    )
+    dw = tok.select("w").distinct()
+    enc = wordpiece_encode_words(dw, "w", vocab, n_steps)
+    agg = (
+        tok.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("pieces")).alias("n_pieces"),
+            F.sum(F.when(F.col("is_unk"), 1).otherwise(0)).alias(
+                "n_unk_words"
+            ),
+        )
+    )
+    return d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        F.coalesce(F.col("n_pieces"), F.lit(0)).alias("n_pieces"),
+        F.coalesce(F.col("n_unk_words"), F.lit(0)).alias("n_unk_words"),
+        F.when(
+            F.coalesce(F.col("n_words"), F.lit(0)) >= 1,
+            F.col("n_pieces").cast("double") / F.col("n_words").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("fertility"),
+    )

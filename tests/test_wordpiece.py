@@ -121,3 +121,80 @@ def test_requires_positive_merges(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n_merges"):
         wordpiece_train_merges(df, "text", 0)
+
+
+def _py_greedy(w, vocab, unk="[UNK]"):
+    maxp = max(len(v[2:]) if v.startswith("##") else len(v) for v in vocab)
+    pos, pieces = 0, []
+    while pos < len(w):
+        best = None
+        for L in range(min(maxp, len(w) - pos), 0, -1):
+            cand = ("##" if pos > 0 else "") + w[pos : pos + L]
+            if cand in vocab:
+                best = L
+                break
+        if best is None:
+            return [unk], True
+        pieces.append(("##" if pos > 0 else "") + w[pos : pos + best])
+        pos += best
+    return pieces, False
+
+
+def test_encode_matches_python_greedy_incl_unk(spark):
+    from machine_downtime_monitor_on_aws_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+    )
+
+    vocab = ["a", "b", "c", "##b", "##c", "ab", "##bc", "x"]
+    words = ["abc", "abcbc", "x", "q", "axq", "ab", "bcb"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r.w: (list(r.pieces), r.is_unk)
+        for r in wordpiece_encode_words(df, "w", vocab, 8).collect()
+    }
+    assert got == {w: _py_greedy(w, vocab) for w in words}
+    # the fixture is non-vacuous on BOTH paths: some UNK, some merged
+    assert got["q"] == (["[UNK]"], True)
+    assert got["abc"] == (["ab", "##c"], False)
+
+
+def test_encode_diverges_from_merge_replay(spark):
+    """The defining longest-match property: with 'abc' in the vocab
+    but NO 'ab' merge path taken during training replay, the greedy
+    encoder takes the longest piece in one bite."""
+    from machine_downtime_monitor_on_aws_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+    )
+
+    vocab = ["a", "b", "c", "##b", "##c", "##bc", "abc"]
+    df = spark.createDataFrame([("abc",)], "w string")
+    got = wordpiece_encode_words(df, "w", vocab, 8).collect()[0]
+    # merge replay from ['a','##b','##c'] could only reach
+    # ['a','##bc']; longest-match jumps straight to the full word
+    assert list(got.pieces) == ["abc"]
+
+
+def test_encode_corpus_has_zero_unk_by_coverage(spark):
+    """Training-corpus encode: the vocab contains every base symbol
+    by construction, so UNK is impossible on the training corpus
+    itself - pinned here because the catalog query can't exercise
+    the UNK branch (the unit fixture above does)."""
+    from machine_downtime_monitor_on_aws_spark.plans.catalog import REGISTRY
+
+    df = REGISTRY["wordpiece_doc_encoding"].fn(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert sum(r.n_unk_words for r in rows) == 0
+    # merges actually compress: fewer pieces than characters somewhere
+    assert any(r.n_pieces < r.n_words * 4 and r.n_words > 0 for r in rows)
+
+
+def test_encode_validates_steps(spark):
+    import pytest as _pt
+
+    from machine_downtime_monitor_on_aws_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+    )
+
+    df = spark.createDataFrame([("x",)], "w string")
+    with _pt.raises(ValueError, match="n_steps"):
+        wordpiece_encode_words(df, "w", ["x"], 0)
