@@ -157,25 +157,46 @@ def shingle_postings(
     text_col: str,
     shingle_n: int = 5,
     parallelism: int | None = None,
+    hoist: bool = True,
 ) -> DataFrame:
     """(shingle, doc_id, sz): one row per distinct shingle per doc,
     each carrying the doc's set size - the payload that lets a probe
     compute exact Jaccard without ever joining back to a doc table
-    (the minhash index's band-vector-as-payload discipline). Same
-    fused-projection discipline as allpairs_candidates: size() and
-    explode() both take the inline array expression - projection
-    subexpression elimination computes it once, and hoisting it into
-    its own select would cost the Generate fusion."""
+    (the minhash index's band-vector-as-payload discipline).
+
+    ``hoist`` picks between two physically different but
+    row-identical plans, because this projection needs BOTH size(sh)
+    and explode(sh) and the right shape depends on the consumer
+    (both measured at sf0.1, same-session interleaved A/B):
+
+    - hoist=True (default - the INDEX BUILD path, history-scale):
+      the array materializes as a column first. Inline, Catalyst
+      keeps the size() Project ABOVE the Generate and the whole
+      tokenize+shingle pipeline recomputes once per EXPLODED ROW -
+      a per-shingle ~50x blowup that the bucketed write pays through
+      its shuffle (build 14s inline vs 5s hoisted).
+    - hoist=False (the PROBE's batch postings): the fused inline
+      form. The batch is small, so the recompute is bounded, while
+      the hoisted extra projection costs the Generate its
+      whole-stage fusion on every probe (probe 2.6s inline vs 4.1s
+      hoisted).
+    """
     n_par = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    sh = F.array_distinct(shingles(F.col("__t"), shingle_n))
-    return (
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
-        .repartition(n_par)
-        .select(
-            "doc_id",
-            F.size(sh).alias("sz"),
-            F.explode(sh).alias("shingle"),
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t")
+    ).repartition(n_par)
+    if not hoist:
+        sh = F.array_distinct(shingles(F.col("__t"), shingle_n))
+        return base.select(
+            "doc_id", F.size(sh).alias("sz"), F.explode(sh).alias("shingle")
         )
+    return base.select(
+        "doc_id",
+        F.array_distinct(shingles(F.col("__t"), shingle_n)).alias("__sh"),
+    ).select(
+        "doc_id",
+        F.size("__sh").alias("sz"),
+        F.explode("__sh").alias("shingle"),
     )
 
 
@@ -285,10 +306,12 @@ def incremental_exact_jaccard(
             .filter(F.col("__n") <= max_shingle_df)
             .drop("__n")
         )
-    # referenced by THREE join legs - materialize the shingling once
-    bp = shingle_postings(batch, id_col, text_col, shingle_n).localCheckpoint(
-        eager=False
-    )
+    # referenced by THREE join legs - materialize the shingling once;
+    # hoist=False: the batch is small and the fused form keeps the
+    # Generate codegen'd (see shingle_postings' A/B numbers)
+    bp = shingle_postings(
+        batch, id_col, text_col, shingle_n, hoist=False
+    ).localCheckpoint(eager=False)
     probe = bp.selectExpr("shingle", "doc_id AS __db", "sz AS __sb")
     # two joins whose OUTPUTS union (a pre-join union would bury the
     # bucketed scan under the union's round-robin partitioning and
