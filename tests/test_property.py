@@ -558,3 +558,46 @@ def test_lloyd_partition_invariant_vs_model(seed, parts):
             ]
         cents = new
     assert got == cents
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=8),
+        min_size=2,
+        max_size=18,
+    ),
+    st.sampled_from([0.25, 0.4, 0.5, 0.75, 0.9]),
+)
+@settings(max_examples=8, deadline=None)
+def test_allpairs_join_is_lossless_and_exact(token_lists, threshold):
+    """Prefix-filtered exact Jaccard == brute force on random corpora:
+    the candidate generation may only over-admit (verification prunes
+    it), never drop a qualifying pair - keys AND jaccard doubles."""
+    import itertools
+
+    from machine_downtime_monitor_on_aws_spark.operators.allpairs import (
+        allpairs_jaccard_join,
+    )
+
+    spark = _spark()
+    rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in allpairs_jaccard_join(df, "doc_id", "text", threshold, 2).collect()
+    }
+
+    def sset(text):
+        toks = text.split()
+        if len(toks) < 2:
+            return {text.strip()}
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = sset(ta), sset(tb)
+        inter = len(sa & sb)
+        jac = float(inter) / float(len(sa) + len(sb) - inter)
+        if jac >= threshold:
+            want[(ia, ib)] = jac
+    assert got == want
