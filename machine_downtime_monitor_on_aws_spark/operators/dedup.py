@@ -1566,3 +1566,37 @@ def simhash64(
         f"shiftleft(CAST(__s{b} > 0 AS BIGINT), {b})" for b in range(64)
     )
     return sums.selectExpr("doc_id", f"({fp}) AS simhash")
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc_id, change, digest_a, digest_b): the content delta
+    between two corpus snapshots - ``added`` (only in b),
+    ``removed`` (only in a), ``changed`` (both, different md5).
+    Unchanged docs are dropped (the interesting output is the delta;
+    at 100 TB the delta is a sliver and the full outer join shuffles
+    32-byte digests, never text - the exact-dedup discipline). The
+    regression gate a data-ops pipeline runs between snapshot
+    publishes: an unexpected mass-removal or mass-change is a
+    pipeline bug surfacing as data."""
+    da = a.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest_a")
+    )
+    db = b.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest_b")
+    )
+    j = da.join(db, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("digest_a").isNull(), F.lit("added"))
+        .when(F.col("digest_b").isNull(), F.lit("removed"))
+        .when(F.col("digest_a") != F.col("digest_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+        "digest_a",
+        "digest_b",
+    ).filter(F.col("change") != "unchanged")

@@ -3114,3 +3114,100 @@ def wordpiece_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pieces").cast("double") / F.col("n_words").cast("double"),
         ).otherwise(F.lit(0.0)).alias("fertility"),
     )
+
+
+# ---- Snapshot diff + shingle-df skew diagnostic
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=f"""
+WITH a AS (SELECT doc_id, md5(text) AS digest_a FROM documents),
+b AS (
+  SELECT doc_id, md5(text || ' EDIT') AS digest_b
+  FROM documents WHERE doc_id % 10 = 7
+  UNION ALL
+  SELECT doc_id, md5(text) AS digest_b
+  FROM documents WHERE doc_id % 10 <> 7 AND doc_id % 10 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS digest_b
+  FROM documents WHERE doc_id % 10 = 5
+),
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.digest_a, b.digest_b
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+)
+SELECT doc_id,
+       CASE WHEN digest_a IS NULL THEN 'added'
+            WHEN digest_b IS NULL THEN 'removed'
+            WHEN digest_a <> digest_b THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       digest_a, digest_b
+FROM j
+WHERE (CASE WHEN digest_a IS NULL THEN 'added'
+            WHEN digest_b IS NULL THEN 'removed'
+            WHEN digest_a <> digest_b THEN 'changed'
+            ELSE 'unchanged' END) <> 'unchanged'
+""",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot regression diff (operators/dedup.snapshot_diff): the
+    content delta between two corpus snapshots - added / removed /
+    changed doc ids with their digests, unchanged dropped. Snapshot
+    B is derived from A with known edits (docs ending in 3 deleted,
+    ending in 7 text-edited, ending in 5 duplicated under new ids)
+    so the diff exercises every branch non-vacuously on both
+    engines. The full outer join shuffles 32-byte digests, never
+    text - at 100 TB the delta output is a sliver and this is the
+    cheap between-publish gate that catches a pipeline bug
+    surfacing as mass-removal or mass-change."""
+    from ..operators.dedup import snapshot_diff
+
+    d = _docs(spark, sf_dir)
+    b = (
+        d.filter(F.col("doc_id") % 10 == 7)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" EDIT")).alias("text"))
+        .unionByName(
+            d.filter((F.col("doc_id") % 10 != 7) & (F.col("doc_id") % 10 != 3))
+            .select("doc_id", "text")
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return snapshot_diff(d.select("doc_id", "text"), b, "doc_id", "text")
+
+
+@register(
+    "shingle_df_histogram",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS shingle
+  FROM documents
+),
+df AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY shingle)
+SELECT CAST(sdf AS BIGINT) AS posting_len,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM df GROUP BY sdf
+""",
+)
+def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list-length histogram of the shingle index - the skew
+    diagnostic that TUNES the exact-dedup valves: the tail of this
+    histogram is exactly what max_shingle_df (incremental probe) and
+    a prefix stop-shingle cap would cut, so a maintenance job reads
+    it before picking the cap (the ivf_list_stats role for the
+    allpairs family). Two map-side-combining aggregations; output is
+    histogram-sized."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col("text"), _SHINGLE_N))
+        ).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    return dfreq.groupBy(F.col("sdf").alias("posting_len")).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )

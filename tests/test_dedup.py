@@ -999,3 +999,22 @@ def test_incremental_duplicated_spans_matches_full_rerun(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_snapshot_diff_branches(spark):
+    """added/removed/changed classified exactly; unchanged dropped;
+    ids unique across the delta."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        snapshot_diff,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "same"), (2, "old text"), (3, "going away")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "same"), (2, "new text"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.change for r in snapshot_diff(a, b, "doc_id", "text").collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
