@@ -179,3 +179,109 @@ def bpe_segment(
         return sym
 
     return df.withColumn(out_col, F.transform(toks, seg))
+
+
+# ---- merge-list persistence (shared by BPE and WordPiece)
+
+def merges_digest(merges: list[dict]) -> str:
+    """md5 over the ordered (iteration, pair, merged) triples - the
+    part that DEFINES the tokenizer (counts/scores are training
+    metadata; two stores with equal digests segment identically)."""
+    import hashlib
+
+    body = "\n".join(
+        f"{m['iteration']}\t{m['pair']}\t{m['merged']}" for m in merges
+    )
+    return hashlib.md5(body.encode("utf-8")).hexdigest()
+
+
+_MERGE_FIELDS = (
+    ("iteration", "int"),
+    ("pair", "string"),
+    ("merged", "string"),
+    ("pair_count", "long"),
+    ("left_count", "long"),
+    ("right_count", "long"),
+    ("score", "double"),
+)
+
+
+def save_merges(spark, path: str, merges: list[dict], layout: str) -> None:
+    """Persist a trained merge list (``layout`` = 'bpe' or
+    'wordpiece'): a tiny parquet of merge rows (absent training
+    metadata columns stored NULL) plus params.json carrying the
+    layout and the merge digest, written LAST as the commit signal -
+    the same build-stamps-last discipline as the unigram vocab and
+    the IVF/MinHash indexes. Overwrite-safe."""
+    import json as _json
+
+    from .. import fsio
+
+    if layout not in ("bpe", "wordpiece"):
+        raise ValueError(f"unknown tokenizer layout {layout!r}")
+    rows = [tuple(m.get(k) for k, _t in _MERGE_FIELDS) for m in merges]
+    schema = ", ".join(f"{k} {t}" for k, t in _MERGE_FIELDS)
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/merges")
+    fsio.mkdirs(spark, path)
+    fsio.write_text(
+        spark,
+        f"{path}/params.json",
+        _json.dumps(
+            {
+                "layout": layout,
+                "n_merges": len(merges),
+                "merges_md5": merges_digest(merges),
+            },
+            sort_keys=True,
+        ),
+    )
+
+
+def load_merges(
+    spark,
+    path: str,
+    expect_layout: str | None = None,
+    expect_digest: str | None = None,
+) -> tuple[list[dict], dict]:
+    """(merges in iteration order, stamped params). The digest
+    re-verifies against the loaded rows (torn/tampered stores fail
+    loudly instead of segmenting differently); ``expect_layout``
+    pins bpe-vs-wordpiece (their merge SEMANTICS differ - applying
+    one's merges with the other's symbolization silently
+    mis-tokenizes), ``expect_digest`` pins the exact model."""
+    import json as _json
+
+    from .. import fsio
+
+    if not fsio.exists(spark, f"{path}/params.json"):
+        raise ValueError(f"no committed merge store at {path!r}")
+    params = _json.loads(fsio.read_text(spark, f"{path}/params.json"))
+    if expect_layout is not None and params.get("layout") != expect_layout:
+        raise ValueError(
+            f"merge store at {path!r} has layout {params.get('layout')!r},"
+            f" caller expects {expect_layout!r}"
+        )
+    rows = (
+        spark.read.parquet(f"{path}/merges")
+        .orderBy("iteration")
+        .collect()
+    )
+    merges = []
+    for r in rows:
+        m = {k: r[k] for k, _t in _MERGE_FIELDS if r[k] is not None}
+        merges.append(m)
+    actual = merges_digest(merges)
+    if params.get("merges_md5") != actual:
+        raise ValueError(
+            f"merge store at {path!r} fails its own digest "
+            f"({params.get('merges_md5')} != {actual}): torn write or "
+            "tampered store"
+        )
+    if expect_digest is not None and actual != expect_digest:
+        raise ValueError(
+            f"merge store at {path!r} has digest {actual}, caller "
+            f"expects {expect_digest}"
+        )
+    return merges, params

@@ -198,3 +198,62 @@ def test_encode_validates_steps(spark):
     df = spark.createDataFrame([("x",)], "w string")
     with _pt.raises(ValueError, match="n_steps"):
         wordpiece_encode_words(df, "w", ["x"], 0)
+
+
+def test_merge_store_roundtrip_and_guards(spark, tmp_path):
+    """save/load for BOTH tokenizer layouts: bit-equal roundtrip
+    (incl. score doubles), layout pin, self-digest tamper, missing
+    store."""
+    import json
+
+    from machine_downtime_monitor_on_aws_spark.operators.bpe import (
+        bpe_train_merges,
+        load_merges,
+        merges_digest,
+        save_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    wp = wordpiece_train_merges(df, "text", 3)
+    bp = bpe_train_merges(df, "text", 3)
+
+    wpp = str(tmp_path / "wp")
+    bpp = str(tmp_path / "bp")
+    save_merges(spark, wpp, wp, "wordpiece")
+    save_merges(spark, bpp, bp, "bpe")
+
+    got_wp, params = load_merges(spark, wpp, expect_layout="wordpiece")
+    assert got_wp == wp  # ints AND score doubles bit-equal
+    assert params["merges_md5"] == merges_digest(wp)
+    got_bp, _ = load_merges(
+        spark, bpp, expect_layout="bpe", expect_digest=merges_digest(bp)
+    )
+    assert got_bp == bp
+
+    # applying a loaded model segments identically
+    seg_a = wordpiece_segment(df, "text", wp).orderBy("doc_id").collect()
+    seg_b = wordpiece_segment(df, "text", got_wp).orderBy("doc_id").collect()
+    assert [list(r.wp_symbols) for r in seg_a] == [
+        list(r.wp_symbols) for r in seg_b
+    ]
+
+    with pytest.raises(ValueError, match="layout"):
+        load_merges(spark, wpp, expect_layout="bpe")
+    with pytest.raises(ValueError, match="no committed"):
+        load_merges(spark, str(tmp_path / "nope"))
+    with pytest.raises(ValueError, match="expects"):
+        load_merges(spark, wpp, expect_digest="0" * 32)
+    # tamper: rewrite params with a wrong digest THROUGH fsio (a raw
+    # pathlib edit would trip the local ChecksumFileSystem's .crc
+    # sidecar before our digest check ever runs)
+    from machine_downtime_monitor_on_aws_spark import fsio
+
+    tampered = json.loads((tmp_path / "wp" / "params.json").read_text())
+    tampered["merges_md5"] = "f" * 32
+    fsio.write_text(spark, f"{wpp}/params.json", json.dumps(tampered))
+    with pytest.raises(ValueError, match="digest"):
+        load_merges(spark, wpp)
+    with pytest.raises(ValueError, match="layout"):
+        save_merges(spark, str(tmp_path / "x"), wp, "sentencepiece")
