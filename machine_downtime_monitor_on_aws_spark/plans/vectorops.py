@@ -1403,3 +1403,48 @@ def knn_label_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reciprocal_rank"
         ),
     )
+
+
+@register(
+    "ivfpq_recall_at5",
+    oracle=f"""
+WITH bf AS ({_KNN_ORACLE}),
+iv AS ({_IVFPQ_RERANK_ORACLE})
+SELECT bf.qid,
+       CAST(coalesce(sum(CASE WHEN iv.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) AS INT) AS n_hits,
+       CAST(coalesce(sum(CASE WHEN iv.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         / {_TOPK} AS recall_at_5
+FROM bf LEFT JOIN iv
+  ON iv.qid = bf.qid AND iv.neighbor_id = bf.neighbor_id
+GROUP BY bf.qid
+""",
+)
+def ivfpq_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PRODUCTION ANN path - the persisted
+    IVF-PQ index served through the ADC-shortlist + exact-rerank
+    pipeline (ivfpq_rerank_top5) - against the brute-force exact
+    baseline, per query. Complements ivf_recall_at5 (which grades
+    the un-quantized IVF): this is the number an index deployment
+    is actually monitored on, and regressions localize - recall
+    drops here but not in ivf_recall_at5 point at quantization
+    (m/K/residual), drops in both point at the coarse partitioner
+    (nlist/nprobe). Integer hits; the fractional recall is one IEEE
+    division - hash-exact like its inputs."""
+    bf = knn_bruteforce_top5(spark, sf_dir).select("qid", "neighbor_id")
+    iv = ivfpq_rerank_top5(spark, sf_dir).select(
+        F.col("qid").alias("__iq"),
+        F.col("neighbor_id").alias("__in"),
+        F.lit(1).alias("__hit"),
+    )
+    joined = bf.join(
+        iv,
+        (bf["qid"] == iv["__iq"]) & (bf["neighbor_id"] == iv["__in"]),
+        "left",
+    )
+    hits = F.coalesce(F.sum("__hit"), F.lit(0))
+    return joined.groupBy("qid").agg(
+        hits.cast("int").alias("n_hits"),
+        (hits.cast("double") / F.lit(_TOPK)).alias("recall_at_5"),
+    )

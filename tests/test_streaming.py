@@ -2007,3 +2007,55 @@ def test_streaming_exact_dedup_loop(spark, tmp_path):
         assert p30 == {(2, 30), (10, 30), (20, 30)}  # doc 1 is gone
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_exact_dedup_compaction_gate(spark, tmp_path):
+    """With a tight file-count bound, sustained epochs trigger the
+    in-loop compaction: file count folds back to one per bucket, the
+    bucketed layout and stamped params survive, and probe results
+    are unchanged."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        minhash_index_stats,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.dedup import (
+        run_exact_dedup_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    table = "sdedup_exact_gate"
+
+    def run():
+        q = run_exact_dedup_stream(
+            spark.readStream.schema("doc_id long, text string").json(src),
+            table, str(tmp_path / "pairs"), str(tmp_path / "ckpt"),
+            threshold=0.5, shingle_n=2, num_buckets=4, parallelism=2,
+            compact_max_files_per_bucket=1,
+        )
+        q.awaitTermination(120)
+
+    try:
+        for epoch in range(3):
+            with open(os.path.join(src, f"e{epoch}.jsonl"), "w") as f:
+                f.write(json.dumps(
+                    {"doc_id": 100 * epoch + 1,
+                     "text": f"epoch {epoch} fresh words one two"}
+                ) + "\n" + json.dumps(
+                    {"doc_id": 100 * epoch + 2,
+                     "text": "a shared duplicated body for every epoch"}
+                ))
+            run()
+        stats = minhash_index_stats(spark, table)
+        # gate bound 1 file/bucket: the post-epoch compaction folded
+        # the appends back down
+        assert stats["n_files"] <= stats["num_buckets"], stats
+        assert stats["bucket_columns"].strip("[]`") == "shingle"
+        # probes still exact after compactions: the every-epoch dup
+        # body chains 2 -> 102 -> 202
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        }
+        assert {(2, 102), (2, 202), (102, 202)} <= pairs
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
