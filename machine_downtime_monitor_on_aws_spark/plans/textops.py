@@ -3211,3 +3211,50 @@ def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfreq.groupBy(F.col("sdf").alias("posting_len")).agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
+
+
+# ---- Leakage-safe split assignment (cluster-atomic)
+
+@register(
+    "leakage_safe_splits",
+    oracle=f"""
+WITH RECURSIVE {_cc_clauses()},
+cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+s AS (
+  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT doc_id, component,
+       CASE WHEN ({sample_hash_sql('component', 'csplit')}) < 1000
+            THEN 'test' ELSE 'train' END AS split
+FROM s
+""",
+)
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PREVENTION counterpart to split_leakage_pairs' audit:
+    assign train/test by hashing the duplicate-CLUSTER id (CC
+    component, own id for singletons) instead of the doc id, so a
+    near-dup pair can never straddle the split - both members share
+    a component and therefore a split, by construction. This is the
+    standard fix once the audit fires (dedup-aware splits, e.g. The
+    Pile / C4 eval hygiene); 10% test via the shared salted-hash
+    scheme, reproducible across runs/engines/partitionings. Scale
+    shape: the CC labels are the pipeline the dedup queries share
+    (in production, read from the labels store the streaming loop
+    maintains); the split itself is one hash expression over the
+    label - no extra shuffle."""
+    d = _docs(spark, sf_dir)
+    cc = connected_components(_minhash_pairs(spark, sf_dir)).selectExpr(
+        "doc_id AS __n", "component"
+    )
+    labeled = d.select("doc_id").join(
+        cc, F.col("doc_id") == F.col("__n"), "left"
+    )
+    comp = F.coalesce(F.col("component"), F.col("doc_id"))
+    return labeled.select(
+        "doc_id",
+        comp.alias("component"),
+        F.when(sample_hash(comp, "csplit") < 1000, "test")
+        .otherwise("train")
+        .alias("split"),
+    )

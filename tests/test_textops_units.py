@@ -214,3 +214,21 @@ def test_largest_remainder_allocation_properties(spark):
     assert all(r.allocation == 0 for r in zero)
     with _pt.raises(ValueError, match="budget"):
         largest_remainder_allocation(w, "g", "w", -1)
+
+
+def test_leakage_safe_splits_are_cluster_atomic(spark):
+    """By construction no near-dup candidate pair may straddle the
+    split - verify against the actual pair set at sf0.001, and that
+    both split values occur (non-vacuous)."""
+    from machine_downtime_monitor_on_aws_spark.plans.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    splits = {
+        r.doc_id: r.split
+        for r in REGISTRY["leakage_safe_splits"].fn(spark, sf).collect()
+    }
+    assert set(splits.values()) == {"train", "test"}
+    pairs = REGISTRY["neardup_candidate_pairs"].fn(spark, sf).collect()
+    assert pairs  # non-vacuous: the corpus has near-dups
+    for r in pairs:
+        assert splits[r.doc_a] == splits[r.doc_b], (r.doc_a, r.doc_b)
