@@ -387,3 +387,84 @@ def semdedup_flags(
         *assign.columns,
         F.col("__dropped").isNull().alias("kept"),
     )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    sims: DataFrame,
+    k: int,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` of each query's candidates maximizing
+    ``lam * rel - (1 - lam) * max_sim_to_already_selected`` - the
+    diversification pass a retrieval/RAG pipeline runs on its ANN
+    shortlist so the k results aren't k near-duplicates of each
+    other.
+
+    ``candidates``: (qid, neighbor_id, rel) - a per-query SLIVER
+    (top-N from any ranker); ``sims``: (qid, a_id, b_id, sim) -
+    pairwise similarities within each query's candidate set (N^2 per
+    query, still a sliver - computed once, not per step). Returns
+    (qid, neighbor_id, rel, mmr_score, pick_order) with pick_order
+    1..k in selection order; pick 1 is pure relevance (empty
+    selected set), ties break (score desc, neighbor_id asc).
+
+    The greedy walk is inherently sequential in k, so each step is
+    one join + one aggregation + one per-query window over
+    sliver-sized inputs - k is small (3-10) and the corpus is never
+    touched. Exactness: max() over exact doubles is
+    order-independent, and the score is one pinned double tree, so
+    the whole selection hash-matches an unrolled relational oracle.
+    Scale: N and k are constants; everything here is post-shortlist,
+    the same contract as the rerank stage of IVF-PQ."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc()
+    )
+    sel = (
+        candidates.withColumn("__score", F.col("rel"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "qid",
+            "neighbor_id",
+            "rel",
+            F.col("__score").alias("mmr_score"),
+            F.lit(1).alias("pick_order"),
+        )
+    )
+    for t in range(2, k + 1):
+        ms = (
+            sims.join(
+                sel.selectExpr("qid", "neighbor_id AS b_id"), ["qid", "b_id"]
+            )
+            .groupBy("qid", "a_id")
+            .agg(F.max("sim").alias("__maxsim"))
+        )
+        remaining = candidates.join(
+            sel.selectExpr("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_anti"
+        )
+        scored = remaining.join(
+            ms.selectExpr("qid", "a_id AS neighbor_id", "__maxsim"),
+            ["qid", "neighbor_id"],
+        ).withColumn(
+            "__score",
+            F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("__maxsim"),
+        )
+        pick = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(
+                "qid",
+                "neighbor_id",
+                "rel",
+                F.col("__score").alias("mmr_score"),
+                F.lit(t).alias("pick_order"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel

@@ -1448,3 +1448,116 @@ def ivfpq_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.cast("int").alias("n_hits"),
         (hits.cast("double") / F.lit(_TOPK)).alias("recall_at_5"),
     )
+
+
+# ---- MMR diversified retrieval
+
+_MMR_N = 10
+_MMR_K = 3
+
+
+def _mmr_oracle(n_cand: int, k: int) -> str:
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES})",
+        f"""ranked AS (
+  SELECT qid, neighbor_id, rel, row_number() OVER (
+           PARTITION BY qid ORDER BY rel DESC, neighbor_id) AS rnk
+  FROM (SELECT q.qid, e.vec_id AS neighbor_id,
+               {_cos_sql('q.qv', 'e.v')} AS rel
+        FROM q JOIN e ON e.vec_id <> q.qid))""",
+        f"cand AS (SELECT qid, neighbor_id, rel FROM ranked WHERE rnk <= {n_cand})",
+        """cv AS (
+  SELECT c.qid, c.neighbor_id, c.rel, e.v
+  FROM cand c JOIN e ON e.vec_id = c.neighbor_id)""",
+        f"""sims AS (
+  SELECT a.qid, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+         {_cos_sql('a.v', 'b.v')} AS sim
+  FROM cv a JOIN cv b
+    ON a.qid = b.qid AND a.neighbor_id <> b.neighbor_id)""",
+        """sel_1 AS (
+  SELECT qid, neighbor_id, rel, rel AS mmr_score, 1 AS pick_order
+  FROM (SELECT qid, neighbor_id, rel, row_number() OVER (
+          PARTITION BY qid ORDER BY rel DESC, neighbor_id) AS rk FROM cand)
+  WHERE rk = 1)""",
+    ]
+    for t in range(2, k + 1):
+        prev = f"sel_{t - 1}"
+        parts.append(
+            f"""ms_{t} AS (
+  SELECT s.qid, s.a_id, max(s.sim) AS maxsim
+  FROM sims s JOIN {prev} p ON p.qid = s.qid AND p.neighbor_id = s.b_id
+  GROUP BY s.qid, s.a_id)"""
+        )
+        parts.append(
+            f"""pick_{t} AS (
+  SELECT qid, neighbor_id, rel, score AS mmr_score, {t} AS pick_order FROM (
+    SELECT c.qid, c.neighbor_id, c.rel,
+           0.5 * c.rel - 0.5 * m.maxsim AS score,
+           row_number() OVER (PARTITION BY c.qid
+             ORDER BY (0.5 * c.rel - 0.5 * m.maxsim) DESC,
+                      c.neighbor_id) AS rk
+    FROM cand c
+    JOIN ms_{t} m ON m.qid = c.qid AND m.a_id = c.neighbor_id
+    WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                      WHERE p.qid = c.qid
+                        AND p.neighbor_id = c.neighbor_id))
+  WHERE rk = 1)"""
+        )
+        parts.append(
+            f"sel_{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM pick_{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT qid, neighbor_id, rel, mmr_score, CAST(pick_order AS INT) AS pick_order
+FROM sel_{k}"""
+    )
+
+
+@register("mmr_diversified_top3", oracle=_mmr_oracle(_MMR_N, _MMR_K))
+def mmr_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/similarity.mmr_select) over the
+    exact top-10 cosine shortlist: greedily pick 3 results per query
+    maximizing 0.5*relevance - 0.5*max-similarity-to-picked - the
+    re-ranking pass that keeps a RAG/retrieval result list from
+    being k near-duplicates of each other, run where it belongs: on
+    the post-ANN sliver (N=10 candidates, N^2 pairwise sims per
+    query - constants, the corpus is never touched after the
+    shortlist). Pick 1 is pure relevance; every later pick trades
+    relevance against redundancy. Exact-fold cosines + one pinned
+    score tree -> the whole greedy walk hash-matches the unrolled
+    per-step oracle."""
+    from ..operators.similarity import brute_force_topk, dot, l2_norm, mmr_select
+
+    e = _emb(spark, sf_dir)
+    qdf = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    cand = (
+        brute_force_topk(
+            e, qdf, _MMR_N, dim=_DIM,
+            parallelism=spark.sparkContext.defaultParallelism,
+        )
+        .select("qid", "neighbor_id", F.col("cosine_sim").alias("rel"))
+        .localCheckpoint(eager=False)  # feeds sims + every MMR step
+    )
+    cv = cand.join(
+        e.selectExpr("vec_id AS neighbor_id", "vec AS __v"), "neighbor_id"
+    ).withColumn("__n", l2_norm("__v", _DIM))
+    a = cv.selectExpr("qid", "neighbor_id AS a_id", "__v AS __va", "__n AS __na")
+    b = cv.selectExpr("qid", "neighbor_id AS b_id", "__v AS __vb", "__n AS __nb")
+    sims = (
+        a.join(b, "qid")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "qid",
+            "a_id",
+            "b_id",
+            (dot("__va", "__vb", _DIM) / (F.col("__na") * F.col("__nb"))).alias(
+                "sim"
+            ),
+        )
+    )
+    return mmr_select(cand, sims, _MMR_K, 0.5)

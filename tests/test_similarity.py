@@ -700,3 +700,45 @@ def test_semdedup_flags_earliest_wins(spark):
         for r in semdedup_flags(df, 0.99, dim=4).collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: True, 5: True, 6: True}
+
+
+def test_mmr_diversifies_vs_pure_topk(spark):
+    """A cluster of three mutual near-dups with the best relevance
+    plus two diverse candidates: pure top-3 takes the whole cluster;
+    MMR at lam=0.5 must pick one cluster member then the diverse
+    docs. Pick 1 is pure relevance; errors validate."""
+    import pytest as _pt
+
+    from machine_downtime_monitor_on_aws_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    cand = spark.createDataFrame(
+        [(0, 1, 0.99), (0, 2, 0.98), (0, 3, 0.97), (0, 4, 0.80), (0, 5, 0.78)],
+        "qid long, neighbor_id long, rel double",
+    )
+    dup = {(1, 2), (1, 3), (2, 3)}
+    rows = []
+    for a in range(1, 6):
+        for b in range(1, 6):
+            if a != b:
+                s = 0.99 if (min(a, b), max(a, b)) in dup else 0.05
+                rows.append((0, a, b, s))
+    sims = spark.createDataFrame(rows, "qid long, a_id long, b_id long, sim double")
+
+    got = {
+        r.pick_order: r.neighbor_id
+        for r in mmr_select(cand, sims, 3, 0.5).collect()
+    }
+    assert got[1] == 1          # pure relevance first
+    assert got[2] == 4 and got[3] == 5  # near-dups 2,3 displaced
+    # lam=1.0 degrades to pure relevance order
+    pure = {
+        r.pick_order: r.neighbor_id
+        for r in mmr_select(cand, sims, 3, 1.0).collect()
+    }
+    assert pure == {1: 1, 2: 2, 3: 3}
+    with _pt.raises(ValueError, match="k must"):
+        mmr_select(cand, sims, 0, 0.5)
+    with _pt.raises(ValueError, match="lam"):
+        mmr_select(cand, sims, 2, 1.5)
