@@ -3201,11 +3201,17 @@ def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     allpairs family). Two map-side-combining aggregations; output is
     histogram-sized."""
     d = _docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles(F.col("text"), _SHINGLE_N))
-        ).alias("shingle"),
+    # spread the narrow projection before the explode (single-split
+    # corpus would shingle on one core - measured 4.2s -> ~0.6s)
+    sh = (
+        d.select("doc_id", F.col("text").alias("__t"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles(F.col("__t"), _SHINGLE_N))
+            ).alias("shingle"),
+        )
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     return dfreq.groupBy(F.col("sdf").alias("posting_len")).agg(
