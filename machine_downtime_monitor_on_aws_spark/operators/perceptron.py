@@ -48,7 +48,7 @@ documented, not hidden.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .sketch import _md5_24bit
