@@ -258,6 +258,9 @@ def incremental_exact_jaccard(
     steady-state twin of dedup.incremental_candidate_pairs, for the
     compliance-grade pipelines (benchmark decontamination, takedown
     sweeps) where LSH's probabilistic misses are not acceptable.
+    ``table_name`` must exist (bootstrap with
+    :func:`write_shingle_index`; the streaming loop handles the
+    first-batch bootstrap itself).
 
     The count-join identity does candidates AND verification in one
     pass: joining every batch shingle row against the postings and

@@ -405,7 +405,11 @@ def mmr_select(
     ``candidates``: (qid, neighbor_id, rel) - a per-query SLIVER
     (top-N from any ranker); ``sims``: (qid, a_id, b_id, sim) -
     pairwise similarities within each query's candidate set (N^2 per
-    query, still a sliver - computed once, not per step). Returns
+    query, still a sliver - computed once, not per step; the pair
+    set must be COMPLETE - a candidate missing its sims rows to the
+    already-selected would be dropped from that step's scoring, not
+    treated as similarity 0). A query with fewer than ``k``
+    candidates yields fewer picks. Returns
     (qid, neighbor_id, rel, mmr_score, pick_order) with pick_order
     1..k in selection order; pick 1 is pure relevance (empty
     selected set), ties break (score desc, neighbor_id asc).

@@ -218,7 +218,7 @@ def wordpiece_encode_words(
     words: DataFrame,
     word_col: str,
     vocab: list[str],
-    n_steps: int,
+    n_steps: int | None = None,
     out_col: str = "pieces",
 ) -> DataFrame:
     """Greedy longest-match-first WordPiece ENCODING (the production
@@ -230,14 +230,23 @@ def wordpiece_encode_words(
     unseen words differently, which is exactly why the encode path
     needs its own operator and oracle.
 
-    One fold expression per word over ``n_steps`` steps (pass the
-    corpus max word length - each step consumes >= 1 char), with the
-    per-step longest match scanned longest-first against the vocab
-    LITERAL (vocabulary-sized - rides the plan like k-means
-    centroids; at a vocab too large for a literal, the same fold
-    runs against a broadcast map). Run it on DISTINCT words and join
-    back (the unigram_lm encode_docs Zipf trick): O(distinct words)
-    fold evaluations, not O(corpus tokens)."""
+    One fold expression per word over ``n_steps`` steps (each step
+    consumes >= 1 char, so the corpus max word length suffices;
+    ``None`` - the safe default - derives exactly that with one
+    bounded aggregate). An EXPLICIT n_steps smaller than some word
+    needs would leave that word's walk unfinished - those rows come
+    back as ``[UNK]``/``is_unk`` (fold exhaustion is indistinguishable
+    from an un-encodable word to the caller, and silently truncated
+    pieces would be a correctness bug). The per-step longest match
+    scans longest-first against the vocab LITERAL (vocabulary-sized -
+    rides the plan like k-means centroids; at a vocab too large for a
+    literal, the same fold runs against a broadcast map). Run it on
+    DISTINCT words and join back (the unigram_lm encode_docs Zipf
+    trick): O(distinct words) fold evaluations, not O(corpus
+    tokens)."""
+    if n_steps is None:
+        row = words.agg(F.max(F.length(word_col))).first()
+        n_steps = int(row[0] or 1)
     if n_steps < 1:
         raise ValueError(f"n_steps must be >= 1, got {n_steps}")
     max_piece = max(
@@ -287,9 +296,17 @@ def wordpiece_encode_words(
         )
 
     state = F.aggregate(F.sequence(F.lit(1), F.lit(n_steps)), init, step)
-    # single-reference alias: the fold runs once; fields project out
+    # single-reference alias: the fold runs once; fields project out.
+    # exhausted-fold guard: pos < len(w) with failed=False means the
+    # caller's explicit n_steps undershot this word - surface it as
+    # UNK, never as silently truncated pieces
+    exhausted = (F.col("__st")["pos"] < F.length(F.col(word_col))) & (
+        ~F.col("__st")["failed"]
+    )
     return words.withColumn("__st", state).select(
         *words.columns,
-        F.col("__st")["pieces"].alias(out_col),
-        F.col("__st")["failed"].alias("is_unk"),
+        F.when(exhausted, F.array(F.lit(UNK)))
+        .otherwise(F.col("__st")["pieces"])
+        .alias(out_col),
+        (F.col("__st")["failed"] | exhausted).alias("is_unk"),
     )

@@ -257,3 +257,26 @@ def test_merge_store_roundtrip_and_guards(spark, tmp_path):
         load_merges(spark, wpp)
     with pytest.raises(ValueError, match="layout"):
         save_merges(spark, str(tmp_path / "x"), wp, "sentencepiece")
+
+
+def test_encode_exhausted_steps_is_unk_and_default_derives(spark):
+    """An explicit n_steps too small for a word must surface as UNK,
+    never silently truncated pieces; the None default derives the
+    max word length and encodes fully."""
+    from machine_downtime_monitor_on_aws_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+    )
+
+    vocab = ["a", "##b", "##c", "##d"]
+    df = spark.createDataFrame([("abcd",), ("ab",)], "w string")
+    tight = {
+        r.w: (list(r.pieces), r.is_unk)
+        for r in wordpiece_encode_words(df, "w", vocab, 2).collect()
+    }
+    assert tight["ab"] == (["a", "##b"], False)        # fits in 2 steps
+    assert tight["abcd"] == (["[UNK]"], True)          # exhausted -> UNK
+    auto = {
+        r.w: (list(r.pieces), r.is_unk)
+        for r in wordpiece_encode_words(df, "w", vocab).collect()
+    }
+    assert auto["abcd"] == (["a", "##b", "##c", "##d"], False)
