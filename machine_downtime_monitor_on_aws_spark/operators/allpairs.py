@@ -260,7 +260,10 @@ def incremental_exact_jaccard(
     sweeps) where LSH's probabilistic misses are not acceptable.
     ``table_name`` must exist (bootstrap with
     :func:`write_shingle_index`; the streaming loop handles the
-    first-batch bootstrap itself).
+    first-batch bootstrap itself), and batch ids must be unique -
+    one row per document (duplicate batch rows would inflate the
+    count-join's intersection counts; the replay shield protects
+    the HISTORY side only).
 
     The count-join identity does candidates AND verification in one
     pass: joining every batch shingle row against the postings and

@@ -527,7 +527,13 @@ def largest_remainder_allocation(
     of double ops (budget * w / total), floors/remainders derive from
     them, and the remainder ranking is a deterministic
     (rem desc, group asc) order - every step engine-identical, so
-    the whole apportionment is oracle-exact. Scale shape: one
+    the whole apportionment is oracle-exact. Honest footnote on the
+    sums-to-budget invariant: it is exact for real-valued quotas;
+    double rounding can shift floor(quota) by one when a quota lands
+    within an ulp of an integer, which shifts the leftover count the
+    same amount in the opposite direction - totals then still land
+    within +-(boundary cases) of the budget, identically on both
+    engines (same doubles, same floors). Scale shape: one
     map-side-combining total, one broadcast of the 1-row scalar, a
     window over the per-group SLIVER (S rows - groups, never corpus),
     zero corpus shuffles."""
