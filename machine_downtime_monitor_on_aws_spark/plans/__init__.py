@@ -57,6 +57,15 @@ def _latest_driver_round() -> dict[str, int]:
 
 
 def _reorder_for_driver_evidence() -> None:
+    # Catalog-size discipline (r8): 147 queries keeps the driver-
+    # evidence staleness bound at ceil(147/50) = 3 rounds. Past 150
+    # the bound drifts to 4 - from then on SWAP, don't add: retire
+    # the literal-codebook exactness demos whose production twins
+    # are already oracle-paired (ivfpq_knn_top5 -> ivfpq_rerank_top5,
+    # pq_permuted_knn_top5 / pq_knn_top5 -> pq_lut_knn_top5,
+    # sq_knn_top5 stays as SQ's only row), then the inline
+    # neardup_graph_pagerank demo (neardup_pagerank_from_store shares
+    # its oracle verbatim).
     reg = catalog.REGISTRY
     latest = _latest_driver_round()
     names = list(reg)
