@@ -541,6 +541,20 @@ def largest_remainder_allocation(
         raise ValueError(f"budget must be >= 0, got {budget}")
     from pyspark.sql import Window
 
+    # weight-total guard (mirrors the budget guard): an empty frame or
+    # an all-zero/null weight column would make quota 0/0 = NaN,
+    # floor(NaN) = NULL, and the output would silently carry null
+    # allocations. Fail loudly instead. The fetch is one scalar - the
+    # k-means-centroids control-plane pattern - and the literal it
+    # yields replaces the broadcast 1-row join bit-identically (same
+    # double divides the same quotas).
+    total = weights.agg(F.sum(F.col(weight_col))).first()[0]
+    if total is None or total == 0:
+        raise ValueError(
+            "largest_remainder_allocation: weight total is zero or null "
+            "(empty frame, or all weights zero/null) - quotas would be "
+            "NaN; supply at least one positive weight"
+        )
     tot = weights.agg(F.sum(F.col(weight_col)).alias("__tot"))
     based = weights.crossJoin(F.broadcast(tot)).select(
         F.col(group_col).alias("group"),

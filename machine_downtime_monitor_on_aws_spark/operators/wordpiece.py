@@ -303,10 +303,16 @@ def wordpiece_encode_words(
     exhausted = (F.col("__st")["pos"] < F.length(F.col(word_col))) & (
         ~F.col("__st")["failed"]
     )
+    # zero-length-word guard: the fold is done at step 1 (pos 0 >= len
+    # 0) with pieces=[] and failed=false, and the exhausted check
+    # (0 < 0) misses it - an empty encoding indistinguishable from a
+    # successfully encoded word. Surface it as [UNK]/is_unk like any
+    # other unencodable input.
+    empty = F.length(F.col(word_col)) == 0
     return words.withColumn("__st", state).select(
         *words.columns,
-        F.when(exhausted, F.array(F.lit(UNK)))
+        F.when(exhausted | empty, F.array(F.lit(UNK)))
         .otherwise(F.col("__st")["pieces"])
         .alias(out_col),
-        (F.col("__st")["failed"] | exhausted).alias("is_unk"),
+        (F.col("__st")["failed"] | exhausted | empty).alias("is_unk"),
     )

@@ -57,15 +57,17 @@ def _latest_driver_round() -> dict[str, int]:
 
 
 def _reorder_for_driver_evidence() -> None:
-    # Catalog-size discipline (r8): 147 queries keeps the driver-
-    # evidence staleness bound at ceil(147/50) = 3 rounds. Past 150
-    # the bound drifts to 4 - from then on SWAP, don't add: retire
-    # the literal-codebook exactness demos whose production twins
-    # are already oracle-paired (ivfpq_knn_top5 -> ivfpq_rerank_top5,
-    # pq_permuted_knn_top5 / pq_knn_top5 -> pq_lut_knn_top5,
-    # sq_knn_top5 stays as SQ's only row), then the inline
-    # neardup_graph_pagerank demo (neardup_pagerank_from_store shares
-    # its oracle verbatim).
+    # Catalog-size discipline (r8, EXECUTED r9): past ~150 queries
+    # the ceil(N/50) driver-evidence staleness bound drifts from 3 to
+    # 4 rounds, so the catalog SWAPS instead of adding. The r9 swap
+    # retired the literal-codebook exactness demos whose production
+    # twins are oracle-paired and driver-green (ivfpq_knn_top5 ->
+    # ivfpq_rerank_top5, pq_knn_top5 / pq_permuted_knn_top5 ->
+    # pq_lut_knn_top5; sq_knn_top5 stays as SQ's only row) and the
+    # inline neardup_graph_pagerank demo (neardup_pagerank_from_store
+    # shares its oracle verbatim). Retired builders stay importable
+    # in plans/vectorops.py; tests/test_plans.py pins the swap and
+    # the bound. Every future addition pairs with a retirement.
     reg = catalog.REGISTRY
     latest = _latest_driver_round()
     names = list(reg)

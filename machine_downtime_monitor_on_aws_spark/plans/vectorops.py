@@ -492,7 +492,13 @@ FROM ranked WHERE rnk <= {_TOPK}
 """
 
 
-@register("pq_knn_top5", oracle=_PQ_ORACLE)
+# RETIRED from the catalog (r9 swap, r8 verdict next-round #1): the
+# literal-codebook exactness demo carried K*dim doubles in-plan and
+# its production twin pq_lut_knn_top5 (broadcast-codebook encode +
+# mapInPandas LUT, plan O(1) in K) is oracle-paired and driver-green
+# (CORRECTNESS_r08). The builder and its oracle stay importable as
+# the machine-checked derivation evidence (driver rows r5-r8) and for
+# ad-hoc exactness replays; tests/test_plans.py pins the swap.
 def pq_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators/pq.py): {m} one-byte codes
     replace each 64-dim float64 vector (64x compression), queries
@@ -600,7 +606,11 @@ FROM ranked WHERE rnk <= {_TOPK}
 )
 
 
-@register("ivfpq_knn_top5", oracle=_IVFPQ_ORACLE)
+# RETIRED from the catalog (r9 swap): production twin
+# ivfpq_rerank_top5 (persisted index, codes-only stage-1 scan,
+# broadcast re-rank) is oracle-paired and driver-green
+# (CORRECTNESS_r08); the literal-codebook demo's exactness evidence
+# stands in the r6-r8 driver rows. Builder + oracle stay importable.
 def ivfpq_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-ADC with RESIDUAL encoding (operators/ivf.ivfpq_knn - r6
     verdict next-round #2, promoted to a first-class oracle-paired
@@ -1133,7 +1143,11 @@ FROM ranked WHERE rnk <= {_TOPK}
 """
 
 
-@register("pq_permuted_knn_top5", oracle=_PERM_PQ_ORACLE)
+# RETIRED from the catalog (r9 swap): the permutation demo shares
+# pq_knn_top5's literal-codebook cost profile and its encode/ADC
+# machinery is production-served by pq_lut_knn_top5; the OPQ-specific
+# halves (variance snake deal, rotation) keep their unit pins in
+# tests/test_sq_opq.py and the r7-r8 driver rows stand as evidence.
 def pq_permuted_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPQ's permutation variant (operators/opq.py) as a first-class
     oracle-checked query: per-dimension variance (quantized-exact,
@@ -1219,7 +1233,11 @@ FROM pr_{iters} p JOIN deg d ON d.src = p.node"""
     )
 
 
-@register("neardup_graph_pagerank", oracle=_pagerank_oracle(_PR_ITERS))
+# RETIRED from the catalog (r9 swap): neardup_pagerank_from_store is
+# the production composition (pairs from the persisted feed), shares
+# this oracle VERBATIM, and is driver-green (CORRECTNESS_r08) - two
+# registrations of one oracle bought no extra evidence. The inline
+# builder stays importable (tests/test_graph.py pins the operator).
 def neardup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the sign-LSH near-dup pair graph
     (operators/graph.py) - the canonical-pick / boilerplate-hub

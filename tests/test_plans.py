@@ -276,6 +276,36 @@ def test_driver_evidence_staleness_bounded():
     assert all(names.index(n) < WINDOW for n in never)
 
 
+def test_r9_catalog_swap_executed():
+    """r8 verdict next-round #1: the literal-codebook demos and the
+    inline pagerank demo are RETIRED from the registry (their
+    production twins carry the driver evidence), the twins are
+    registered, the retired builders stay importable, and the
+    catalog stays small enough that the staleness bound holds at 3."""
+    import math
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog, vectorops
+
+    retired = [
+        "ivfpq_knn_top5",
+        "pq_knn_top5",
+        "pq_permuted_knn_top5",
+        "neardup_graph_pagerank",
+    ]
+    twins = [
+        "ivfpq_rerank_top5",
+        "pq_lut_knn_top5",
+        "neardup_pagerank_from_store",
+        "sq_knn_top5",
+    ]
+    for n in retired:
+        assert n not in catalog.REGISTRY, f"{n} should be retired"
+        assert callable(getattr(vectorops, n))  # evidence stays importable
+    for n in twins:
+        assert n in catalog.REGISTRY, f"production twin {n} missing"
+    assert math.ceil(len(catalog.REGISTRY) / 50) <= 3
+
+
 def _formatted_plan(df):
     import contextlib
     import io

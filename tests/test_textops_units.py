@@ -214,6 +214,14 @@ def test_largest_remainder_allocation_properties(spark):
     assert all(r.allocation == 0 for r in zero)
     with _pt.raises(ValueError, match="budget"):
         largest_remainder_allocation(w, "g", "w", -1)
+    # zero/null weight-total guard (r8 advice): 0/0 quotas would be
+    # NaN -> null allocations; fail loudly on all-zero, all-null, and
+    # empty frames alike
+    allz = spark.createDataFrame([("a", 0), ("b", 0)], "g string, w long")
+    with _pt.raises(ValueError, match="weight total"):
+        largest_remainder_allocation(allz, "g", "w", 10)
+    with _pt.raises(ValueError, match="weight total"):
+        largest_remainder_allocation(allz.filter("w > 0"), "g", "w", 10)
 
 
 def test_leakage_safe_splits_are_cluster_atomic(spark):

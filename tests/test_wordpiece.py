@@ -158,6 +158,24 @@ def test_encode_matches_python_greedy_incl_unk(spark):
     assert got["abc"] == (["ab", "##c"], False)
 
 
+def test_encode_zero_length_word_is_unk(spark):
+    """A length-0 word must surface as [UNK]/is_unk, not as an empty
+    piece list indistinguishable from a successful encoding (r8
+    advice: done fires at step 1 with pieces=[], and the exhausted
+    check 0<0 misses it)."""
+    from machine_downtime_monitor_on_aws_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+    )
+
+    df = spark.createDataFrame([("",), ("a",)], "w string")
+    got = {
+        r.w: (list(r.pieces), r.is_unk)
+        for r in wordpiece_encode_words(df, "w", ["a"], 4).collect()
+    }
+    assert got[""] == (["[UNK]"], True)
+    assert got["a"] == (["a"], False)
+
+
 def test_encode_diverges_from_merge_replay(spark):
     """The defining longest-match property: with 'abc' in the vocab
     but NO 'ab' merge path taken during training replay, the greedy
@@ -280,3 +298,51 @@ def test_encode_exhausted_steps_is_unk_and_default_derives(spark):
         for r in wordpiece_encode_words(df, "w", vocab).collect()
     }
     assert auto["abcd"] == (["a", "##b", "##c", "##d"], False)
+
+
+def test_catalog_encode_serves_from_persisted_store(spark, tmp_path, monkeypatch):
+    """r8 verdict next-round #2, the catalog path itself: the first
+    wordpiece_doc_encoding invocation trains and persists the merge
+    store; later invocations LOAD it (no retraining) and the digest
+    guard fires on a tampered store instead of silently
+    mis-tokenizing. Pinned at sf0.001 with the store redirected to a
+    scratch tempdir."""
+    import glob
+    import json
+    import tempfile
+
+    import pytest as _pt
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    fn = catalog.REGISTRY["wordpiece_doc_encoding"].fn
+    sf = "/root/testdata/sf0.001"
+    rows1 = {r.doc_id: tuple(r) for r in fn(spark, sf).collect()}
+    stores = glob.glob(str(tmp_path / "spark_graft_wp_merges_*"))
+    assert len(stores) == 1, stores
+    # warm path loads (store untouched) and reproduces bit-identically
+    rows2 = {r.doc_id: tuple(r) for r in fn(spark, sf).collect()}
+    assert rows1 == rows2 and rows1
+    # training must NOT rerun on the warm path: poison the trainer
+    import machine_downtime_monitor_on_aws_spark.operators.wordpiece as wp
+
+    def _boom(*a, **k):
+        raise AssertionError("warm path retrained instead of loading")
+
+    monkeypatch.setattr(wp, "wordpiece_train_merges", _boom)
+    rows3 = {r.doc_id: tuple(r) for r in fn(spark, sf).collect()}
+    assert rows3 == rows1
+    # tampered digest fails loudly (drop the local-FS .crc sidecar so
+    # the read reaches the digest check, not Hadoop's checksum layer)
+    import os
+
+    pj = f"{stores[0]}/params.json"
+    params = json.load(open(pj))
+    params["merges_md5"] = "0" * 32
+    open(pj, "w").write(json.dumps(params, sort_keys=True))
+    crc = f"{stores[0]}/.params.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    with _pt.raises(ValueError, match="digest"):
+        fn(spark, sf)
