@@ -2955,6 +2955,126 @@ def incremental_exact_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- Streaming exact-dedup loop replay (driver-visible end state)
+
+@register(
+    "exact_dedup_stream_replay",
+    oracle=f"""
+WITH sh_t AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+              FROM documents WHERE doc_id % 15 <> 0),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+           / CAST(len(a.sh) + len(b.sh)
+                  - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+           AS jaccard,
+         CAST(greatest(a.doc_id % 3, b.doc_id % 3) AS INT) AS epoch
+  FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard, epoch FROM scored WHERE jaccard >= 0.5
+""",
+)
+def exact_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup STREAMING loop's end state, driver-verified
+    (r8 verdict next-round #6): replay the corpus through
+    streaming/dedup.run_exact_dedup_stream as three availableNow
+    epochs (docs arrive by doc_id % 3), with a right-to-be-forgotten
+    takedown (doc_id % 15 = 0) submitted before the last epoch, and
+    return the final verified-pairs feed. What the hash match
+    machine-checks against one brute-force DuckDB query:
+
+    - EXACTLY-ONCE: each qualifying pair appears once, in the epoch
+      its LATER member arrived (epoch = greatest of the members'
+      arrival epochs) - epoch markers + the checkpoint-lineage
+      dynamic overwrite did their job across three restarts;
+    - ZERO FALSE NEGATIVES: the per-epoch count-join probes of the
+      growing postings index jointly recover every pair the
+      full-corpus brute force finds;
+    - TAKEDOWN semantics: no surviving row names a purged doc - the
+      boot drain purged the index before epoch 2's probe and the
+      feed scrub removed earlier epochs' rows (the oracle simply
+      excludes purged docs, valid ONLY because retention is scrubbed
+      everywhere).
+
+    The replay runs once per corpus (build-if-absent under a
+    _REPLAY_DONE gate; a partial build from a crashed session is
+    wiped and rebuilt - the epoch markers make that deterministic);
+    warm invocations read the feed. Epoch inputs are staged by a
+    distributed JSON write + file rename - the corpus never
+    collects to the driver."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..streaming.dedup import run_exact_dedup_stream
+
+    pin_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:xreplay:{_SHINGLE_N}:3:15"
+    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_xreplay_{tag}")
+    pairs_path = f"{root}/pairs"
+    done = f"{root}/_REPLAY_DONE"
+    from .. import fsio
+
+    if not fsio.exists(spark, done):
+        if fsio.exists(spark, root):
+            fsio.delete(spark, root)
+        table = f"spark_graft_xrp_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = f"{wh.rstrip('/')}/{table}"
+        if fsio.exists(spark, loc):
+            fsio.delete(spark, loc)
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        in_dir = f"{root}/in"
+        takedown = f"{root}/takedown"
+        fsio.mkdirs(spark, in_dir)
+        for ep in range(3):
+            stage = f"{root}/stage_e{ep}"
+            d.filter(F.col("doc_id") % 3 == ep).coalesce(1).write.mode(
+                "overwrite"
+            ).json(stage)
+            parts = sorted(
+                p
+                for p in fsio.list_files_recursive(spark, stage)
+                if "/part-" in p and not p.endswith(".crc")
+            )
+            for i, p in enumerate(parts):
+                fsio.rename(spark, p, f"{in_dir}/e{ep}_{i}.json")
+            if ep == 2:
+                # takedown submitted BEFORE the last epoch's restart:
+                # its boot drain must purge index + scrub the feed
+                d.filter(F.col("doc_id") % 15 == 0).select(
+                    "doc_id"
+                ).write.mode("overwrite").parquet(f"{takedown}/pending")
+            q = run_exact_dedup_stream(
+                spark.readStream.schema("doc_id long, text string").json(
+                    in_dir
+                ),
+                table,
+                pairs_path,
+                f"{root}/ckpt",
+                threshold=0.5,
+                shingle_n=_SHINGLE_N,
+                num_buckets=16,
+                parallelism=spark.sparkContext.defaultParallelism,
+                takedown_requests_path=takedown,
+            )
+            q.awaitTermination(600)
+        fsio.write_text_atomic(spark, done, "ok")
+    feed = spark.read.parquet(pairs_path)
+    return feed.select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.regexp_extract("__epoch_id", "-([0-9]+)$", 1)
+        .cast("int")
+        .alias("epoch"),
+    )
+
+
 # incremental substring dedup: duplicated_spans' oracle restricted to
 # pairs touching the arriving batch (docs with doc_id % 10 = 0) - the
 # restriction is a pair-level WHERE on the shared m CTE, so span
@@ -3384,6 +3504,80 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(_minhash_pairs(spark, sf_dir)).selectExpr(
         "doc_id AS __n", "component"
     )
+    labeled = d.select("doc_id").join(
+        cc, F.col("doc_id") == F.col("__n"), "left"
+    )
+    comp = F.coalesce(F.col("component"), F.col("doc_id"))
+    return labeled.select(
+        "doc_id",
+        comp.alias("component"),
+        F.when(sample_hash(comp, "csplit") < 1000, "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def _cc_clauses_exact(threshold: float = 0.5) -> str:
+    """cand/edges/walk CTEs over the EXACT Jaccard pair set (the
+    allpairs_exact_jaccard brute force) instead of LSH candidates."""
+    inter = "len(list_filter(a.sh, x -> list_contains(b.sh, x)))"
+    return f"""shx AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+  WHERE CAST({inter} AS DOUBLE)
+        / CAST(len(a.sh) + len(b.sh) - {inter} AS DOUBLE)
+        >= CAST({threshold!r} AS DOUBLE)
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+walk(node, reach) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT e.u, w.reach FROM edges e JOIN walk w ON w.node = e.v
+)"""
+
+
+@register(
+    "leakage_safe_splits_exact",
+    oracle=f"""
+WITH RECURSIVE {_cc_clauses_exact()},
+cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
+s AS (
+  SELECT d.doc_id, coalesce(cc.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT doc_id, component,
+       CASE WHEN ({sample_hash_sql('component', 'csplit')}) < 1000
+            THEN 'test' ELSE 'train' END AS split
+FROM s
+""",
+)
+def leakage_safe_splits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLIANCE-GRADE variant of leakage_safe_splits (r8
+    advice): components come from the EXACT all-pairs Jaccard join
+    (zero false negatives - machine-checked by
+    allpairs_exact_jaccard's brute-force oracle) instead of
+    MinHash/LSH candidates, so the cluster-atomicity guarantee is
+    unconditional: NO pair with Jaccard >= 0.5 can straddle the
+    train/test split, not just no detected pair. This is the variant
+    to run when the split feeds a benchmark-decontamination claim.
+    Cost trade documented on the LSH twin: the exact join pays
+    prefix-filter candidate generation over the rarest shingles;
+    LSH pays banding - both avoid the corpus-wide quadratic, but
+    exactness forfeits the banding S-curve's sublinear candidate
+    count on adversarial corpora."""
+    from ..operators.allpairs import allpairs_jaccard_join
+
+    d = _docs(spark, sf_dir)
+    pairs = allpairs_jaccard_join(d, "doc_id", "text", 0.5, _SHINGLE_N).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs).selectExpr("doc_id AS __n", "component")
     labeled = d.select("doc_id").join(
         cc, F.col("doc_id") == F.col("__n"), "left"
     )

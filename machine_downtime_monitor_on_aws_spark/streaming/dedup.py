@@ -56,6 +56,60 @@ from .store import (
 )
 
 
+def _purge_epoch_feed(
+    spark, path: str, ids: DataFrame, match_cols: tuple[str, ...]
+) -> int:
+    """Scrub rows referencing purged ids from an epoch-partitioned
+    feed (``__epoch_id=...`` layout): broadcast the takedown sliver,
+    list only the epoch partitions that actually hold hits, rewrite
+    those via dynamic overwrite, and explicitly delete partitions the
+    scrub EMPTIED (a dynamic overwrite only touches partitions
+    present in its output - the same step-3 trap
+    KeyedParquetStore.delete_keys guards). Untouched epochs keep
+    their files byte-for-byte. The per-epoch hit listing is a
+    control-plane collect bounded by the epochs a takedown batch
+    touches, not the feed's lifetime. Idempotent: a re-run finds zero
+    hits and rewrites nothing. Returns rows removed."""
+    if not any(
+        f.endswith(".parquet") for f in fsio.list_files_recursive(spark, path)
+    ):
+        return 0
+    k = ids.select(F.col(ids.columns[0]).alias("__dk")).distinct()
+    feed = spark.read.parquet(path)
+    cond = feed[match_cols[0]] == F.col("__dk")
+    for c in match_cols[1:]:
+        cond = cond | (feed[c] == F.col("__dk"))
+    hits = feed.join(F.broadcast(k), cond, "left_semi")
+    per_epoch = (
+        hits.groupBy("__epoch_id").agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    if not per_epoch:
+        return 0
+    n_deleted = sum(r["__n"] for r in per_epoch)
+    touched = [r["__epoch_id"] for r in per_epoch]
+    remaining = _tracked_local_checkpoint(
+        feed.filter(F.col("__epoch_id").isin(touched)).join(
+            F.broadcast(k), cond, "left_anti"
+        )
+    )
+    try:
+        still = {
+            r[0] for r in remaining.select("__epoch_id").distinct().collect()
+        }
+        emptied = set(touched) - still
+        (
+            remaining.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch_id")
+            .parquet(path)
+        )
+    finally:
+        release_checkpoint(remaining)
+    for e in sorted(emptied):
+        fsio.delete(spark, f"{path}/__epoch_id={e}")
+    return int(n_deleted)
+
+
 def _drain_takedown_requests(
     spark,
     takedown_requests_path: str,
@@ -64,21 +118,42 @@ def _drain_takedown_requests(
     labels_store_path: str | None,
     labels_buckets: int,
     epoch_val: str,
+    purge_fn=None,
+    pairs_path: str | None = None,
+    chunk_store_path: str | None = None,
+    chunk_buckets: int = 64,
+    chunk_feed_path: str | None = None,
 ) -> int:
     """Process accumulated takedown requests: purge the ids from the
-    band index (ONE bucket-preserving rewrite for the whole drain),
-    scrub their label rows when a labels store is maintained, then
-    rename ``pending/`` to ``done-{epoch}`` so the same batch never
-    drains twice. Returns the number of distinct indexed docs purged.
+    band/postings index (ONE bucket-preserving rewrite for the whole
+    drain), scrub their rows from every OTHER sink that names them -
+    the epoch-partitioned pairs feed (rows whose doc_a OR doc_b is
+    purged), the labels store, and the chunk store + chunk feed
+    (rows whose canonical ref names a purged doc) - then rename
+    ``pending/`` to ``done-{epoch}`` so the same batch never drains
+    twice. Returns the number of distinct indexed docs purged.
+
+    Chunk-scrub semantics (r8 advice): the chunk store keeps ONE
+    canonical (first-seen) ref per distinct chunk content, so a row
+    whose ref names a purged doc is dropped even when identical
+    content also appears in surviving documents - the store records
+    no other members to re-point at. A later batch containing that
+    content simply re-adds it under a surviving ref (first-seen-wins
+    makes the re-add natural); until then downstream consumers
+    re-derive it, trading recompute for never serving a purged doc's
+    provenance.
 
     Crash window: purge-then-crash-before-rename re-drains next epoch
-    and the purge finds zero hits (idempotent); rename-then-crash is
-    fully committed. Label scrub note: component ids are opaque mins
+    (or at stream START - both loops attempt a drain on startup, so a
+    crashed drain heals without waiting for new data) and every step
+    is idempotent: the index purge finds zero hits, the feed scrubs
+    find zero rows. Label scrub note: component ids are opaque mins
     over member doc ids, so surviving members of a purged doc's
     cluster keep their (still-consistent, still-equal) label even
     when the purged doc was the min - the label identifies the
     cluster, not a retrievable document."""
-    from ..operators.dedup import purge_from_minhash_index
+    if purge_fn is None:
+        from ..operators.dedup import purge_from_minhash_index as purge_fn
 
     pending = takedown_requests_path.rstrip("/") + "/pending"
     if not any(
@@ -86,15 +161,68 @@ def _drain_takedown_requests(
     ):
         return 0
     ids = spark.read.parquet(pending).select(id_col).distinct()
-    n = purge_from_minhash_index(spark, index_table, ids, id_col=id_col)
+    n = purge_fn(spark, index_table, ids, id_col=id_col)
+    if pairs_path is not None:
+        _purge_epoch_feed(spark, pairs_path, ids, ("doc_a", "doc_b"))
     if labels_store_path is not None:
         lstore = KeyedParquetStore(labels_store_path, "doc_id", labels_buckets)
         keys = ids if id_col == "doc_id" else ids.withColumnRenamed(id_col, "doc_id")
         lstore.delete_keys(keys)
+    if chunk_store_path is not None:
+        cstore = KeyedParquetStore(chunk_store_path, "chunk_md5", chunk_buckets)
+        if cstore.exists(spark):
+            k = ids.select(F.col(id_col).alias("__dk")).distinct()
+            store = cstore.read(spark)
+            doomed = store.join(
+                F.broadcast(k), store["ref_doc_id"] == F.col("__dk"), "left_semi"
+            ).select("chunk_md5")
+            cstore.delete_keys(doomed)
+        if chunk_feed_path is not None:
+            _purge_epoch_feed(spark, chunk_feed_path, ids, ("ref_doc_id",))
     fsio.rename(
         spark, pending, takedown_requests_path.rstrip("/") + f"/done-{epoch_val}"
     )
     return n
+
+
+def _boot_drain(
+    spark,
+    takedown_requests_path: str | None,
+    index_table: str,
+    id_col: str,
+    labels_store_path: str | None,
+    labels_buckets: int,
+    token: str,
+    **drain_kwargs,
+) -> int:
+    """Heal a crashed drain at stream START (r8 advice): a crash
+    between purge and pending->done rename otherwise re-drains only
+    when a later epoch processes - under availableNow with no new
+    data, pending/ would stay undrained forever. Runs the standard
+    drain with a boot-scoped epoch value (unique per startup via the
+    count of completed drains, so repeated restarts never collide on
+    the done-dir rename). No-op when there is nothing pending or the
+    index does not exist yet (nothing to purge FROM - the pending
+    batch drains after the bootstrap epoch commits)."""
+    if takedown_requests_path is None:
+        return 0
+    if not spark.catalog.tableExists(index_table):
+        return 0
+    n_done = sum(
+        1
+        for d in fsio.list_names(spark, takedown_requests_path)
+        if d.startswith("done-")
+    )
+    return _drain_takedown_requests(
+        spark,
+        takedown_requests_path,
+        index_table,
+        id_col,
+        labels_store_path,
+        labels_buckets,
+        f"{token}-boot{n_done}",
+        **drain_kwargs,
+    )
 
 
 def run_incremental_dedup_stream(
@@ -186,12 +314,16 @@ def run_incremental_dedup_stream(
     request batches accumulated - exactly the batch-the-takedowns
     discipline the purge docstring prescribes, and the rewrite
     doubles as a compaction so it runs BEFORE the compaction gate),
-    scrubs the purged docs' rows from the labels store when one is
-    maintained, then renames ``pending/`` to ``done-{epoch}`` for
-    audit. Crash-safe: a crash after the purge but before the rename
-    re-drains the same ids next epoch - the purge finds zero hits
-    (idempotent) and the rename completes. None (default) leaves
-    takedown to an external maintenance window.
+    scrubs the purged docs from every other sink that NAMES them -
+    pair rows in the epoch-partitioned feed (doc_a or doc_b purged),
+    labels-store rows, and chunk store/feed rows whose canonical ref
+    is a purged doc (r8 advice; see _drain_takedown_requests for the
+    shared-content re-add semantics) - then renames ``pending/`` to
+    ``done-{epoch}`` for audit. Crash-safe: a crash after the purge
+    but before the rename re-drains the same ids at the next epoch
+    OR at stream start (the boot drain - so availableNow restarts
+    with no new data still heal), every step idempotent. None
+    (default) leaves takedown to an external maintenance window.
     """
     if chunk_feed_path is not None and chunk_store_path is None:
         raise ValueError("chunk_feed_path requires chunk_store_path")
@@ -201,6 +333,15 @@ def run_incremental_dedup_stream(
     # silently forget the whole history
     recover_minhash_index(spark, index_table)
     token = _checkpoint_sink_token(spark, checkpoint_dir)
+    # heal a crashed takedown drain without waiting for new data
+    _boot_drain(
+        spark, takedown_requests_path, index_table, id_col,
+        labels_store_path, labels_buckets, token,
+        pairs_path=pairs_path,
+        chunk_store_path=chunk_store_path,
+        chunk_buckets=chunk_buckets,
+        chunk_feed_path=chunk_feed_path,
+    )
     # Epoch markers live INSIDE the checkpoint dir and are read and
     # written through the Hadoop FileSystem API (fsio): the checkpoint
     # location is HDFS/S3 on a real cluster, where os.path/open calls
@@ -388,6 +529,10 @@ def run_incremental_dedup_stream(
                     labels_store_path,
                     labels_buckets,
                     epoch_val,
+                    pairs_path=pairs_path,
+                    chunk_store_path=chunk_store_path,
+                    chunk_buckets=chunk_buckets,
+                    chunk_feed_path=chunk_feed_path,
                 )
             if compact_max_files_per_bucket is not None:
                 compact_minhash_index_if_needed(
@@ -444,8 +589,11 @@ def run_exact_dedup_stream(
     :func:`~..operators.allpairs.purge_from_shingle_index` after each
     committed epoch (one layout-preserving rewrite per drain, the
     rewrite doubling as a compaction - it runs before the file-count
-    gate); ``compact_max_files_per_bucket`` bounds append file growth
-    via the shared stats + compact path."""
+    gate) and scrubs the purged ids' rows from the verified-pairs
+    feed (r8 advice - the feed names takendown docs otherwise); a
+    boot drain at stream start heals a crashed drain without waiting
+    for new data. ``compact_max_files_per_bucket`` bounds append
+    file growth via the shared stats + compact path."""
     from ..operators.allpairs import (
         allpairs_jaccard_join,
         append_to_shingle_index,
@@ -461,6 +609,13 @@ def run_exact_dedup_stream(
     spark = doc_stream.sparkSession
     recover_shingle_index(spark, index_table)
     token = _checkpoint_sink_token(spark, checkpoint_dir)
+    # heal a crashed takedown drain without waiting for new data
+    _boot_drain(
+        spark, takedown_requests_path, index_table, id_col,
+        None, 0, token,
+        purge_fn=purge_from_shingle_index,
+        pairs_path=pairs_path,
+    )
     marker_dir = checkpoint_dir.rstrip("/") + "/exact_dedup_epochs"
     fsio.mkdirs(spark, marker_dir)
 
@@ -520,20 +675,17 @@ def run_exact_dedup_stream(
                 if stale:
                     fsio.delete(spark, f"{marker_dir}/{old}", recursive=False)
             if takedown_requests_path is not None:
-                pending = takedown_requests_path.rstrip("/") + "/pending"
-                if any(
-                    f.endswith(".parquet")
-                    for f in fsio.list_files_recursive(spark, pending)
-                ):
-                    ids = spark.read.parquet(pending).select(id_col).distinct()
-                    purge_from_shingle_index(
-                        spark, index_table, ids, id_col=id_col
-                    )
-                    fsio.rename(
-                        spark,
-                        pending,
-                        takedown_requests_path.rstrip("/") + f"/done-{epoch_val}",
-                    )
+                _drain_takedown_requests(
+                    spark,
+                    takedown_requests_path,
+                    index_table,
+                    id_col,
+                    None,
+                    0,
+                    epoch_val,
+                    purge_fn=purge_from_shingle_index,
+                    pairs_path=pairs_path,
+                )
             if compact_max_files_per_bucket is not None:
                 recover_shingle_index(spark, index_table)
                 stats = minhash_index_stats(spark, index_table)

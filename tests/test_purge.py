@@ -429,3 +429,108 @@ def test_streaming_dedup_takedown_drain(spark, tmp_path):
         assert (1, 20) not in pairs and (2, 20) in pairs
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_takedown_scrubs_pairs_chunks_and_boot_drains(spark, tmp_path):
+    """r8 advice (medium): the drain must also scrub sinks that NAME
+    purged docs - pair rows in the epoch-partitioned feed and chunk
+    store/feed rows whose canonical ref is a purged doc - and a
+    pending batch must drain at stream START even when no new data
+    ever arrives (r8 advice: the crashed-drain / availableNow gap)."""
+    import os
+
+    from machine_downtime_monitor_on_aws_spark.streaming.dedup import (
+        run_incremental_dedup_stream,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.store import (
+        KeyedParquetStore,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    pairs_path = str(tmp_path / "pairs")
+    chunk_store = str(tmp_path / "chunks")
+    chunk_feed = str(tmp_path / "chunk_feed")
+    takedown = str(tmp_path / "takedown")
+    os.makedirs(src)
+    table = "sdedup_scrub_test"
+
+    def stream():
+        return spark.readStream.schema("doc_id long, text string").json(src)
+
+    def run():
+        q = run_incremental_dedup_stream(
+            stream(), table, pairs_path, ckpt,
+            num_buckets=8, parallelism=4,
+            chunk_store_path=chunk_store, chunk_feed_path=chunk_feed,
+            takedown_requests_path=takedown,
+        )
+        q.awaitTermination(120)
+
+    try:
+        import json as _json
+
+        body = "a duplicated body shared within the batch " * 3
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in [
+                {"doc_id": 1, "text": body},
+                {"doc_id": 2, "text": body},
+                {"doc_id": 3, "text": "something entirely different and unique"},
+            ]))
+        run()
+        feed = spark.read.parquet(pairs_path)
+        assert {(r.doc_a, r.doc_b) for r in feed.collect()} == {(1, 2)}
+        cstore = KeyedParquetStore(chunk_store, "chunk_md5", 64)
+        refs1 = {r.ref_doc_id for r in cstore.read(spark).collect()}
+        assert 1 in refs1  # doc 1 is the first-seen ref for its chunks
+
+        # drop a takedown for doc 1 and RESTART WITH NO NEW DATA:
+        # the boot drain must handle everything
+        spark.createDataFrame([(1,)], "doc_id long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(takedown, "pending"))
+        run()
+
+        assert not os.path.exists(os.path.join(takedown, "pending"))
+        assert spark.table(table).filter(F.col("doc_id") == 1).count() == 0
+        # pairs feed no longer names doc 1; the emptied epoch
+        # partition is gone entirely (dir removed, not zero rows)
+        import glob as _glob
+
+        assert _glob.glob(f"{pairs_path}/__epoch_id=*") == []
+        # chunk store rows whose canonical ref was doc 1 are gone;
+        # doc 3's chunks (refs untouched) survive
+        refs2 = {r.ref_doc_id for r in cstore.read(spark).collect()}
+        assert 1 not in refs2 and 3 in refs2
+        # chunk feed scrubbed the purged refs too
+        feed_refs = {
+            r.ref_doc_id for r in spark.read.parquet(chunk_feed).collect()
+        }
+        assert 1 not in feed_refs and 3 in feed_refs
+
+        # re-encounter of the shared content re-adds it under a
+        # surviving ref (first-seen-wins makes the re-add natural)
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.write(_json.dumps({"doc_id": 10, "text": body}))
+        run()
+        refs3 = {r.ref_doc_id for r in cstore.read(spark).collect()}
+        assert 10 in refs3 and 1 not in refs3
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(pairs_path).collect()
+        }
+        assert pairs == {(2, 10)}  # doc 1 never pairs again
+        # idempotence: an empty re-drain finds nothing and changes
+        # nothing (drain with same ids again)
+        spark.createDataFrame([(1,)], "doc_id long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(takedown, "pending"))
+        run()
+        assert {
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(pairs_path).collect()
+        } == {(2, 10)}
+        dones = [d for d in os.listdir(takedown) if d.startswith("done-")]
+        assert len(dones) == 2  # two drains, distinct done names
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

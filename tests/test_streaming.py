@@ -1989,8 +1989,8 @@ def test_streaming_exact_dedup_loop(spark, tmp_path):
                 {"doc_id": 20, "text": "a duplicated body shared within the batch"}
             ))
         run()
-        # doc 20's probe ran BEFORE the drain (epoch-then-maintain),
-        # so it still saw doc 1; the NEXT epoch must not
+        # the boot drain (r9) purges doc 1 BEFORE doc 20's probe, so
+        # no (1, 20) pair ever forms and pending/ rotates immediately
         assert not os.path.isdir(os.path.join(takedown, "pending"))
         hist_ids = {r.doc_id for r in spark.table(table).select("doc_id").distinct().collect()}
         assert 1 not in hist_ids and 20 in hist_ids
