@@ -153,14 +153,29 @@ def main() -> None:
     except (OSError, ValueError):
         pass
 
-    # warmup (shared-JIT ramp, same rationale as bench.py)
-    for name in HEADLINE:
+    # r8 verdict next-round #5: the linearity gate must also cover
+    # the TOP-10 most expensive catalog queries by committed sf0.1
+    # median - the training-loop tier (wordpiece/kmeans/semdedup/
+    # allpairs) is exactly where a super-linear shape would hide and
+    # several of them are not in the stable headline set. Derived
+    # from the committed artifact, not hand-picked, so the gate
+    # follows the cost profile as the catalog evolves.
+    top_cost = [
+        n
+        for n, _ in sorted(ref_medians.items(), key=lambda kv: -kv[1])
+        if n in qs
+    ][: int(os.environ.get("SPARK_GRAFT_SF1_TOPK", "10"))]
+    run_set = list(HEADLINE) + [n for n in top_cost if n not in HEADLINE]
+
+    # warmup (shared-JIT ramp, same rationale as bench.py; also
+    # absorbs one-time build-if-absent store builds at sf1.0)
+    for name in run_set:
         qs[name](spark, SF1_DIR).count()
         spark.catalog.clearCache()
         unpersist_all_rdds(spark)
 
     timings, medians, total = {}, {}, 0.0
-    for name in HEADLINE:
+    for name in run_set:
         obs = []
         for _ in range(runs):
             t0 = time.time()
@@ -170,7 +185,8 @@ def main() -> None:
             unpersist_all_rdds(spark)
         timings[name] = round(min(obs), 3)
         medians[name] = round(statistics.median(obs), 3)
-        total += min(obs)
+        if name in HEADLINE:
+            total += min(obs)  # the headline total stays comparable
         print(f"# {name}: best {min(obs):.2f}s median {medians[name]:.2f}s",
               file=sys.stderr)
 
@@ -190,7 +206,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "query_medians": medians,
-        "headline_median_total": round(sum(medians.values()), 3),
+        "headline_median_total": round(
+            sum(m for n, m in medians.items() if n in HEADLINE), 3
+        ),
+        "top_cost_queries": top_cost,
+        "top_cost_median_total": round(
+            sum(m for n, m in medians.items() if n in top_cost), 3
+        ),
         "superlinear": superlinear,
         "linear_slack": LINEAR_SLACK,
         "copies": COPIES,

@@ -240,3 +240,31 @@ def test_leakage_safe_splits_are_cluster_atomic(spark):
     assert pairs  # non-vacuous: the corpus has near-dups
     for r in pairs:
         assert splits[r.doc_a] == splits[r.doc_b], (r.doc_a, r.doc_b)
+
+
+def test_bpe_catalog_encode_serves_from_persisted_store(
+    spark, tmp_path, monkeypatch
+):
+    """r8 verdict next-round #2, the BPE catalog path: first
+    bpe_compression_stats invocation trains + persists the merge
+    store (layout='bpe'); warm invocations load it (trainer poisoned
+    to prove no retraining) and reproduce bit-identically."""
+    import glob
+    import tempfile
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    fn = catalog.REGISTRY["bpe_compression_stats"].fn
+    sf = "/root/testdata/sf0.001"
+    rows1 = {r.doc_id: tuple(r) for r in fn(spark, sf).collect()}
+    stores = glob.glob(str(tmp_path / "spark_graft_bpe_merges_*"))
+    assert len(stores) == 1, stores
+    import machine_downtime_monitor_on_aws_spark.operators.bpe as bpe
+
+    def _boom(*a, **k):
+        raise AssertionError("warm path retrained instead of loading")
+
+    monkeypatch.setattr(bpe, "bpe_train_merges", _boom)
+    rows2 = {r.doc_id: tuple(r) for r in fn(spark, sf).collect()}
+    assert rows2 == rows1 and rows1

@@ -187,3 +187,29 @@ def test_vocab_persistence_roundtrip_and_guards(spark, tmp_path):
     ).parquet(f"{path}/vocab")
     with pytest.raises(ValueError, match="digest"):
         load_unigram_vocab(spark, path)
+
+
+def test_catalog_encode_serves_from_persisted_vocab(spark, tmp_path, monkeypatch):
+    """r8 verdict next-round #2, the unigram catalog path: first
+    invocation trains + persists the vocab store; warm invocations
+    load it (trainer poisoned to prove no retraining) and reproduce
+    bit-identically."""
+    import glob
+    import tempfile
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    fn = catalog.REGISTRY["unigram_doc_encoding"].fn
+    sf = "/root/testdata/sf0.001"
+    rows1 = {r.doc_id: tuple(r) for r in fn(spark, sf).collect()}
+    stores = glob.glob(str(tmp_path / "spark_graft_ulm_vocab_*"))
+    assert len(stores) == 1, stores
+    import machine_downtime_monitor_on_aws_spark.operators.unigram_lm as ulm
+
+    def _boom(*a, **k):
+        raise AssertionError("warm path retrained instead of loading")
+
+    monkeypatch.setattr(ulm, "train_unigram_lm", _boom)
+    rows2 = {r.doc_id: tuple(r) for r in fn(spark, sf).collect()}
+    assert rows2 == rows1 and rows1
