@@ -495,3 +495,99 @@ def train_pq_codebooks(
         [x for j in range(m) for x in trained[(j, label)]]
         for label in range(k)
     ]
+
+
+def centroids_digest(centroids: dict[tuple, list[float]]) -> str:
+    """Deterministic md5 over the trained model: key-sorted lines of
+    JSON key + float.hex() components - exact double rendering, so
+    two models differing by one ulp anywhere get different digests."""
+    import hashlib
+    import json as _json
+
+    lines = []
+    for key in sorted(centroids, key=repr):
+        vec = centroids[key]
+        lines.append(
+            _json.dumps(list(key), sort_keys=True)
+            + ":"
+            + ",".join(float(x).hex() for x in vec)
+        )
+    return hashlib.md5("\n".join(lines).encode("utf-8")).hexdigest()
+
+
+def save_centroids(
+    spark: SparkSession, path: str, centroids: dict[tuple, list[float]]
+) -> None:
+    """Persist a trained centroid model (the k-means sibling of the
+    tokenizer merge/vocab stores): a tiny (key_json, cv) parquet plus
+    params.json carrying the model digest, written LAST as the
+    commit signal. Keys are the dict's ``(group..., label)`` tuples,
+    JSON-encoded so int and string group components round-trip.
+    Parquet doubles are exact, so a load returns the model
+    bit-identically - serving assignments from the store hashes the
+    same as retraining. Overwrite-safe."""
+    import json as _json
+
+    from .. import fsio
+
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    rows = [
+        (_json.dumps(list(k), sort_keys=False), [float(x) for x in v])
+        for k, v in sorted(centroids.items(), key=lambda kv: repr(kv[0]))
+    ]
+    spark.createDataFrame(
+        rows, "key_json string, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    fsio.mkdirs(spark, path)
+    fsio.write_text(
+        spark,
+        f"{path}/params.json",
+        _json.dumps(
+            {
+                "layout": "kmeans_centroids",
+                "n_centroids": len(centroids),
+                "dim": len(next(iter(centroids.values()))),
+                "centroids_md5": centroids_digest(centroids),
+            },
+            sort_keys=True,
+        ),
+    )
+
+
+def load_centroids(
+    spark: SparkSession, path: str, expect_digest: str | None = None
+) -> tuple[dict[tuple, list[float]], dict]:
+    """(centroids, stamped params). The digest re-verifies against
+    the loaded rows - torn/tampered stores fail loudly instead of
+    assigning against a drifted model; ``expect_digest`` pins the
+    exact model a caller was built against."""
+    import json as _json
+
+    from .. import fsio
+
+    if not fsio.exists(spark, f"{path}/params.json"):
+        raise ValueError(f"no committed centroid store at {path!r}")
+    params = _json.loads(fsio.read_text(spark, f"{path}/params.json"))
+    if params.get("layout") != "kmeans_centroids":
+        raise ValueError(
+            f"store at {path!r} has layout {params.get('layout')!r}, "
+            "expected 'kmeans_centroids'"
+        )
+    cents = {
+        tuple(_json.loads(r["key_json"])): [float(x) for x in r["cv"]]
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    actual = centroids_digest(cents)
+    if params.get("centroids_md5") != actual:
+        raise ValueError(
+            f"centroid store at {path!r} fails its own digest "
+            f"({params.get('centroids_md5')} != {actual}): torn write "
+            "or tampered store"
+        )
+    if expect_digest is not None and actual != expect_digest:
+        raise ValueError(
+            f"centroid store at {path!r} is not the expected model "
+            f"({actual} != {expect_digest})"
+        )
+    return cents, params

@@ -545,3 +545,76 @@ def test_gram_upper_vectorized_pins_to_expression_path(spark):
     fast2 = canon(gram_upper(df.repartition(7), dim, vectorized=True))
     assert fast == expr
     assert fast2 == expr
+
+
+def test_centroid_store_roundtrip_and_guards(spark, tmp_path):
+    """save/load round-trips the model bit-exactly (incl. string
+    group keys), the self-digest guards torn/tampered stores, and
+    expect_digest pins the exact model."""
+    import json
+    import os
+
+    import pytest as _pt
+
+    from machine_downtime_monitor_on_aws_spark.operators.kmeans import (
+        centroids_digest,
+        load_centroids,
+        save_centroids,
+    )
+
+    cents = {
+        ("en", 0): [0.1, 0.2 + 1e-16],
+        ("en", 1): [1.5, -2.25],
+        ("de", 0): [3.0, 4.0],
+    }
+    path = str(tmp_path / "cents")
+    save_centroids(spark, path, cents)
+    loaded, params = load_centroids(spark, path)
+    assert loaded == cents  # exact doubles, key types preserved
+    assert params["n_centroids"] == 3 and params["dim"] == 2
+    load_centroids(spark, path, expect_digest=centroids_digest(cents))
+    with _pt.raises(ValueError, match="expected model"):
+        load_centroids(spark, path, expect_digest="0" * 32)
+    # tamper (drop the local-FS .crc so OUR digest check fires)
+    pj = f"{path}/params.json"
+    p = json.load(open(pj))
+    p["centroids_md5"] = "0" * 32
+    open(pj, "w").write(json.dumps(p, sort_keys=True))
+    crc = f"{path}/.params.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    with _pt.raises(ValueError, match="digest"):
+        load_centroids(spark, path)
+    with _pt.raises(ValueError, match="no committed"):
+        load_centroids(spark, str(tmp_path / "absent"))
+
+
+def test_catalog_kmeans_serves_from_persisted_store(spark, tmp_path, monkeypatch):
+    """kmeans_assignments and semdedup_survivors share ONE persisted
+    centroid store: the first call trains + persists, subsequent
+    calls (and the sibling query) load it - proven by poisoning the
+    trainer after the first call - and reproduce bit-identically."""
+    import glob
+    import tempfile
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    fn_km = catalog.REGISTRY["kmeans_assignments"].fn
+    fn_sd = catalog.REGISTRY["semdedup_survivors"].fn
+    rows1 = {r.vec_id: tuple(r) for r in fn_km(spark, sf).collect()}
+    stores = glob.glob(str(tmp_path / "spark_graft_km_cents_*"))
+    assert len(stores) == 1, stores
+    import machine_downtime_monitor_on_aws_spark.operators.kmeans as km
+
+    def _boom(*a, **k):
+        raise AssertionError("warm path retrained instead of loading")
+
+    monkeypatch.setattr(km, "lloyd_iterations", _boom)
+    rows2 = {r.vec_id: tuple(r) for r in fn_km(spark, sf).collect()}
+    assert rows2 == rows1 and rows1
+    # the sibling query rides the SAME store (no second training)
+    sd = fn_sd(spark, sf).collect()
+    assert len(glob.glob(str(tmp_path / "spark_graft_km_cents_*"))) == 1
+    assert sd
