@@ -601,3 +601,133 @@ def test_allpairs_join_is_lossless_and_exact(token_lists, threshold):
         if jac >= threshold:
             want[(ia, ib)] = jac
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 10**6))
+def test_incremental_spans_match_full_rerun_random(seed):
+    """Property (r9): for random corpora with planted shared blocks
+    and a random batch split, incremental_duplicated_spans over the
+    persisted k-gram index == full duplicated_spans over
+    (history ∪ batch) restricted to batch-touching pairs."""
+    from machine_downtime_monitor_on_aws_spark.operators.spans import (
+        duplicated_spans,
+        incremental_duplicated_spans,
+        write_kgram_index,
+    )
+
+    spark = _spark()
+    rng = random.Random(seed)
+    k = 6
+    blocks = [
+        " ".join(f"b{b}w{i}" for i in range(rng.randint(k, k + 8)))
+        for b in range(3)
+    ]
+    docs = []
+    for d in range(14):
+        parts = [f"d{d}u{j}" for j in range(rng.randint(0, 4))]
+        for b in range(3):
+            if rng.random() < 0.4:
+                parts.append(blocks[b])
+        rng.shuffle(parts)
+        docs.append((d, " ".join(parts)))
+    batch_ids = {d for d, _ in docs if rng.random() < 0.4}
+    if not batch_ids:
+        batch_ids = {docs[0][0]}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    hist = df.filter(~F_col_isin(df, batch_ids))
+    batch = df.filter(F_col_isin(df, batch_ids))
+    table = f"kgram_prop_{seed % 97}"
+    try:
+        write_kgram_index(hist, table, k=k, num_buckets=4)
+        got = {
+            tuple(r)
+            for r in incremental_duplicated_spans(
+                spark, batch, table, k
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in duplicated_spans(df, "doc_id", "text", k).collect()
+            if r.doc_a in batch_ids or r.doc_b in batch_ids
+        }
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def F_col_isin(df, ids):
+    from pyspark.sql import functions as F
+
+    return F.col("doc_id").isin(*[int(i) for i in ids])
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(0, 10**6))
+def test_epoch_feed_purge_complement_random(seed):
+    """Property (r9): _purge_epoch_feed removes EXACTLY the rows
+    naming a purged id, untouched epoch partitions keep their files
+    byte-for-byte, and emptied epochs disappear from the layout."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from machine_downtime_monitor_on_aws_spark.streaming.dedup import (
+        _purge_epoch_feed,
+    )
+
+    spark = _spark()
+    rng = random.Random(seed)
+    rows = []
+    for e in range(4):
+        for _ in range(rng.randint(0, 6)):
+            a, b = sorted(rng.sample(range(12), 2))
+            rows.append((a, b, f"ep-{e}"))
+    if not rows:
+        rows = [(0, 1, "ep-0")]
+    purged = set(rng.sample(range(12), rng.randint(1, 3)))
+    root = tempfile.mkdtemp(prefix="feedpurge_")
+    path = os.path.join(root, "pairs")
+    try:
+        spark.createDataFrame(
+            rows, "doc_a long, doc_b long, __epoch_id string"
+        ).write.partitionBy("__epoch_id").parquet(path)
+
+        def digests():
+            out = {}
+            for p in glob.glob(f"{path}/__epoch_id=*/*.parquet"):
+                out[p] = hashlib.md5(open(p, "rb").read()).hexdigest()
+            return out
+
+        before = digests()
+        ids = spark.createDataFrame([(i,) for i in sorted(purged)], "doc_id long")
+        n = _purge_epoch_feed(spark, path, ids, ("doc_a", "doc_b"))
+        survivors = sorted(
+            (r["doc_a"], r["doc_b"], r["__epoch_id"])
+            for r in spark.read.parquet(path).collect()
+        ) if glob.glob(f"{path}/__epoch_id=*") else []
+        want = sorted(
+            (a, b, e) for a, b, e in rows if a not in purged and b not in purged
+        )
+        assert survivors == want  # multiset: duplicates preserved
+        assert n == len(rows) - len(want)
+        # untouched epochs (no purged id anywhere) byte-identical
+        hit_epochs = {
+            e for a, b, e in rows if a in purged or b in purged
+        }
+        after = digests()
+        for p, d in before.items():
+            ep = p.split("__epoch_id=")[1].split("/")[0]
+            if ep not in hit_epochs:
+                assert after.get(p) == d, f"untouched {p} rewritten"
+        # emptied epochs are gone from the directory layout
+        surviving_eps = {e for _, _, e in want}
+        on_disk = {
+            os.path.basename(d).split("=", 1)[1]
+            for d in glob.glob(f"{path}/__epoch_id=*")
+        }
+        assert on_disk == surviving_eps or (not want and not on_disk)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
