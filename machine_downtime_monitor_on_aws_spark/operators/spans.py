@@ -348,4 +348,76 @@ def incremental_duplicated_spans(
     internal = ba.join(bb, "g").filter(F.col("doc_a") < F.col("doc_b")).select(
         "doc_a", "doc_b", "pos_a", "pos_b"
     )
-    return _stitch_spans(cross.unionByName(internal), k, min_span_tokens)
+    # replay shield: a crashed append_to_kgram_index re-append leaves
+    # duplicate (doc_id, pos, g) history rows, and duplicate MATCH
+    # rows would inflate _stitch_spans' diagonal row_number and
+    # fragment islands (wrong spans, not just duplicate spans - the
+    # same hazard class as the exact loop's intersection counts).
+    # Deduping the match SLIVER restores exactness at sliver cost;
+    # on a clean index matches are unique and this is a no-op.
+    matches = cross.unionByName(internal).dropDuplicates(
+        ["doc_a", "doc_b", "pos_a", "pos_b"]
+    )
+    return _stitch_spans(matches, k, min_span_tokens)
+
+
+# ---- k-gram index maintenance (shared bucketed-index swap core)
+#
+# The minhash/shingle lifecycle discipline applies verbatim: the swap
+# core (operators/dedup._swap_rewritten_index) parameterized on the
+# bucket column 'g', the two-rename crash window and its healing, and
+# the stamped-params re-stamp are shared code, so the three bucketed
+# indexes cannot drift apart in filesystem behavior.
+
+def recover_kgram_index(spark, table_name: str) -> bool:
+    """Heal a compaction/purge interrupted mid-swap; shared recovery
+    (never touches the bucket column)."""
+    from .dedup import recover_minhash_index
+
+    return recover_minhash_index(spark, table_name)
+
+
+def compact_kgram_index(spark, table_name: str) -> None:
+    """Fold a sustained-append window table back to one file per
+    bucket, dropping verbatim duplicate rows (crash re-appends),
+    preserving the CLUSTERED BY (g) spec and the stamped kgram_k the
+    shuffle-free probe stands on. O(index); gate by file count."""
+    from .dedup import _swap_rewritten_index
+
+    _swap_rewritten_index(
+        spark, table_name, spark.table(table_name), bucket_col="g"
+    )
+
+
+def purge_from_kgram_index(
+    spark, table_name: str, doc_ids: DataFrame, id_col: str = "doc_id"
+) -> int:
+    """Targeted deletion (takedown): remove every window row of the
+    given documents, preserving the bucketed layout. Returns the
+    number of distinct indexed documents removed; idempotent. Honest
+    cost: windows are bucketed on the digest, so doc rows have no
+    pruned location - a purge is an O(index) bucket-preserving
+    rewrite (batch takedowns; piggyback a due compaction).
+    Correctness note specific to THIS index: a window row is
+    (doc_id, pos, g) - removing all of a doc's rows removes every
+    diagonal it could ever stitch on, so no partial span against a
+    purged doc can survive."""
+    from .dedup import _swap_rewritten_index
+
+    recover_kgram_index(spark, table_name)
+    spark.catalog.refreshTable(table_name)
+    ids = doc_ids.select(F.col(id_col).alias("__pid")).distinct()
+    tbl = spark.table(table_name)
+    n = (
+        tbl.join(F.broadcast(ids), tbl["doc_id"] == F.col("__pid"), "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    if n == 0:
+        return 0
+    remaining = tbl.join(
+        F.broadcast(ids), tbl["doc_id"] == F.col("__pid"), "left_anti"
+    )
+    _swap_rewritten_index(spark, table_name, remaining, bucket_col="g")
+    return n

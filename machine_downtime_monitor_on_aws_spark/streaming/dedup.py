@@ -704,3 +704,159 @@ def run_exact_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_span_dedup_stream(
+    doc_stream: DataFrame,
+    index_table: str,
+    spans_path: str,
+    checkpoint_dir: str,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int | None = None,
+    num_buckets: int = 64,
+    compact_max_files_per_bucket: int | None = None,
+    takedown_requests_path: str | None = None,
+) -> StreamingQuery:
+    """The SUBSTRING-level member of the streaming dedup trio (beside
+    the minhash and exact-Jaccard loops): each micro-batch of
+    documents probes the persisted k-gram window index with
+    :func:`~..operators.spans.incremental_duplicated_spans` (every
+    maximal shared span touching the batch - vs history and
+    batch-internal, exact, text never shuffles), lands the spans in
+    an epoch-partitioned feed (the input a downstream
+    remove_duplicated_spans corpus edit consumes), and appends its
+    windows so the next batch probes against them.
+
+    Crash semantics mirror the sibling loops exactly: epoch markers
+    gate committed replays, the spans feed is a dynamic overwrite
+    keyed by the checkpoint-lineage token, and the index is a plain
+    bucketed append whose crash re-appends are SPAN-SAFE: duplicate
+    (doc_id, pos, g) history rows would inflate the stitcher's
+    diagonal row_number and FRAGMENT maximal spans (a wrongness
+    hazard, not mere duplication - same class as the exact loop's
+    corrupted intersection counts), so the probe dedupes its match
+    sliver on (doc_a, doc_b, pos_a, pos_b) before stitching
+    (operators/spans.incremental_duplicated_spans - a no-op on a
+    clean index) and anti-joins the batch's own ids so a replayed
+    batch never pairs with itself across legs. Storage from
+    re-appends is reclaimed by the dropDuplicates() in the shared
+    compaction rewrite.
+
+    ``takedown_requests_path`` drains pending id batches through
+    :func:`~..operators.spans.purge_from_kgram_index` after each
+    committed epoch and scrubs the purged ids' rows from the spans
+    feed; a boot drain at stream start heals a crashed drain without
+    new data. ``compact_max_files_per_bucket`` bounds append file
+    growth via the shared stats + compact path."""
+    from ..operators.dedup import minhash_index_stats
+    from ..operators.spans import (
+        append_to_kgram_index,
+        compact_kgram_index,
+        duplicated_spans,
+        incremental_duplicated_spans,
+        purge_from_kgram_index,
+        recover_kgram_index,
+        write_kgram_index,
+    )
+
+    if min_span_tokens is None:
+        min_span_tokens = k
+    spark = doc_stream.sparkSession
+    recover_kgram_index(spark, index_table)
+    token = _checkpoint_sink_token(spark, checkpoint_dir)
+    # heal a crashed takedown drain without waiting for new data
+    _boot_drain(
+        spark, takedown_requests_path, index_table, id_col,
+        None, 0, token,
+        purge_fn=purge_from_kgram_index,
+        pairs_path=spans_path,
+    )
+    marker_dir = checkpoint_dir.rstrip("/") + "/span_dedup_epochs"
+    fsio.mkdirs(spark, marker_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_val = f"{token}-{epoch_id}"
+        marker = f"{marker_dir}/{epoch_val}"
+        if fsio.exists(spark, marker):
+            return
+        batch = _tracked_local_checkpoint(
+            batch_df.select(F.col(id_col), F.col(text_col))
+        )
+        spans = None
+        try:
+            index_exists = spark.catalog.tableExists(index_table)
+            if index_exists:
+                spans = incremental_duplicated_spans(
+                    spark,
+                    batch,
+                    index_table,
+                    k,
+                    id_col=id_col,
+                    text_col=text_col,
+                    min_span_tokens=min_span_tokens,
+                )
+            else:
+                spans = duplicated_spans(
+                    batch, id_col, text_col, k,
+                    min_span_tokens=min_span_tokens,
+                )
+            spans = _tracked_local_checkpoint(spans)
+            if spans.count() > 0:
+                spans.withColumn("__epoch_id", F.lit(epoch_val)).write.mode(
+                    "overwrite"
+                ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                    "__epoch_id"
+                ).parquet(spans_path)
+            if index_exists:
+                append_to_kgram_index(
+                    batch, index_table, k,
+                    id_col=id_col, text_col=text_col, num_buckets=num_buckets,
+                )
+            else:
+                write_kgram_index(
+                    batch, index_table, k,
+                    id_col=id_col, text_col=text_col, num_buckets=num_buckets,
+                )
+            spark.catalog.refreshTable(index_table)
+            fsio.write_text_atomic(spark, marker, epoch_val)
+            for old in fsio.list_names(spark, marker_dir):
+                if old == epoch_val or old.endswith(".tmp") or old.startswith("."):
+                    continue
+                old_tok, _, old_eid = old.rpartition("-")
+                stale = old_tok != token or (
+                    old_eid.isdigit() and int(old_eid) < epoch_id
+                )
+                if stale:
+                    fsio.delete(spark, f"{marker_dir}/{old}", recursive=False)
+            if takedown_requests_path is not None:
+                _drain_takedown_requests(
+                    spark,
+                    takedown_requests_path,
+                    index_table,
+                    id_col,
+                    None,
+                    0,
+                    epoch_val,
+                    purge_fn=purge_from_kgram_index,
+                    pairs_path=spans_path,
+                )
+            if compact_max_files_per_bucket is not None:
+                recover_kgram_index(spark, index_table)
+                stats = minhash_index_stats(spark, index_table)
+                if stats["n_files"] > compact_max_files_per_bucket * max(
+                    stats["num_buckets"], 1
+                ):
+                    compact_kgram_index(spark, index_table)
+        finally:
+            release_checkpoint(batch)
+            if spans is not None:
+                release_checkpoint(spans)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

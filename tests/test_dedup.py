@@ -1018,3 +1018,68 @@ def test_snapshot_diff_branches(spark):
     )
     got = {r.doc_id: r.change for r in snapshot_diff(a, b, "doc_id", "text").collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_incremental_spans_replay_shield_and_kgram_maintenance(spark):
+    """r9: duplicate history window rows (a crashed append replay)
+    must NOT fragment maximal spans - the probe dedupes its match
+    sliver before stitching. Also pins the kgram index maintenance
+    trio: purge removes a doc (probes see only survivors, layout +
+    stamped k preserved, idempotent) and compaction folds duplicate
+    rows back out."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        minhash_index_stats,
+        read_minhash_index_params,
+    )
+    from machine_downtime_monitor_on_aws_spark.operators.spans import (
+        append_to_kgram_index,
+        compact_kgram_index,
+        incremental_duplicated_spans,
+        purge_from_kgram_index,
+        write_kgram_index,
+    )
+
+    block = " ".join(f"sh{i}" for i in range(15))
+    hist = _corpus(
+        spark,
+        [(50, "lead in " + block + " trailing words here"),
+         (51, "other " + block + " differs")],
+    )
+    table = "kgram_replay_test"
+    try:
+        write_kgram_index(hist, table, k=8, text_col="body", num_buckets=4)
+        # simulate the crash window: the SAME batch appends twice
+        dup = _corpus(spark, [(60, "xx " + block + " yy")])
+        append_to_kgram_index(dup, table, 8, text_col="body", num_buckets=4)
+        append_to_kgram_index(dup, table, 8, text_col="body", num_buckets=4)
+        probe = _corpus(spark, [(100, "fresh " + block + " end")])
+        rows = incremental_duplicated_spans(
+            spark, probe, table, 8, text_col="body"
+        ).collect()
+        by_pair = {}
+        for r in rows:
+            by_pair.setdefault((r.doc_a, r.doc_b), []).append(r.span_tokens)
+        # vs the DUPLICATED doc 60: exactly ONE maximal 15-token span,
+        # not row_number-fragmented pieces
+        assert by_pair[(60, 100)] == [15], by_pair
+        assert by_pair[(50, 100)] == [15] and by_pair[(51, 100)] == [15]
+
+        # compaction folds the duplicate rows back out, params survive
+        n_before = spark.table(table).count()
+        compact_kgram_index(spark, table)
+        n_after = spark.table(table).count()
+        assert n_after < n_before
+        assert read_minhash_index_params(spark, table)["kgram_k"] == 8
+        assert minhash_index_stats(spark, table)["num_buckets"] == 4
+
+        # purge doc 60: probes see only survivors; idempotent
+        ids = spark.createDataFrame([(60,)], "doc_id long")
+        assert purge_from_kgram_index(spark, table, ids) == 1
+        assert purge_from_kgram_index(spark, table, ids) == 0
+        rows2 = incremental_duplicated_spans(
+            spark, probe, table, 8, text_col="body"
+        ).collect()
+        assert {r.doc_a for r in rows2} == {50, 51}
+        assert read_minhash_index_params(spark, table)["kgram_k"] == 8
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -2059,3 +2059,77 @@ def test_streaming_exact_dedup_compaction_gate(spark, tmp_path):
         assert {(2, 102), (2, 202), (102, 202)} <= pairs
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_span_dedup_loop(spark, tmp_path):
+    """The substring-level streaming loop: batch 1 bootstraps the
+    k-gram window index and finds its internal span; batch 2 spans
+    against history and itself; restart with no new data is a no-op;
+    a takedown purges a doc from the index AND scrubs its feed rows,
+    and later probes cannot span against it."""
+    from machine_downtime_monitor_on_aws_spark.streaming.dedup import (
+        run_span_dedup_stream,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    spans_path = str(tmp_path / "spans")
+    takedown = str(tmp_path / "takedown")
+    os.makedirs(src)
+    table = "sspan_loop_test"
+    block = " ".join(f"sh{i}" for i in range(12))
+
+    def stream():
+        return spark.readStream.schema("doc_id long, text string").json(src)
+
+    def run():
+        q = run_span_dedup_stream(
+            stream(), table, spans_path, ckpt, k=8,
+            num_buckets=8, takedown_requests_path=takedown,
+        )
+        q.awaitTermination(120)
+
+    try:
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in [
+                {"doc_id": 1, "text": "lead in " + block + " tail one"},
+                {"doc_id": 2, "text": "other start " + block + " tail two"},
+                {"doc_id": 3, "text": "nothing shared here at all in this one no"},
+            ]))
+        run()
+        feed = spark.read.parquet(spans_path)
+        s1 = {(r.doc_a, r.doc_b, r.span_tokens) for r in feed.collect()}
+        # block (12 tokens) + the shared following 'tail' = 13 — ONE
+        # maximal span, not fragments
+        assert s1 == {(1, 2, 13)}
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in [
+                {"doc_id": 10, "text": "fresh " + block + " ending"},
+                {"doc_id": 11, "text": "x " + block},
+            ]))
+        run()
+        s2 = {
+            (r.doc_a, r.doc_b)
+            for r in spark.read.parquet(spans_path).collect()
+        }
+        assert s2 == {(1, 2), (1, 10), (2, 10), (1, 11), (2, 11), (10, 11)}
+        assert spark.read.parquet(spans_path).count() == 6  # exactly once
+        run()  # no new data: no-op
+        assert spark.read.parquet(spans_path).count() == 6
+
+        # takedown doc 1: boot drain purges before the next probe,
+        # feed rows naming doc 1 are scrubbed
+        spark.createDataFrame([(1,)], "doc_id long").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(takedown, "pending"))
+        with open(os.path.join(src, "b3.jsonl"), "w") as f:
+            f.write(json.dumps({"doc_id": 20, "text": "zz " + block + " yy"}))
+        run()
+        assert not os.path.isdir(os.path.join(takedown, "pending"))
+        rows = spark.read.parquet(spans_path).collect()
+        named = {r.doc_a for r in rows} | {r.doc_b for r in rows}
+        assert 1 not in named
+        s20 = {(r.doc_a, r.doc_b) for r in rows if 20 in (r.doc_a, r.doc_b)}
+        assert s20 == {(2, 20), (10, 20), (11, 20)}  # doc 1 gone
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
