@@ -532,6 +532,11 @@ def save_centroids(
 
     if not centroids:
         raise ValueError("centroids must be non-empty")
+    # Overwrite = un-commit first: dropping params.json before the
+    # parquet rewrite means a crash mid-rewrite leaves an UNcommitted
+    # store (build-if-absent rebuilds), never new-parquet+old-params;
+    # it also lets the atomic publish below land (it never clobbers).
+    fsio.delete(spark, f"{path}/params.json", recursive=False)
     rows = [
         (_json.dumps(list(k), sort_keys=False), [float(x) for x in v])
         for k, v in sorted(centroids.items(), key=lambda kv: repr(kv[0]))
@@ -540,7 +545,10 @@ def save_centroids(
         rows, "key_json string, cv array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     fsio.mkdirs(spark, path)
-    fsio.write_text(
+    # params.json is the commit record build-if-absent gates key on:
+    # a torn write would read as "committed" forever with no
+    # self-heal, so it goes through the rename-based atomic writer.
+    fsio.write_text_atomic(
         spark,
         f"{path}/params.json",
         _json.dumps(

@@ -555,14 +555,13 @@ def largest_remainder_allocation(
             "(empty frame, or all weights zero/null) - quotas would be "
             "NaN; supply at least one positive weight"
         )
-    tot = weights.agg(F.sum(F.col(weight_col)).alias("__tot"))
-    based = weights.crossJoin(F.broadcast(tot)).select(
+    based = weights.select(
         F.col(group_col).alias("group"),
         F.col(weight_col).alias("weight"),
         (
             F.lit(budget).cast("double")
             * F.col(weight_col).cast("double")
-            / F.col("__tot").cast("double")
+            / F.lit(total).cast("double")
         ).alias("quota"),
     )
     based = based.select(

@@ -2981,6 +2981,21 @@ def incremental_exact_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Warm-path read of a store/feed a takedown drain may have
+    EMPTIED: ``_purge_epoch_feed`` deletes partition dirs the scrub
+    emptied, so a bare ``spark.read.parquet`` would fail with an
+    unable-to-infer-schema error instead of returning the true empty
+    state. Same committed-file check the drains themselves use."""
+    from .. import fsio
+
+    if any(
+        f.endswith(".parquet") for f in fsio.list_files_recursive(spark, path)
+    ):
+        return spark.read.parquet(path)
+    return spark.createDataFrame([], schema)
+
+
 # ---- Streaming minhash-dedup loop replay (labels-store end state)
 
 @register("minhash_stream_labels_replay", oracle=_CC_SQL)
@@ -3007,7 +3022,6 @@ def minhash_stream_labels_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..streaming.dedup import run_incremental_dedup_stream
-    from ..streaming.store import KeyedParquetStore
 
     pin_utc(spark)
     src = os.path.join(sf_dir, "documents.parquet")
@@ -3067,8 +3081,12 @@ def minhash_stream_labels_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "replay epoch did not terminate within 600s"
                 )
         fsio.write_text_atomic(spark, done, "ok")
-    store = KeyedParquetStore(labels_path, "doc_id", 64)
-    return store.read(spark).select("doc_id", "component")
+    # KeyedParquetStore.read via the committed-file guard: a takedown
+    # drain that scrubbed every label leaves no .parquet - the true
+    # end state is empty, not an unable-to-infer-schema error
+    return _parquet_or_empty(
+        spark, labels_path, "doc_id long, component long"
+    ).select("doc_id", "component")
 
 
 # ---- Streaming exact-dedup loop replay (driver-visible end state)
@@ -3184,7 +3202,11 @@ def exact_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "replay epoch did not terminate within 600s"
                 )
         fsio.write_text_atomic(spark, done, "ok")
-    feed = spark.read.parquet(pairs_path)
+    feed = _parquet_or_empty(
+        spark,
+        pairs_path,
+        "doc_a long, doc_b long, jaccard double, __epoch_id string",
+    )
     return feed.select(
         "doc_a",
         "doc_b",
@@ -3204,7 +3226,12 @@ _INC_SPAN_SQL = _SPAN_SQL.replace(
     "FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id\n"
     "  WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0",
 )
-assert _INC_SPAN_SQL != _SPAN_SQL  # the anchor line must exist
+if _INC_SPAN_SQL == _SPAN_SQL:  # not an assert: survives python -O
+    raise ValueError(
+        "_INC_SPAN_SQL anchor line missing from _SPAN_SQL - the "
+        "replace() was a no-op, so the oracle would silently be the "
+        "unrestricted full-corpus span SQL"
+    )
 
 
 @register("incremental_duplicated_spans", oracle=_INC_SPAN_SQL)
