@@ -161,3 +161,81 @@ def perceptron_predict(
         (F.col("y") * F.col("score")).alias("margin"),
         (F.col("score") > 0).alias("pred"),
     )
+
+
+def weights_digest(weights: list[int]) -> str:
+    """md5 over the canonical int rendering - the model is dim+1
+    Python ints, so the digest is exact (no float-hex dance)."""
+    import hashlib
+
+    return hashlib.md5(
+        ",".join(str(int(w)) for w in weights).encode("utf-8")
+    ).hexdigest()
+
+
+def save_weights(spark, path: str, weights: list[int], meta: dict) -> None:
+    """Persist a trained weight vector (the perceptron sibling of the
+    k-means centroid store). The whole model is dim+1 INTEGERS, so it
+    lives in ONE atomic JSON control file - ints round-trip JSON
+    exactly, and the rename-based publish means there is no
+    torn-commit window at all (the multi-file stores' params-last
+    discipline collapses to a single write). Overwrite-safe: the old
+    record is un-committed first so the atomic publish (which never
+    clobbers) can land."""
+    import json as _json
+
+    from .. import fsio
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    fsio.mkdirs(spark, path)
+    fsio.delete(spark, f"{path}/params.json", recursive=False)
+    fsio.write_text_atomic(
+        spark,
+        f"{path}/params.json",
+        _json.dumps(
+            {
+                "layout": "perceptron_weights",
+                "dim": len(weights),
+                "weights": [int(w) for w in weights],
+                "weights_md5": weights_digest(weights),
+                **meta,
+            },
+            sort_keys=True,
+        ),
+    )
+
+
+def load_weights(
+    spark, path: str, expect_digest: str | None = None
+) -> tuple[list[int], dict]:
+    """(weights, stamped params). The digest re-verifies against the
+    loaded ints - a tampered/torn store fails loudly instead of
+    scoring against a drifted model; ``expect_digest`` pins the exact
+    model a caller was built against."""
+    import json as _json
+
+    from .. import fsio
+
+    rec = f"{path}/params.json"
+    if not fsio.exists(spark, rec):
+        raise ValueError(f"no committed perceptron store at {path}")
+    try:
+        params = _json.loads(fsio.read_text(spark, rec))
+    except ValueError as e:
+        raise ValueError(
+            f"unreadable perceptron store record at {rec}: {e}"
+        ) from e
+    w = [int(x) for x in params["weights"]]
+    got = weights_digest(w)
+    if got != params.get("weights_md5"):
+        raise ValueError(
+            f"perceptron store digest mismatch at {path}: "
+            f"recorded {params.get('weights_md5')}, loaded {got}"
+        )
+    if expect_digest is not None and got != expect_digest:
+        raise ValueError(
+            f"perceptron store at {path} is not the pinned model: "
+            f"expected {expect_digest}, got {got}"
+        )
+    return w, params

@@ -72,7 +72,38 @@ def _reorder_for_driver_evidence() -> None:
     latest = _latest_driver_round()
     names = list(reg)
     order = {n: i for i, n in enumerate(names)}
-    names.sort(key=lambda n: (latest.get(n, -1), order[n]))
+
+    # Rewire tie-break (r9 verdict item #1): a query whose
+    # IMPLEMENTATION was rewired AFTER its latest driver row was
+    # recorded carries evidence that predates the shipping code, so
+    # within its staleness tie group it sorts ahead of unrewired
+    # peers - never ahead of OLDER cohorts (r9 verdict item #6: the
+    # plain staleness rotation keeps the max-staleness bound). The
+    # map is name -> round the rewire shipped; an entry self-expires
+    # once a driver row at or after that round lands.
+    rewired = {
+        "unigram_doc_encoding": 9,  # store-served encode (r9)
+        "wordpiece_doc_encoding": 9,  # store-served encode (r9)
+        "semdedup_survivors": 9,  # persisted centroid store (r9)
+        "perceptron_lang_margins": 10,  # persisted weight store (r10)
+        "ccnet_perplexity_buckets": 10,  # persisted LM-counts store (r10)
+        # bigram_lm_doc_scores also rewired r10, but its r7-latest row
+        # already puts it inside the r10 window unaided
+    }
+
+    def _rank(n: str) -> tuple[int, int, int, int]:
+        rw = rewired.get(n)
+        code_stale = rw is not None and latest.get(n, -1) < rw
+        # within a tie group: longest-invalid evidence (oldest rewire
+        # round) first, then unrewired peers in module order
+        return (
+            latest.get(n, -1),
+            0 if code_stale else 1,
+            rw if code_stale else 0,
+            order[n],
+        )
+
+    names.sort(key=_rank)
     ordered = {n: reg[n] for n in names}
     reg.clear()
     reg.update(ordered)

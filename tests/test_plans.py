@@ -306,6 +306,36 @@ def test_r9_catalog_swap_executed():
     assert math.ceil(len(catalog.REGISTRY) / 50) <= 3
 
 
+def test_r10_catalog_swap_executed():
+    """r9 verdict next-round #3: the span streaming loop's replay
+    query is registered (completing the driver-verified trio), paired
+    with retirements per the swap discipline - minhash_estimate_qa
+    (estimator-audit demo; exactness carried by
+    neardup_jaccard_verified + the banded pair queries) and
+    vocab_freq_items_approx (rows-only sketch demo; exact twin
+    vocab_top_terms carries the oracle evidence, the superset pin in
+    test_rows_only_pins stays). Retired builders stay importable; the
+    staleness bound holds at 3; rows-only registry entries drop to 3."""
+    import math
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog, textops
+
+    assert "span_stream_replay" in catalog.REGISTRY
+    assert catalog.REGISTRY["span_stream_replay"].oracle is not None
+    for n in ("minhash_estimate_qa", "vocab_freq_items_approx"):
+        assert n not in catalog.REGISTRY, f"{n} should be retired"
+        assert callable(getattr(textops, n))  # evidence stays importable
+    assert math.ceil(len(catalog.REGISTRY) / 50) <= 3
+    rows_only = [
+        n for n, s in catalog.REGISTRY.items() if s.oracle is None
+    ]
+    assert sorted(rows_only) == [
+        "approx_distinct_and_percentiles",
+        "knn_pandas_udf",
+        "simhash_fast_fingerprints",
+    ]
+
+
 def _formatted_plan(df):
     import contextlib
     import io

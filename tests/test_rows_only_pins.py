@@ -1,7 +1,6 @@
-"""Internal oracles for the four rows-only catalog queries (r5
-verdict item #2).
+"""Internal oracles for the rows-only queries (r5 verdict item #2).
 
-Four catalog entries have no DuckDB oracle by construction (engine
+These queries have no DuckDB oracle by construction (engine
 sketches / non-portable hashes / float-fold freedom). Each gets
 pinned here to an internal reference so the driver's rows-only check
 is no longer the only evidence:
@@ -11,6 +10,8 @@ is no longer the only evidence:
 - ``approx_distinct_and_percentiles`` within the documented HLL++ /
   KLL bounds of the exact twins
 - ``vocab_freq_items_approx`` superset of the true heavy hitters
+  (retired from the registry in the r10 swap; the pin stays as the
+  builder's evidence)
 """
 
 from __future__ import annotations
@@ -191,14 +192,13 @@ def test_vocab_freq_items_superset_of_heavy_hitters(spark):
     from pyspark.sql import functions as F
 
     from machine_downtime_monitor_on_aws_spark.functions.text import tokens
-    from machine_downtime_monitor_on_aws_spark.plans import catalog
+    from machine_downtime_monitor_on_aws_spark.plans.textops import (
+        vocab_freq_items_approx,  # retired from the registry (r10 swap)
+    )
     from machine_downtime_monitor_on_aws_spark.tables import load_table
 
     got = {
-        r.term
-        for r in catalog.queries()["vocab_freq_items_approx"](
-            spark, SF_ORACLE
-        ).collect()
+        r.term for r in vocab_freq_items_approx(spark, SF_ORACLE).collect()
     }
     toks = (
         load_table(spark, SF_ORACLE, "documents")
@@ -217,12 +217,14 @@ def test_minhash_estimate_qa_checkpoints_released(spark):
     their pinned RDD ids on the returned frame; release_checkpoint
     frees them after consumption (no indefinite pinning in
     long-lived sessions)."""
-    from machine_downtime_monitor_on_aws_spark.plans import catalog
+    from machine_downtime_monitor_on_aws_spark.plans.textops import (
+        minhash_estimate_qa,  # retired from the registry (r10 swap)
+    )
     from machine_downtime_monitor_on_aws_spark.streaming.store import (
         release_checkpoint,
     )
 
-    df = catalog.queries()["minhash_estimate_qa"](spark, SF_ORACLE)
+    df = minhash_estimate_qa(spark, SF_ORACLE)
     ids = getattr(df, "_spark_graft_ckpt_ids", ())
     assert len(ids) == 3  # sig, pairs, shingles
     assert df.count() > 0  # materializes the lazy checkpoints

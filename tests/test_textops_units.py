@@ -268,3 +268,51 @@ def test_bpe_catalog_encode_serves_from_persisted_store(
     monkeypatch.setattr(bpe, "bpe_train_merges", _boom)
     rows2 = {r.doc_id: tuple(r) for r in fn(spark, sf).collect()}
     assert rows2 == rows1 and rows1
+
+
+def test_bigram_lm_serves_from_persisted_counts_store(
+    spark, tmp_path, monkeypatch
+):
+    """bigram_lm_doc_scores and ccnet_perplexity_buckets share ONE
+    persisted LM-counts store: the first call trains + persists,
+    subsequent calls (and the downstream bucketing query) load the
+    digest-verified tables - proven by poisoning the trainer after
+    the first call - and reproduce bit-identically. A tampered
+    digest record fails loudly."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog, textops
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    fn_lm = catalog.REGISTRY["bigram_lm_doc_scores"].fn
+    fn_cc = catalog.REGISTRY["ccnet_perplexity_buckets"].fn
+    rows1 = sorted(tuple(r) for r in fn_lm(spark, sf).collect())
+    stores = glob.glob(str(tmp_path / "spark_graft_bigram_lm_*"))
+    assert len(stores) == 1, stores
+
+    def _boom(*a, **k):
+        raise AssertionError("warm path retrained instead of loading")
+
+    monkeypatch.setattr(textops, "_train_bigram_counts", _boom)
+    rows2 = sorted(tuple(r) for r in fn_lm(spark, sf).collect())
+    assert rows2 == rows1 and rows1
+    # the downstream bucketing query rides the SAME store
+    cc = fn_cc(spark, sf).collect()
+    assert cc
+    assert len(glob.glob(str(tmp_path / "spark_graft_bigram_lm_*"))) == 1
+    # tamper: corrupt the recorded digest without touching the tables
+    rec = os.path.join(stores[0], "params.json")
+    crc = os.path.join(stores[0], ".params.json.crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # Hadoop checksum sidecar guards first otherwise
+    p = json.load(open(rec))
+    p["bc_digest"] = "0:0"
+    json.dump(p, open(rec, "w"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="digest mismatch"):
+        fn_lm(spark, sf).collect()
