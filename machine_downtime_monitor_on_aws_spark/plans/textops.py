@@ -3132,14 +3132,19 @@ def _parquet_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     EMPTIED: ``_purge_epoch_feed`` deletes partition dirs the scrub
     emptied, so a bare ``spark.read.parquet`` would fail with an
     unable-to-infer-schema error instead of returning the true empty
-    state. Same committed-file check the drains themselves use."""
+    state. The EXPLICIT schema removes the need for inference
+    entirely - a file-less dir reads as the empty frame, partition
+    columns named in the schema still populate from dir names, and
+    the warm path costs zero extra listings (the first cut used a
+    recursive committed-file listing, which billed one FS round-trip
+    per store file to every warm call - measured +0.7 s on the
+    64-bucket labels store). Only a fully absent path needs the one
+    exists() probe."""
     from .. import fsio
 
-    if any(
-        f.endswith(".parquet") for f in fsio.list_files_recursive(spark, path)
-    ):
-        return spark.read.parquet(path)
-    return spark.createDataFrame([], schema)
+    if not fsio.exists(spark, path):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(path)
 
 
 # ---- Streaming minhash-dedup loop replay (labels-store end state)

@@ -316,3 +316,42 @@ def test_bigram_lm_serves_from_persisted_counts_store(
 
     with _pt.raises(ValueError, match="digest mismatch"):
         fn_lm(spark, sf).collect()
+
+
+def test_counts_digest_partition_order_independent(spark):
+    """The store digest must pin CONTENT, not layout: decimal-summed
+    xxhash64 is invariant under repartitioning/row order, and any
+    changed row changes it."""
+    from machine_downtime_monitor_on_aws_spark.plans.textops import (
+        _counts_digest,
+    )
+
+    df = spark.createDataFrame(
+        [("a b", 3), ("b c", 1), ("c d", 7)], "bigram string, c long"
+    )
+    from pyspark.sql import functions as F
+
+    d1 = _counts_digest(df, ["bigram", "c"])
+    assert d1 == _counts_digest(df.repartition(7), ["bigram", "c"])
+    assert d1 == _counts_digest(df.orderBy(F.col("c").desc()), ["bigram", "c"])
+    tampered = spark.createDataFrame(
+        [("a b", 3), ("b c", 2), ("c d", 7)], "bigram string, c long"
+    )
+    assert d1 != _counts_digest(tampered, ["bigram", "c"])
+    empty = spark.createDataFrame([], "bigram string, c long")
+    assert _counts_digest(empty, ["bigram", "c"]) == "0:0"
+
+
+def test_parquet_or_empty_guard(spark, tmp_path):
+    """Warm-path feed reads: a path with committed files reads
+    normally; a missing/emptied path returns a typed empty frame
+    instead of an unable-to-infer-schema error."""
+    from machine_downtime_monitor_on_aws_spark.plans.textops import (
+        _parquet_or_empty,
+    )
+
+    p = str(tmp_path / "feed")
+    out = _parquet_or_empty(spark, p, "doc_a long, doc_b long")
+    assert out.count() == 0 and out.columns == ["doc_a", "doc_b"]
+    spark.createDataFrame([(1, 2)], "doc_a long, doc_b long").write.parquet(p)
+    assert _parquet_or_empty(spark, p, "doc_a long, doc_b long").count() == 1
