@@ -786,16 +786,23 @@ def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_clusters"))
 
 
-@register(
-    "neardup_canonical_docs",
-    oracle=f"""
+# neardup_canonical_docs' oracle while it was registered (r1-r7
+# driver rows are the recorded evidence). RETIRED from the registry
+# in the r10 swap, paired with the ann_stream_replay addition: the
+# min-id canonical-selection demo whose pipeline role is carried by
+# neardup_keep_best_quality (same minhash+CC front, the
+# quality-aware representative a real pipeline uses); the
+# drop_neardup_docs anti-join operator stays unit-tested. Builder
+# and SQL stay importable as that evidence's anchor.
+_NEARDUP_CANONICAL_SQL = f"""
 WITH RECURSIVE {_cc_clauses()},
 cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node)
 SELECT d.doc_id, d.lang, d.source
 FROM documents d LEFT JOIN cc ON d.doc_id = cc.node
 WHERE cc.node IS NULL OR cc.component = d.doc_id
-""",
-)
+"""
+
+
 def neardup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dedup'd corpus: drop every non-canonical duplicate-cluster
     member (keep min-id representative); an id-only anti-join against

@@ -62,10 +62,19 @@ def run_incremental_ann_stream(
     vec_col: str = "vec",
     train_iters: int = 2,
     rebalance_max_list_share: float | None = None,
+    bootstrap_centroids: DataFrame | None = None,
 ) -> StreamingQuery:
     """Start the ANN maintenance loop over a vector stream
     (``id_col`` long, ``vec_col`` array<double>). See the module
-    docstring for the crash-semantics contract."""
+    docstring for the crash-semantics contract.
+
+    ``bootstrap_centroids`` (cid, cv): bootstrap the index from an
+    OFFLINE-trained model instead of training on the first batch -
+    the standard production path when a batch pipeline already owns
+    the codebook (the persisted-centroid-store discipline): the
+    stream then only ever assigns + appends, and the bootstrap is
+    deterministic regardless of which batch arrives first. Ignored
+    once a committed index exists."""
     spark = vec_stream.sparkSession
     token = _checkpoint_sink_token(spark, checkpoint_dir)
     marker_dir = checkpoint_dir.rstrip("/") + "/ann_epochs"
@@ -93,15 +102,18 @@ def run_incremental_ann_stream(
             # DROP the batch: foreachBatch advances the checkpoint
             # either way). Fewer lists only coarsens pruning; the
             # rebalance gate retrains to full k as the corpus grows.
-            avail = e.limit(n_centroids).count()
-            if avail == 0:
-                return  # nothing to train on yet
-            from ..operators.kmeans import kmeans_fit_centroids_df
+            if bootstrap_centroids is not None:
+                cents = bootstrap_centroids.select("cid", "cv")
+            else:
+                avail = e.limit(n_centroids).count()
+                if avail == 0:
+                    return  # nothing to train on yet
+                from ..operators.kmeans import kmeans_fit_centroids_df
 
-            cents = kmeans_fit_centroids_df(
-                e, min(n_centroids, avail), dim,
-                iters=train_iters, init="hash",
-            ).select(F.col("cid"), F.col("cv"))
+                cents = kmeans_fit_centroids_df(
+                    e, min(n_centroids, avail), dim,
+                    iters=train_iters, init="hash",
+                ).select(F.col("cid"), F.col("cv"))
             build_ivf_index(
                 e.limit(0), index_path, n_centroids, dim,
                 centroids=cents, epoch_partitioned=True,

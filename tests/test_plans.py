@@ -307,24 +307,39 @@ def test_r9_catalog_swap_executed():
 
 
 def test_r10_catalog_swap_executed():
-    """r9 verdict next-round #3: the span streaming loop's replay
-    query is registered (completing the driver-verified trio), paired
-    with retirements per the swap discipline - minhash_estimate_qa
+    """r9 verdict next-round #3 + the r10 extension: the span AND ann
+    streaming loops' replay queries are registered (every streaming
+    loop now has a driver-verified oracle row), paired with
+    retirements per the swap discipline - minhash_estimate_qa
     (estimator-audit demo; exactness carried by
-    neardup_jaccard_verified + the banded pair queries) and
+    neardup_jaccard_verified + the banded pair queries),
     vocab_freq_items_approx (rows-only sketch demo; exact twin
     vocab_top_terms carries the oracle evidence, the superset pin in
-    test_rows_only_pins stays). Retired builders stay importable; the
-    staleness bound holds at 3; rows-only registry entries drop to 3."""
+    test_rows_only_pins stays), and neardup_canonical_docs (min-id
+    canonical demo; neardup_keep_best_quality is the pipeline-real
+    sibling). Retired builders stay importable; the staleness bound
+    holds at 3; rows-only registry entries drop to 3."""
     import math
 
     from machine_downtime_monitor_on_aws_spark.plans import catalog, textops
 
-    assert "span_stream_replay" in catalog.REGISTRY
-    assert catalog.REGISTRY["span_stream_replay"].oracle is not None
-    for n in ("minhash_estimate_qa", "vocab_freq_items_approx"):
+    from machine_downtime_monitor_on_aws_spark.plans import vectorops
+
+    for n in ("span_stream_replay", "ann_stream_replay"):
+        assert n in catalog.REGISTRY
+        assert catalog.REGISTRY[n].oracle is not None
+    for n in (
+        "minhash_estimate_qa",
+        "vocab_freq_items_approx",
+        "neardup_canonical_docs",
+    ):
         assert n not in catalog.REGISTRY, f"{n} should be retired"
         assert callable(getattr(textops, n))  # evidence stays importable
+    # the quality-aware sibling carries canonical selection's row, and
+    # the anti-join operator stays exercised in the pipeline query
+    assert "neardup_keep_best_quality" in catalog.REGISTRY
+    assert "training_corpus_pipeline" in catalog.REGISTRY
+    assert callable(getattr(vectorops, "ann_stream_replay"))
     assert math.ceil(len(catalog.REGISTRY) / 50) <= 3
     rows_only = [
         n for n, s in catalog.REGISTRY.items() if s.oracle is None
