@@ -87,6 +87,7 @@ def _reorder_for_driver_evidence() -> None:
         "semdedup_survivors": 9,  # persisted centroid store (r9)
         "perceptron_lang_margins": 10,  # persisted weight store (r10)
         "ccnet_perplexity_buckets": 10,  # persisted LM-counts store (r10)
+        "neardup_clusters_incremental": 10,  # history store-served (r10)
         # bigram_lm_doc_scores also rewired r10, but its r7-latest row
         # already puts it inside the r10 window unaided
     }

@@ -355,3 +355,30 @@ def test_parquet_or_empty_guard(spark, tmp_path):
     assert out.count() == 0 and out.columns == ["doc_a", "doc_b"]
     spark.createDataFrame([(1, 2)], "doc_a long, doc_b long").write.parquet(p)
     assert _parquet_or_empty(spark, p, "doc_a long, doc_b long").count() == 1
+
+
+def test_incremental_clusters_serve_from_history_store(
+    spark, tmp_path, monkeypatch
+):
+    """neardup_clusters_incremental reads the persisted (pairs feed,
+    historical labels) store after the first build - proven by
+    poisoning the pair pipeline after the build - and reproduces the
+    full-CC labels bit-identically."""
+    import glob
+    import tempfile
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog, textops
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    fn = catalog.REGISTRY["neardup_clusters_incremental"].fn
+    rows1 = sorted(tuple(r) for r in fn(spark, sf).collect())
+    stores = glob.glob(str(tmp_path / "spark_graft_mh_hist_*"))
+    assert len(stores) == 1, stores
+
+    def _boom(*a, **k):
+        raise AssertionError("warm path re-derived the pair graph")
+
+    monkeypatch.setattr(textops, "_minhash_pairs", _boom)
+    rows2 = sorted(tuple(r) for r in fn(spark, sf).collect())
+    assert rows2 == rows1 and rows1
