@@ -82,9 +82,9 @@ def _reorder_for_driver_evidence() -> None:
     # map is name -> round the rewire shipped; an entry self-expires
     # once a driver row at or after that round lands.
     rewired = {
-        "unigram_doc_encoding": 9,  # store-served encode (r9)
-        "wordpiece_doc_encoding": 9,  # store-served encode (r9)
-        "semdedup_survivors": 9,  # persisted centroid store (r9)
+        # r9 entries (unigram/wordpiece encodes, semdedup centroids)
+        # self-expired when their r10 driver rows landed and were
+        # pruned (r10 verdict next-round #4).
         "perceptron_lang_margins": 10,  # persisted weight store (r10)
         "ccnet_perplexity_buckets": 10,  # persisted LM-counts store (r10)
         "neardup_clusters_incremental": 10,  # history store-served (r10)
@@ -97,7 +97,22 @@ def _reorder_for_driver_evidence() -> None:
         "leakage_safe_splits": 10,
         # bigram_lm_doc_scores also rewired r10, but its r7-latest row
         # already puts it inside the r10 window unaided
+        # read-path rewire (KeyedParquetStore.read -> explicit-schema
+        # _parquet_or_empty) shipped r10 AFTER their r9 rows (r10
+        # ADVICE #1) - same rule as a logic rewire: evidence predates
+        # the shipping code until a fresh row lands
+        "exact_dedup_stream_replay": 10,
+        "minhash_stream_labels_replay": 10,
+        # r11: consumers of the persisted retrieval-shortlist store
+        "mmr_diversified_top3": 11,
+        "hybrid_rrf_top_docs": 11,
+        "hard_negatives_top3": 11,
     }
+    # A typo'd or renamed key would silently drop its prioritization
+    # (r10 ADVICE #2) - fail loudly instead.
+    unknown = sorted(set(rewired) - set(order))
+    if unknown:
+        raise ValueError(f"rewired map names unknown queries: {unknown}")
 
     def _rank(n: str) -> tuple[int, int, int, int]:
         rw = rewired.get(n)
