@@ -74,6 +74,50 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(s, d))
 
 
+def publish_dir(spark: SparkSession, staged: str, final: str,
+                ok_name: str = "_STORE_OK") -> bool:
+    """Publish a fully built store directory with ONE rename — the
+    write_text_atomic discipline applied to build-if-absent stores
+    (r10 ADVICE #4): a builder writes every table plus its commit
+    record under a PER-WRITER staged directory, then this swings the
+    whole thing into place. A reader that digest-verifies parquet can
+    no longer observe another writer's ``mode("overwrite")`` rewrite
+    in flight, because nothing is ever rewritten at the published
+    path. Returns True when this writer's build was published, False
+    when a concurrent writer won the race (the staged copy is
+    removed either way; content is deterministic, so both outcomes
+    serve identical bytes).
+
+    Residual (documented) race: a crashed-writer partial at ``final``
+    (no commit record inside) must be cleared before the rename; two
+    writers can both observe the partial, and the slower delete can
+    briefly remove the faster writer's freshly published store before
+    its own identical rename restores it. The window is one
+    delete+rename (vs the whole multi-table build without staging),
+    and every end state converges."""
+    ok = f"{final.rstrip('/')}/{ok_name}"
+    try:
+        if exists(spark, ok):
+            return False
+        if exists(spark, final):
+            # partial from a crashed pre-staging writer: no commit
+            # record can exist inside (we just checked), so clearing
+            # it never discards a published store outside the
+            # documented delete+rename window above
+            delete(spark, final)
+        if rename(spark, staged, final):
+            return True
+        if not exists(spark, ok):
+            raise IOError(
+                f"publish_dir: rename {staged} -> {final} failed and no "
+                f"committed store exists at the destination"
+            )
+        return False
+    finally:
+        if exists(spark, staged):
+            delete(spark, staged)
+
+
 def list_names(spark: SparkSession, path: str) -> list[str]:
     """Immediate child names of ``path`` ([] when absent)."""
     fs, p = _fs_path(spark, path)

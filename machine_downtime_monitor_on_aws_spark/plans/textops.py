@@ -1357,8 +1357,10 @@ def _neardup_history_store(spark: SparkSession, sf_dir: str) -> str:
     labels every rollup consumer reads). Build-if-absent keyed by the
     corpus file's identity; bit-identical to the inline derivation
     (long ids/labels round-trip parquet exactly), so consumers keep
-    hash-matching the derivation oracles. _STORE_OK publishes
-    atomically LAST as the commit record; the PRODUCER queries
+    hash-matching the derivation oracles. The three tables build
+    under a per-writer staged directory with _STORE_OK written LAST,
+    then publish with ONE rename (fsio.publish_dir, r10 ADVICE #4) -
+    readers never observe a partial store; the PRODUCER queries
     (minhash_lsh_buckets, neardup_candidate_pairs,
     neardup_jaccard_verified, neardup_duplicate_clusters) stay fully
     inline as the derivation evidence."""
@@ -1377,16 +1379,23 @@ def _neardup_history_store(spark: SparkSession, sf_dir: str) -> str:
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_mh_hist_{tag}")
     if not fsio.exists(spark, f"{path}/_STORE_OK"):
+        # per-writer staged build, published with ONE rename (r10
+        # ADVICE #4): a reader never sees a partial three-table store
+        # or an in-flight overwrite at the published path
+        import uuid
+
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
         pairs = _minhash_pairs(spark, sf_dir)
-        pairs.write.mode("overwrite").parquet(f"{path}/pairs")
-        stored = spark.read.parquet(f"{path}/pairs")
+        pairs.write.mode("overwrite").parquet(f"{staged}/pairs")
+        stored = spark.read.parquet(f"{staged}/pairs")
         connected_components(
             stored.filter(~_pair_epoch2(stored))
-        ).write.mode("overwrite").parquet(f"{path}/labels_hist")
+        ).write.mode("overwrite").parquet(f"{staged}/labels_hist")
         connected_components(stored).write.mode("overwrite").parquet(
-            f"{path}/labels_full"
+            f"{staged}/labels_full"
         )
-        fsio.write_text_atomic(spark, f"{path}/_STORE_OK", "ok")
+        fsio.write_text_atomic(spark, f"{staged}/_STORE_OK", "ok")
+        fsio.publish_dir(spark, staged, path)
     return path
 
 
@@ -1861,7 +1870,7 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:bpe:{_BPE_MERGES}"
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:bpe:v2:{_BPE_MERGES}"
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_bpe_merges_{tag}")
     from .. import fsio
@@ -1998,47 +2007,54 @@ def _bigram_lm_counts(
     (bigram_lm_doc_scores, ccnet_perplexity_buckets) reads the
     digest-verified (bigram, c) / (w1, c1) tables + V. Integer counts
     round-trip parquet exactly. Digests are recomputed over the
-    RE-READ parquet so they pin the on-disk bytes, and params.json
-    publishes atomically LAST as the commit record."""
+    RE-READ parquet so they pin the on-disk bytes. The whole store
+    (both count tables + params.json) builds under a per-writer
+    staged directory and publishes with ONE rename (r10 ADVICE #4) -
+    a concurrent reader can never digest-verify against another
+    writer's in-flight overwrite, because nothing is ever rewritten
+    at the published path; params.json doubles as the commit record
+    (publish_dir keys on it)."""
     import hashlib
     import json as _json
     import os
     import tempfile
+    import uuid
 
     from .. import fsio
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:bigramlm"
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:bigramlm:v2:a1"
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_bigram_lm_{tag}"
     )
     rec = f"{path}/params.json"
     if not fsio.exists(spark, rec):
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
         bc, pc, vocab = _train_bigram_counts(spark, _docs(spark, sf_dir))
-        bc.write.mode("overwrite").parquet(f"{path}/bigram_counts")
-        pc.write.mode("overwrite").parquet(f"{path}/prefix_counts")
-        fsio.mkdirs(spark, path)
+        bc.write.mode("overwrite").parquet(f"{staged}/bigram_counts")
+        pc.write.mode("overwrite").parquet(f"{staged}/prefix_counts")
         fsio.write_text_atomic(
             spark,
-            rec,
+            f"{staged}/params.json",
             _json.dumps(
                 {
                     "layout": "bigram_lm_counts",
                     "vocab": int(vocab),
                     "bc_digest": _counts_digest(
-                        spark.read.parquet(f"{path}/bigram_counts"),
+                        spark.read.parquet(f"{staged}/bigram_counts"),
                         ["bigram", "c"],
                     ),
                     "pc_digest": _counts_digest(
-                        spark.read.parquet(f"{path}/prefix_counts"),
+                        spark.read.parquet(f"{staged}/prefix_counts"),
                         ["w1", "c1"],
                     ),
                 },
                 sort_keys=True,
             ),
         )
+        fsio.publish_dir(spark, staged, path, ok_name="params.json")
     params = _json.loads(fsio.read_text(spark, rec))
     bc = spark.read.parquet(f"{path}/bigram_counts")
     pc = spark.read.parquet(f"{path}/prefix_counts")
@@ -2537,7 +2553,7 @@ def unigram_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = (
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:ulm:{_ULM_MAXW}:{_ULM_MAXP}"
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:ulm:v2:{_ULM_MAXW}:{_ULM_MAXP}"
         f":{_ULM_SEED_CAP}:{_ULM_PRUNE_CAP}"
     )
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
@@ -2869,7 +2885,7 @@ def perceptron_lang_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = (
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:pcep:{_PCEP_DIM}:{_PCEP_ITERS}"
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:pcep:v2:{_PCEP_DIM}:{_PCEP_ITERS}"
     )
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_pcep_{tag}")
@@ -3187,7 +3203,7 @@ def incremental_exact_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_utc(spark)
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:{_SHINGLE_N}"
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:shx:v2:{_SHINGLE_N}"
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     table = f"spark_graft_shx_{tag}"
     d = _docs(spark, sf_dir)
@@ -3268,7 +3284,7 @@ def minhash_stream_labels_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = (
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:mhreplay:"
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:mhreplay:v2:"
         f"{_NUM_PERMS}:{_NUM_BANDS}:{_SHINGLE_N}:3"
     )
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
@@ -3386,7 +3402,7 @@ def exact_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_utc(spark)
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:xreplay:{_SHINGLE_N}:3:15"
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:xreplay:v2:{_SHINGLE_N}:3:15"
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_xreplay_{tag}")
     pairs_path = f"{root}/pairs"
@@ -3506,7 +3522,7 @@ def incremental_duplicated_spans_query(
     pin_utc(spark)
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:kgram:{_SPAN_K}"
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:kgram:v2:{_SPAN_K}"
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     table = f"spark_graft_kgx_{tag}"
     d = _docs(spark, sf_dir)
@@ -3595,7 +3611,7 @@ def span_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_utc(spark)
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:sreplay:{_SPAN_K}:3:15"
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:sreplay:v2:{_SPAN_K}:3:15"
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_sreplay_{tag}")
     spans_path = f"{root}/spans"
@@ -3849,7 +3865,7 @@ def wordpiece_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
-    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:wp:{_WP_MERGES}"
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:wp:v2:{_WP_MERGES}"
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_wp_merges_{tag}")
     from .. import fsio

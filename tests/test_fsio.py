@@ -177,3 +177,50 @@ def test_streaming_dedup_markers_through_file_uri(spark, tmp_path):
         assert spark.table(table).select("doc_id").distinct().count() == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_publish_dir_single_rename_semantics(spark, tmp_path):
+    """publish_dir: a fully staged store swings into place with one
+    rename (True), a lost race deletes the staged copy and keeps the
+    winner (False), and a crashed-writer partial at the destination
+    is cleared before the publish."""
+    from machine_downtime_monitor_on_aws_spark import fsio
+
+    final = str(tmp_path / "store")
+
+    def stage(name: str, committed: bool = True) -> str:
+        staged = str(tmp_path / name)
+        fsio.mkdirs(spark, staged)
+        fsio.write_text(spark, f"{staged}/table.parquet", "data-" + name)
+        if committed:
+            fsio.write_text_atomic(spark, f"{staged}/_STORE_OK", "ok")
+        return staged
+
+    s1 = stage("build-a")
+    assert fsio.publish_dir(spark, s1, final) is True
+    assert fsio.read_text(spark, f"{final}/table.parquet") == "data-build-a"
+    assert not fsio.exists(spark, s1)  # staged copy consumed
+
+    # second writer loses the race: staged copy removed, winner kept
+    s2 = stage("build-b")
+    assert fsio.publish_dir(spark, s2, final) is False
+    assert fsio.read_text(spark, f"{final}/table.parquet") == "data-build-a"
+    assert not fsio.exists(spark, s2)
+
+    # crashed-writer partial (no commit record) at the destination is
+    # cleared and the new build publishes
+    fsio.delete(spark, final)
+    partial = stage("partial", committed=False)
+    assert fsio.rename(spark, partial, final)
+    s3 = stage("build-c")
+    assert fsio.publish_dir(spark, s3, final) is True
+    assert fsio.read_text(spark, f"{final}/table.parquet") == "data-build-c"
+    assert fsio.exists(spark, f"{final}/_STORE_OK")
+
+    # a missing destination parent is no obstacle: the local-FS
+    # realization falls back to copy and creates it (same code path a
+    # cluster's object store takes)
+    s4 = stage("build-d")
+    nested = str(tmp_path / "no" / "such" / "dir" / "store")
+    assert fsio.publish_dir(spark, s4, nested) is True
+    assert fsio.read_text(spark, f"{nested}/table.parquet") == "data-build-d"
