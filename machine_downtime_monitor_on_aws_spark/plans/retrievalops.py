@@ -125,23 +125,32 @@ def hybrid_rrf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, and the fused score 1/(60+r_lex) + 1/(60+r_sem) is one
     deterministic IEEE addition per doc (hash-exact without
     quantization). Ties (same single-list rank on opposite sides)
-    break by doc_id on both engines."""
-    from ..operators.similarity import brute_force_topk
-    from ..operators.topk import top_k_per_group
+    break by doc_id on both engines.
 
+    r11: the dense leg reads the persisted retrieval-shortlist store
+    (plans/vectorops._retrieval_shortlist_store - the query anchor
+    vec_id=5 sits inside the store's anchor set, and the store's
+    top-N covers _TOP_N) instead of re-scanning the corpus per
+    fusion; ranks are ints, so the store detour is hash-invisible.
+    The lexical leg stays inline - BM25's postings sliver is already
+    the cheap side, and fusing FRESH lexical ranks against a
+    PERSISTED dense shortlist is the production hybrid shape."""
+    from ..operators.topk import top_k_per_group
+    from .vectorops import _SHORT_N, _stored_shortlist
+
+    if _TOP_N > _SHORT_N:
+        raise ValueError(
+            f"hybrid fusion needs top-{_TOP_N} but the shortlist store "
+            f"persists top-{_SHORT_N}"
+        )
     pin_utc(spark)
     d = load_table(spark, sf_dir, "documents")
     lex = bm25_rank(d, list(_TERMS), _TOP_N)
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    sem = (
+        _stored_shortlist(spark, sf_dir)
+        .filter((F.col("qid") == _HYBRID_QID) & (F.col("rnk") <= _TOP_N))
+        .select(F.col("neighbor_id").alias("doc_id"), "rnk")
     )
-    q = e.filter(F.col("vec_id") == _HYBRID_QID).select(
-        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
-    )
-    sem = brute_force_topk(
-        e, q, _TOP_N, dim=64,
-        parallelism=spark.sparkContext.defaultParallelism,
-    ).select(F.col("neighbor_id").alias("doc_id"), "rnk")
     fused = rrf_fuse(lex, sem, k=_RRF_K)
     ranked = top_k_per_group(
         fused, [], [F.col("rrf_score").desc(), F.col("doc_id").asc()],

@@ -742,3 +742,52 @@ def test_mmr_diversifies_vs_pure_topk(spark):
         mmr_select(cand, sims, 0, 0.5)
     with _pt.raises(ValueError, match="lam"):
         mmr_select(cand, sims, 2, 1.5)
+
+
+def test_retrieval_consumers_serve_from_shortlist_store(
+    spark, tmp_path, monkeypatch
+):
+    """MMR / hybrid-RRF / hard-negatives read the persisted
+    retrieval-shortlist store after the first build - proven by
+    poisoning the brute-force producers after the build - and MMR
+    reproduces its picks bit-identically. The inline producer query
+    (knn_bruteforce_top5) must keep DERIVING (it is the oracle-checked
+    derivation evidence), so it still works only while the producers
+    are un-poisoned, and the store's rnk<=5 cut matches it exactly."""
+    import glob
+    import tempfile
+
+    from machine_downtime_monitor_on_aws_spark.operators import similarity
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+    from machine_downtime_monitor_on_aws_spark.plans.vectorops import (
+        _stored_shortlist,
+    )
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    knn = sorted(
+        tuple(r)
+        for r in catalog.REGISTRY["knn_bruteforce_top5"].fn(spark, sf).collect()
+    )
+    mmr_fn = catalog.REGISTRY["mmr_diversified_top3"].fn
+    rows1 = sorted(tuple(r) for r in mmr_fn(spark, sf).collect())
+    stores = glob.glob(str(tmp_path / "spark_graft_retshort_*"))
+    assert len(stores) == 1, stores
+    cut = sorted(
+        tuple(r)
+        for r in _stored_shortlist(spark, sf)
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    )
+    assert cut == knn and knn
+
+    def _boom(*a, **k):
+        raise AssertionError("warm path re-scanned the corpus")
+
+    monkeypatch.setattr(similarity, "brute_force_topk", _boom)
+    monkeypatch.setattr(similarity, "hard_negative_topk", _boom)
+    rows2 = sorted(tuple(r) for r in mmr_fn(spark, sf).collect())
+    assert rows2 == rows1 and rows1
+    for consumer in ("hybrid_rrf_top_docs", "hard_negatives_top3"):
+        assert catalog.REGISTRY[consumer].fn(spark, sf).count() > 0
+    assert len(glob.glob(str(tmp_path / "spark_graft_retshort_*"))) == 1
