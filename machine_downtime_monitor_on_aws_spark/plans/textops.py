@@ -1876,7 +1876,13 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import fsio
 
     if not fsio.exists(spark, f"{path}/params.json"):
-        save_merges(spark, path, bpe_train_merges(d, "text", _BPE_MERGES), "bpe")
+        import uuid
+
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        save_merges(
+            spark, staged, bpe_train_merges(d, "text", _BPE_MERGES), "bpe"
+        )
+        fsio.publish_dir(spark, staged, path, ok_name="params.json")
     merges, _params = load_merges(spark, path, expect_layout="bpe")
     # spread the segmentation folds: the corpus arrives in one input
     # split at bench scale and would otherwise segment on one core
@@ -2561,12 +2567,16 @@ def unigram_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import fsio
 
     if not fsio.exists(spark, f"{path}/params.json"):
+        import uuid
+
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
         trained, _seg = train_unigram_lm(
             wf, iters=2,
             seed_multi_cap=_ULM_SEED_CAP, prune_multi_cap=_ULM_PRUNE_CAP,
             max_piece=_ULM_MAXP,
         )
-        save_unigram_vocab(spark, path, trained, _ULM_MAXP)
+        save_unigram_vocab(spark, staged, trained, _ULM_MAXP)
+        fsio.publish_dir(spark, staged, path, ok_name="params.json")
     vocab, _params = load_unigram_vocab(spark, path)
     seg = viterbi_segment_words(wf, vocab, _ULM_MAXP)
     return encode_docs(d, seg, "doc_id", "text", _ULM_MAXW)
@@ -3871,10 +3881,14 @@ def wordpiece_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import fsio
 
     if not fsio.exists(spark, f"{path}/params.json"):
+        import uuid
+
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
         save_merges(
-            spark, path, wordpiece_train_merges(d, "text", _WP_MERGES),
+            spark, staged, wordpiece_train_merges(d, "text", _WP_MERGES),
             "wordpiece",
         )
+        fsio.publish_dir(spark, staged, path, ok_name="params.json")
     merges, _params = load_merges(spark, path, expect_layout="wordpiece")
     vocab = wordpiece_vocab(d, "text", merges)
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))

@@ -738,11 +738,15 @@ def ivfpq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import fsio
 
     if not fsio.exists(spark, f"{path}/params.json"):
+        import uuid
+
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
         cents, books = _ivfpq_books(e)
         build_ivfpq_index(
-            e, path, _N_CENTROIDS, _DIM, _PQ_M, books,
+            e, staged, _N_CENTROIDS, _DIM, _PQ_M, books,
             centroids=cents, residual=True,
         )
+        fsio.publish_dir(spark, staged, path, ok_name="params.json")
     else:
         books = load_ivfpq_codebooks(spark, path)
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -1017,12 +1021,16 @@ def _trained_centroids(spark: SparkSession, sf_dir: str) -> dict:
     from .. import fsio
 
     if not fsio.exists(spark, f"{path}/params.json"):
+        import uuid
+
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
         e = _emb(spark, sf_dir).select("vec_id", "vec")
         save_centroids(
             spark,
-            path,
+            staged,
             lloyd_iterations(e, first_k_init(e, _KM_K), _DIM, _KM_ITERS),
         )
+        fsio.publish_dir(spark, staged, path, ok_name="params.json")
     cents, _params = load_centroids(spark, path)
     return cents
 
@@ -1328,11 +1336,15 @@ def neardup_pagerank_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import fsio
 
     if not fsio.exists(spark, f"{path}/_SUCCESS"):
+        import uuid
+
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
         e = _emb(spark, sf_dir)
         lsh_neardup_pairs(
             e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM,
             parallelism=spark.sparkContext.defaultParallelism,
-        ).write.mode("overwrite").parquet(path)
+        ).write.mode("overwrite").parquet(staged)
+        fsio.publish_dir(spark, staged, path, ok_name="_SUCCESS")
     pairs = spark.read.parquet(path)
     return pagerank_unrolled(pairs, _PR_ITERS).select(
         F.col("node").alias("vec_id"), "degree", "pagerank"
