@@ -3282,7 +3282,12 @@ def minhash_stream_labels_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode), update_components' per-epoch contractions converge to the
     exact min-label components regardless of arrival order, and the
     keyed store's upserts preserve them. Replay runs once per corpus
-    (build-if-absent under a _REPLAY_DONE gate, partial builds wiped);
+    (build-if-absent under a _REPLAY_DONE gate, partial builds wiped); Unlike the parquet stores (publish_dir), the replay root is
+    NOT staged-published: the build runs streaming checkpoints
+    INSIDE the root, so a concurrent cold builder of the same
+    corpus would interleave epochs - single-writer is assumed for
+    the one-shot replay build (documented per r10 ADVICE #4); the
+    gate+wipe protocol serializes CRASH recovery, not concurrency.
     warm invocations read the store."""
     import hashlib
     import os
@@ -3398,7 +3403,8 @@ def exact_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
       everywhere).
 
     The replay runs once per corpus (build-if-absent under a
-    _REPLAY_DONE gate; a partial build from a crashed session is
+    _REPLAY_DONE gate; single-writer assumed for the one-shot replay
+    build, as for every replay root; a partial build from a crashed session is
     wiped and rebuilt - the epoch markers make that deterministic);
     warm invocations read the feed. Epoch inputs are staged by a
     distributed JSON write + file rename - the corpus never
@@ -3608,7 +3614,8 @@ def span_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
       everywhere).
 
     Replay runs once per corpus (build-if-absent under a
-    _REPLAY_DONE gate; partial builds wiped); warm invocations read
+    _REPLAY_DONE gate; partial builds wiped, single-writer assumed as
+    for every replay root); warm invocations read
     the feed through the committed-file guard. Epoch inputs stage
     via distributed JSON write + rename - the corpus never collects
     to the driver."""

@@ -1776,7 +1776,13 @@ def ann_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch) stays covered by tests/test_streaming.py; its xxhash coin
     flips are not DuckDB-expressible, which is WHY the replay pins
     the offline-codebook path. Replay runs once per corpus
-    (build-if-absent under a _REPLAY_DONE gate); warm invocations
+    (build-if-absent under a _REPLAY_DONE gate). Unlike the parquet stores (publish_dir), the replay root is
+    NOT staged-published: the build runs streaming checkpoints
+    INSIDE the root, so a concurrent cold builder of the same
+    corpus would interleave epochs - single-writer is assumed for
+    the one-shot replay build (documented per r10 ADVICE #4); the
+    gate+wipe protocol serializes CRASH recovery, not concurrency.
+    Warm invocations
     read the index corpus. Epoch inputs stage as renamed parquet
     parts - doubles never transit a text format."""
     import hashlib

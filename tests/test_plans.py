@@ -592,3 +592,25 @@ def test_pq_encode_join_partial_aggregates_before_exchange(spark):
     assert "partial_min" in plan, plan
     assert "Window" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_retrieval_consumers_read_only_store_slivers(spark):
+    """The r11 shortlist-store consumers' warm plans must contain NO
+    scan of a corpus table (embeddings/documents parquet) - every
+    FileScan in the plan reads a persisted store sliver. The one
+    corpus-shaped source allowed is nothing: MMR reads topk +
+    cand_sims, the hybrid fusion reads lex + topk, hard-negatives
+    reads hard_neg verbatim. (knn_bruteforce_top5 / bm25_top_docs are
+    the PRODUCERS - their plans scan the corpus by design.)"""
+    for name in (
+        "mmr_diversified_top3",
+        "hybrid_rrf_top_docs",
+        "hard_negatives_top3",
+    ):
+        plan = plan_of(spark, name)
+        assert "embeddings.parquet" not in plan, name
+        assert "documents.parquet" not in plan, name
+    # and the producers DO scan the corpus (the assertion above would
+    # be vacuous if the plan string stopped naming input files)
+    assert "embeddings.parquet" in plan_of(spark, "knn_bruteforce_top5")
+    assert "documents.parquet" in plan_of(spark, "bm25_top_docs")
