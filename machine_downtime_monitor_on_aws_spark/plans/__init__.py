@@ -107,6 +107,7 @@ def _reorder_for_driver_evidence() -> None:
         "mmr_diversified_top3": 11,
         "hybrid_rrf_top_docs": 11,
         "hard_negatives_top3": 11,
+        "ivfpq_recall_at5": 11,  # exact-baseline leg reads the store
     }
     # A typo'd or renamed key would silently drop its prioritization
     # (r10 ADVICE #2) - fail loudly instead.

@@ -1493,8 +1493,18 @@ def ivfpq_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops here but not in ivf_recall_at5 point at quantization
     (m/K/residual), drops in both point at the coarse partitioner
     (nlist/nprobe). Integer hits; the fractional recall is one IEEE
-    division - hash-exact like its inputs."""
-    bf = knn_bruteforce_top5(spark, sf_dir).select("qid", "neighbor_id")
+    division - hash-exact like its inputs.
+
+    r11: the exact baseline reads the persisted retrieval-shortlist
+    store's rnk<=5 cut (pinned equal to the inline producer in
+    tests) - a production recall monitor compares the live ANN
+    search against the PERSISTED ground-truth shortlist, not a fresh
+    corpus scan per check; the ANN leg under measurement runs live."""
+    bf = (
+        _stored_shortlist(spark, sf_dir)
+        .filter(F.col("rnk") <= _TOPK)
+        .select("qid", "neighbor_id")
+    )
     iv = ivfpq_rerank_top5(spark, sf_dir).select(
         F.col("qid").alias("__iq"),
         F.col("neighbor_id").alias("__in"),
