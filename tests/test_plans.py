@@ -614,3 +614,33 @@ def test_retrieval_consumers_read_only_store_slivers(spark):
     # be vacuous if the plan string stopped naming input files)
     assert "embeddings.parquet" in plan_of(spark, "knn_bruteforce_top5")
     assert "documents.parquet" in plan_of(spark, "bm25_top_docs")
+
+
+def test_store_idents_carry_version_tokens():
+    """Every persisted-store identity string must carry a name:vN
+    version token (r10 ADVICE #3): a trainer/tokenizer semantics
+    change bumps the token instead of silently serving a stale /tmp
+    store keyed only on corpus identity. Scans the plans sources for
+    ident f-strings built from the corpus stat triple."""
+    import os
+    import re
+
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "machine_downtime_monitor_on_aws_spark",
+        "plans",
+    )
+    pat = re.compile(r'st\.st_size}(:[^"\n]*)"')
+    bad = []
+    n = 0
+    for fname in sorted(os.listdir(plans_dir)):
+        if not fname.endswith(".py"):
+            continue
+        src = open(os.path.join(plans_dir, fname)).read()
+        for m in pat.finditer(src):
+            n += 1
+            suffix = m.group(1)
+            if not re.search(r":v\d+", suffix):
+                bad.append((fname, suffix))
+    assert n >= 15, f"ident scan found only {n} idents - pattern drifted?"
+    assert not bad, f"store idents missing a version token: {bad}"
