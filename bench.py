@@ -397,6 +397,18 @@ def main() -> None:
     for name in non_headline:
         timings[name] = round(time_query(name, nh_runs), 3)
 
+    # Every catalog query has now run, so every CURRENT-generation
+    # store path is registered live; reclaim the rest (r11 verdict
+    # #4: a version-token bump orphans the whole previous generation
+    # in /tmp, plus crashed .build-* staging and publish trash).
+    # Other-SF stores get swept too and rebuild on next first touch -
+    # build-if-absent makes that safe.
+    from machine_downtime_monitor_on_aws_spark import fsio
+
+    swept = fsio.sweep_stale_stores(spark)
+    if swept:
+        print(f"# swept {len(swept)} stale store dirs", file=sys.stderr)
+
     # two untimed warm passes, then best of 2: an r11 7-run series
     # showed the ingest chain keeps JIT-warming through run ~3
     # (8.7k/24.4k/32.9k/33.3k... msg/s on a quiet box), so the old

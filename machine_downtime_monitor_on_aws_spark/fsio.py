@@ -76,37 +76,76 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
 
 def publish_dir(spark: SparkSession, staged: str, final: str,
                 ok_name: str = "_STORE_OK") -> bool:
-    """Publish a fully built store directory with ONE rename — the
-    write_text_atomic discipline applied to build-if-absent stores
-    (r10 ADVICE #4): a builder writes every table plus its commit
-    record under a PER-WRITER staged directory, then this swings the
-    whole thing into place. A reader that digest-verifies parquet can
-    no longer observe another writer's ``mode("overwrite")`` rewrite
-    in flight, because nothing is ever rewritten at the published
-    path. Returns True when this writer's build was published, False
-    when a concurrent writer won the race (the staged copy is
-    removed either way; content is deterministic, so both outcomes
-    serve identical bytes).
+    """Publish a fully built store directory — the write_text_atomic
+    discipline applied to build-if-absent stores (r10 ADVICE #4): a
+    builder writes every table plus its commit record under a
+    PER-WRITER staged directory, then this swings the whole thing
+    into place. A reader that digest-verifies parquet can no longer
+    observe another writer's ``mode("overwrite")`` rewrite in flight,
+    because nothing is ever rewritten at the published path.
 
-    Residual (documented) race: a crashed-writer partial at ``final``
-    (no commit record inside) must be cleared before the rename; two
-    writers can both observe the partial, and the slower delete can
-    briefly remove the faster writer's freshly published store before
-    its own identical rename restores it. The window is one
-    delete+rename (vs the whole multi-table build without staging),
-    and every end state converges."""
+    Commit protocol (r11 ADVICE #1): the directory rename is atomic
+    on HDFS and the local FS, but Hadoop's rename degrades to a
+    non-atomic per-file COPY on S3A and on the local FS whenever
+    ``renameTo`` fails (e.g. a missing destination parent) — and a
+    copy can surface the commit record before the data files it
+    certifies. So the record is stepped aside to a hidden name no
+    reader looks for BEFORE the directory moves, and surfaced with
+    one single-file rename only AFTER the directory publish
+    completed: on every filesystem, ``ok_name`` is the LAST artifact
+    to appear at the published path.
+
+    A suspected crashed-writer partial at ``final`` (commit record
+    absent) is moved ASIDE with one rename to a trash sibling and the
+    trash deleted only after the publish (r11 verdict #3): the
+    destination is only ever absent or a whole directory tree — never
+    the half-deleted tree an in-place recursive delete exposes to a
+    reader mid-sweep — and the commit-record check is repeated
+    immediately before the move, shrinking the race with a concurrent
+    committer to one check-then-rename. Concurrent writers converge:
+    content is deterministic, so a publish stolen inside that window
+    is restored bit-identically by the thief's own rename, and the
+    loser's False return reports only that the surviving bytes are
+    another writer's. Returns True when this writer's build was
+    published; the staged copy and any trash dir are removed either
+    way."""
+    import uuid
+
     ok = f"{final.rstrip('/')}/{ok_name}"
+    staged_ok = f"{staged.rstrip('/')}/{ok_name}"
+    hidden = f".{ok_name}.staged"
+    trash = None
     try:
         if exists(spark, ok):
             return False
+        if not exists(spark, staged_ok):
+            raise IOError(
+                f"publish_dir: staged build {staged} lacks its commit "
+                f"record {ok_name} - refusing to publish an "
+                f"uncommitted store"
+            )
+        rename(spark, staged_ok, f"{staged.rstrip('/')}/{hidden}")
         if exists(spark, final):
-            # partial from a crashed pre-staging writer: no commit
-            # record can exist inside (we just checked), so clearing
-            # it never discards a published store outside the
-            # documented delete+rename window above
-            delete(spark, final)
+            # suspected crashed-writer partial: re-check the commit
+            # record immediately before acting (a concurrent writer
+            # may have committed since the check above), then move
+            # the partial aside with ONE rename
+            if exists(spark, ok):
+                return False
+            trash = f"{final.rstrip('/')}.trash-{uuid.uuid4().hex[:8]}"
+            rename(spark, final, trash)
         if rename(spark, staged, final):
-            return True
+            if rename(spark, f"{final.rstrip('/')}/{hidden}", ok):
+                return True
+            # the just-published dir was moved aside by a concurrent
+            # writer inside the check-then-rename window; its
+            # identical publish supersedes this one
+            if exists(spark, ok):
+                return False
+            raise IOError(
+                f"publish_dir: published {final} but could not surface "
+                f"{ok_name} and no concurrent commit exists"
+            )
         if not exists(spark, ok):
             raise IOError(
                 f"publish_dir: rename {staged} -> {final} failed and no "
@@ -114,6 +153,8 @@ def publish_dir(spark: SparkSession, staged: str, final: str,
             )
         return False
     finally:
+        if trash is not None and exists(spark, trash):
+            delete(spark, trash)
         if exists(spark, staged):
             delete(spark, staged)
 
@@ -192,3 +233,58 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> bool:
         return True
     delete(spark, tmp, recursive=False)
     return exists(spark, path)
+
+
+# Build-if-absent store locations this process computed (and may be
+# serving from). sweep_stale_stores treats everything else matching
+# the naming convention as reclaimable garbage.
+_LIVE_STORE_PATHS: set[str] = set()
+
+
+def tmp_store_path(family: str, ident: str) -> str:
+    """Deterministic build-if-absent store location under the system
+    tempdir: ``spark_graft_{family}_{md5(ident)[:10]}``. Every ident
+    carries a ``name:vN`` version token (pinned by
+    tests/test_plans.py), so a semantics bump changes the tag and the
+    previous generation's directory becomes unreferenced garbage;
+    registering each computed path as live-in-this-process is what
+    lets :func:`sweep_stale_stores` reclaim exactly that garbage (the
+    v1->v2 migration's orphans, r11 verdict #4) without ever touching
+    a store the current generation serves."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_{family}_{tag}")
+    _LIVE_STORE_PATHS.add(path)
+    return path
+
+
+def sweep_stale_stores(
+    spark: SparkSession, root: str | None = None,
+    prefix: str = "spark_graft_",
+) -> list[str]:
+    """Delete ``{prefix}*`` directories under ``root`` (default: the
+    system tempdir) that no :func:`tmp_store_path` call in THIS
+    process registered: prior-generation stores orphaned by a
+    version-token bump, crashed builders' ``.build-*`` staging dirs,
+    and publish trash. Call at a quiesced point AFTER the current
+    generation's stores have all been touched (bench does, after its
+    all-catalog pass) — an in-flight concurrent builder's staging dir
+    is indistinguishable from a crashed one, so quiesced single-host
+    use is assumed. Returns the deleted paths."""
+    import os
+    import tempfile
+
+    base = root or tempfile.gettempdir()
+    swept: list[str] = []
+    for name in list_names(spark, base):
+        if not name.startswith(prefix):
+            continue
+        full = os.path.join(base, name)
+        if full in _LIVE_STORE_PATHS:
+            continue
+        if delete(spark, full):
+            swept.append(full)
+    return swept

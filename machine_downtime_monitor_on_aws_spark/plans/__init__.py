@@ -82,21 +82,10 @@ def _reorder_for_driver_evidence() -> None:
     # map is name -> round the rewire shipped; an entry self-expires
     # once a driver row at or after that round lands.
     rewired = {
-        # r9 entries (unigram/wordpiece encodes, semdedup centroids)
-        # self-expired when their r10 driver rows landed and were
-        # pruned (r10 verdict next-round #4).
-        "perceptron_lang_margins": 10,  # persisted weight store (r10)
-        "ccnet_perplexity_buckets": 10,  # persisted LM-counts store (r10)
-        "neardup_clusters_incremental": 10,  # history store-served (r10)
-        # feed-consumer queries moved onto the persisted pairs/labels
-        # store (r10); the producer demos stayed inline
-        "duplicate_cluster_sizes": 10,
-        "cross_source_dup_matrix": 10,
-        "neardup_keep_best_quality": 10,
-        "split_leakage_pairs": 10,
-        "leakage_safe_splits": 10,
-        # bigram_lm_doc_scores also rewired r10, but its r7-latest row
-        # already puts it inside the r10 window unaided
+        # Pruned on landing (map hygiene, r10/r11 verdicts): the r9
+        # entries expired with their r10 rows; the 8 r10 store-rewired
+        # queries and mmr_diversified_top3/ivfpq_recall_at5 (r11
+        # shortlist-store consumers) expired with their r11 rows.
         # read-path rewire (KeyedParquetStore.read -> explicit-schema
         # _parquet_or_empty) shipped r10 AFTER their r9 rows (r10
         # ADVICE #1) - same rule as a logic rewire: evidence predates
@@ -104,10 +93,11 @@ def _reorder_for_driver_evidence() -> None:
         "exact_dedup_stream_replay": 10,
         "minhash_stream_labels_replay": 10,
         # r11: consumers of the persisted retrieval-shortlist store
-        "mmr_diversified_top3": 11,
         "hybrid_rrf_top_docs": 11,
         "hard_negatives_top3": 11,
-        "ivfpq_recall_at5": 11,  # exact-baseline leg reads the store
+        # r12: exact-baseline leg reads the shortlist store's rnk<=5
+        # cut, matching ivfpq_recall_at5 (r11 verdict #2)
+        "ivf_recall_at5": 12,
     }
     # A typo'd or renamed key would silently drop its prioritization
     # (r10 ADVICE #2) - fail loudly instead.

@@ -101,9 +101,7 @@ def _lex_shortlist_store(spark: SparkSession, sf_dir: str) -> str:
     consumers keep hash-matching the derivation oracle; the PRODUCER
     query (bm25_top_docs) stays fully inline as the derivation
     evidence. Staged build, single-rename publish."""
-    import hashlib
     import os
-    import tempfile
     import uuid
 
     from .. import fsio
@@ -114,8 +112,7 @@ def _lex_shortlist_store(spark: SparkSession, sf_dir: str) -> str:
     ident = (
         f"{src}:{st.st_mtime_ns}:{st.st_size}:lexshort:v1:{terms}:{_TOP_N}"
     )
-    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_lexshort_{tag}")
+    path = fsio.tmp_store_path("lexshort", ident)
     if not fsio.exists(spark, f"{path}/_STORE_OK"):
         staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
         pin_utc(spark)

@@ -1358,15 +1358,14 @@ def _neardup_history_store(spark: SparkSession, sf_dir: str) -> str:
     corpus file's identity; bit-identical to the inline derivation
     (long ids/labels round-trip parquet exactly), so consumers keep
     hash-matching the derivation oracles. The three tables build
-    under a per-writer staged directory with _STORE_OK written LAST,
-    then publish with ONE rename (fsio.publish_dir, r10 ADVICE #4) -
-    readers never observe a partial store; the PRODUCER queries
+    under a per-writer staged directory and publish through
+    fsio.publish_dir (r10 ADVICE #4; commit record surfaced last,
+    r11 ADVICE #1) - readers never observe a partial store or the
+    record before the data it certifies; the PRODUCER queries
     (minhash_lsh_buckets, neardup_candidate_pairs,
     neardup_jaccard_verified, neardup_duplicate_clusters) stay fully
     inline as the derivation evidence."""
-    import hashlib
     import os
-    import tempfile
 
     from .. import fsio
 
@@ -1376,8 +1375,7 @@ def _neardup_history_store(spark: SparkSession, sf_dir: str) -> str:
         f"{src}:{st.st_mtime_ns}:{st.st_size}:mhhist:v2:"
         f"{_NUM_PERMS}:{_NUM_BANDS}:{_SHINGLE_N}"
     )
-    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_mh_hist_{tag}")
+    path = fsio.tmp_store_path("mh_hist", ident)
     if not fsio.exists(spark, f"{path}/_STORE_OK"):
         # per-writer staged build, published with ONE rename (r10
         # ADVICE #4): a reader never sees a partial three-table store
@@ -1855,9 +1853,7 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, warm calls are one digest-verified load + the segment
     folds. Stored merges are the training output verbatim, so the
     oracle is unchanged."""
-    import hashlib
     import os
-    import tempfile
 
     from ..operators.bpe import (
         bpe_segment,
@@ -1871,9 +1867,9 @@ def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:bpe:v2:{_BPE_MERGES}"
-    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_bpe_merges_{tag}")
     from .. import fsio
+
+    path = fsio.tmp_store_path("bpe_merges", ident)
 
     if not fsio.exists(spark, f"{path}/params.json"):
         import uuid
@@ -2020,10 +2016,8 @@ def _bigram_lm_counts(
     writer's in-flight overwrite, because nothing is ever rewritten
     at the published path; params.json doubles as the commit record
     (publish_dir keys on it)."""
-    import hashlib
     import json as _json
     import os
-    import tempfile
     import uuid
 
     from .. import fsio
@@ -2031,10 +2025,7 @@ def _bigram_lm_counts(
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:bigramlm:v2:a1"
-    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
-    path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_bigram_lm_{tag}"
-    )
+    path = fsio.tmp_store_path("bigram_lm", ident)
     rec = f"{path}/params.json"
     if not fsio.exists(spark, rec):
         staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
@@ -2541,9 +2532,7 @@ def unigram_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-segmentation - which is exactly train_unigram_lm's last step
     as a pure function of (vocab, word table), so the oracle is
     unchanged and cold/warm paths hash identically."""
-    import hashlib
     import os
-    import tempfile
 
     from ..operators.unigram_lm import (
         encode_docs,
@@ -2562,9 +2551,9 @@ def unigram_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{src}:{st.st_mtime_ns}:{st.st_size}:ulm:v2:{_ULM_MAXW}:{_ULM_MAXP}"
         f":{_ULM_SEED_CAP}:{_ULM_PRUNE_CAP}"
     )
-    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ulm_vocab_{tag}")
     from .. import fsio
+
+    path = fsio.tmp_store_path("ulm_vocab", ident)
 
     if not fsio.exists(spark, f"{path}/params.json"):
         import uuid
@@ -2873,9 +2862,7 @@ def perceptron_lang_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm invocations load the digest-verified dim+1 ints and run only
     the scoring pass. Ints round-trip JSON exactly, so store-served
     margins hash identically to retraining - oracle unchanged."""
-    import hashlib
     import os
-    import tempfile
 
     from .. import fsio
     from ..operators.perceptron import (
@@ -2897,8 +2884,7 @@ def perceptron_lang_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ident = (
         f"{src}:{st.st_mtime_ns}:{st.st_size}:pcep:v2:{_PCEP_DIM}:{_PCEP_ITERS}"
     )
-    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_pcep_{tag}")
+    path = fsio.tmp_store_path("pcep", ident)
     if not fsio.exists(spark, f"{path}/params.json"):
         w = perceptron_train(feats, labels, _PCEP_DIM + 1, _PCEP_ITERS)
         save_weights(
@@ -3282,16 +3268,16 @@ def minhash_stream_labels_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode), update_components' per-epoch contractions converge to the
     exact min-label components regardless of arrival order, and the
     keyed store's upserts preserve them. Replay runs once per corpus
-    (build-if-absent under a _REPLAY_DONE gate, partial builds wiped); Unlike the parquet stores (publish_dir), the replay root is
-    NOT staged-published: the build runs streaming checkpoints
-    INSIDE the root, so a concurrent cold builder of the same
-    corpus would interleave epochs - single-writer is assumed for
-    the one-shot replay build (documented per r10 ADVICE #4); the
-    gate+wipe protocol serializes CRASH recovery, not concurrency.
-    warm invocations read the store."""
+    (build-if-absent under a _REPLAY_DONE gate, partial builds
+    wiped); warm invocations read the store. Unlike the parquet
+    stores (publish_dir), the replay root is NOT staged-published:
+    the build runs streaming checkpoints INSIDE the root, so a
+    concurrent cold builder of the same corpus would interleave
+    epochs. Single-writer is assumed for the one-shot replay build
+    (documented per r10 ADVICE #4); the gate+wipe protocol
+    serializes CRASH recovery, not concurrency."""
     import hashlib
     import os
-    import tempfile
 
     from ..streaming.dedup import run_incremental_dedup_stream
 
@@ -3302,11 +3288,12 @@ def minhash_stream_labels_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{src}:{st.st_mtime_ns}:{st.st_size}:mhreplay:v2:"
         f"{_NUM_PERMS}:{_NUM_BANDS}:{_SHINGLE_N}:3"
     )
+    from .. import fsio
+
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_mhreplay_{tag}")
+    root = fsio.tmp_store_path("mhreplay", ident)
     labels_path = f"{root}/labels"
     done = f"{root}/_REPLAY_DONE"
-    from .. import fsio
 
     if not fsio.exists(spark, done):
         if fsio.exists(spark, root):
@@ -3411,7 +3398,6 @@ def exact_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects to the driver."""
     import hashlib
     import os
-    import tempfile
 
     from ..streaming.dedup import run_exact_dedup_stream
 
@@ -3419,11 +3405,12 @@ def exact_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:xreplay:v2:{_SHINGLE_N}:3:15"
+    from .. import fsio
+
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_xreplay_{tag}")
+    root = fsio.tmp_store_path("xreplay", ident)
     pairs_path = f"{root}/pairs"
     done = f"{root}/_REPLAY_DONE"
-    from .. import fsio
 
     if not fsio.exists(spark, done):
         if fsio.exists(spark, root):
@@ -3621,7 +3608,6 @@ def span_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the driver."""
     import hashlib
     import os
-    import tempfile
 
     from ..streaming.dedup import run_span_dedup_stream
 
@@ -3629,11 +3615,12 @@ def span_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:sreplay:v2:{_SPAN_K}:3:15"
+    from .. import fsio
+
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_sreplay_{tag}")
+    root = fsio.tmp_store_path("sreplay", ident)
     spans_path = f"{root}/spans"
     done = f"{root}/_REPLAY_DONE"
-    from .. import fsio
 
     if not fsio.exists(spark, done):
         if fsio.exists(spark, root):
@@ -3868,9 +3855,7 @@ def wordpiece_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored merges are the training output verbatim (save/load
     round-trip digest-guarded in operators/bpe.py), so the oracle is
     unchanged - cold and warm paths hash identically."""
-    import hashlib
     import os
-    import tempfile
 
     from ..operators.bpe import load_merges, save_merges
     from ..operators.wordpiece import (
@@ -3883,9 +3868,9 @@ def wordpiece_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:wp:v2:{_WP_MERGES}"
-    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_wp_merges_{tag}")
     from .. import fsio
+
+    path = fsio.tmp_store_path("wp_merges", ident)
 
     if not fsio.exists(spark, f"{path}/params.json"):
         import uuid

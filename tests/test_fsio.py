@@ -224,3 +224,145 @@ def test_publish_dir_single_rename_semantics(spark, tmp_path):
     nested = str(tmp_path / "no" / "such" / "dir" / "store")
     assert fsio.publish_dir(spark, s4, nested) is True
     assert fsio.read_text(spark, f"{nested}/table.parquet") == "data-build-d"
+
+
+def _stage_store(spark, tmp_path, name: str, committed: bool = True) -> str:
+    staged = str(tmp_path / name)
+    fsio.mkdirs(spark, staged)
+    fsio.write_text(spark, f"{staged}/table.parquet", "data-" + name)
+    if committed:
+        fsio.write_text_atomic(spark, f"{staged}/_STORE_OK", "ok")
+    return staged
+
+
+def test_publish_dir_two_writers_over_crash_partial(spark, tmp_path):
+    """Two writers that both built against the same crashed-writer
+    partial (r11 verdict #3): the first publish swings its build in,
+    the second must NOT disturb the committed store (False), and no
+    trash/staging residue survives either publish."""
+    final = str(tmp_path / "store")
+    partial = _stage_store(spark, tmp_path, "crashed", committed=False)
+    assert fsio.rename(spark, partial, final)
+
+    a = _stage_store(spark, tmp_path, "writer-a")
+    b = _stage_store(spark, tmp_path, "writer-b")
+    assert fsio.publish_dir(spark, a, final) is True
+    assert fsio.publish_dir(spark, b, final) is False
+    assert fsio.read_text(spark, f"{final}/table.parquet") == "data-writer-a"
+    assert fsio.exists(spark, f"{final}/_STORE_OK")
+    residue = [
+        n
+        for n in fsio.list_names(spark, str(tmp_path))
+        if ".trash-" in n or n in ("writer-a", "writer-b", "crashed")
+    ]
+    assert residue == [], residue
+
+
+def test_publish_dir_rechecks_commit_before_clearing_partial(
+    spark, tmp_path, monkeypatch
+):
+    """TOCTOU guard (r11 ADVICE #2): when a concurrent writer commits
+    between the first commit-record check and the partial-clearing
+    branch, publish_dir must observe the second check and back off
+    WITHOUT renaming the freshly published store aside."""
+    final = str(tmp_path / "store")
+    winner = _stage_store(spark, tmp_path, "winner")
+    assert fsio.publish_dir(spark, winner, final) is True
+
+    loser = _stage_store(spark, tmp_path, "loser")
+    ok = f"{final}/_STORE_OK"
+    calls = {"n": 0}
+    real_exists = fsio.exists
+
+    def racy_exists(sp, path):
+        if path == ok:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return False  # the stale observation a racer acts on
+        return real_exists(sp, path)
+
+    real_rename = fsio.rename
+
+    def guarded_rename(sp, src, dst):
+        assert ".trash-" not in dst, "published store was moved aside"
+        return real_rename(sp, src, dst)
+
+    monkeypatch.setattr(fsio, "exists", racy_exists)
+    monkeypatch.setattr(fsio, "rename", guarded_rename)
+    assert fsio.publish_dir(spark, loser, final) is False
+    assert calls["n"] >= 2  # the recheck actually ran
+    monkeypatch.undo()
+    assert fsio.read_text(spark, f"{final}/table.parquet") == "data-winner"
+    assert fsio.exists(spark, ok)
+
+
+def test_publish_dir_surfaces_commit_record_last(spark, tmp_path, monkeypatch):
+    """Copy-publish robustness (r11 ADVICE #1): the commit record
+    must travel under a hidden name during the directory move - so
+    even a rename that degrades to a non-atomic per-file copy can
+    never surface it before the data files - and reappear via ONE
+    single-file rename strictly after the directory publish."""
+    final = str(tmp_path / "store")
+    staged = _stage_store(spark, tmp_path, "build")
+    seq = []
+    real_rename = fsio.rename
+
+    def recording_rename(sp, src, dst):
+        if src == staged:
+            # at directory-publish time the record is already hidden
+            names = fsio.list_names(sp, staged)
+            assert "_STORE_OK" not in names, names
+            assert "._STORE_OK.staged" in names, names
+        seq.append((src, dst))
+        return real_rename(sp, src, dst)
+
+    monkeypatch.setattr(fsio, "rename", recording_rename)
+    assert fsio.publish_dir(spark, staged, final) is True
+    assert seq[-1] == (f"{final}/._STORE_OK.staged", f"{final}/_STORE_OK")
+    assert [s for s, _ in seq].count(staged) == 1
+    assert fsio.read_text(spark, f"{final}/table.parquet") == "data-build"
+    assert not fsio.exists(spark, f"{final}/._STORE_OK.staged")
+
+
+def test_publish_dir_refuses_uncommitted_staged_build(spark, tmp_path):
+    """A staged dir missing its commit record is a builder bug - the
+    publish must fail loudly instead of shipping a store no reader
+    can certify (and must still clean up the staged copy)."""
+    final = str(tmp_path / "store")
+    staged = _stage_store(spark, tmp_path, "nocommit", committed=False)
+    with pytest.raises(IOError, match="lacks its commit record"):
+        fsio.publish_dir(spark, staged, final)
+    assert not fsio.exists(spark, staged)
+    assert not fsio.exists(spark, final)
+
+
+def test_sweep_stale_stores_reclaims_unregistered_generations(
+    spark, tmp_path, monkeypatch
+):
+    """sweep_stale_stores (r11 verdict #4) deletes spark_graft_* dirs
+    no tmp_store_path call in this process registered - the orphans a
+    version-token bump leaves behind, crashed .build-* staging, and
+    publish trash - and never touches live stores or foreign names."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    live = fsio.tmp_store_path("unitfam", "src:1:2:unitfam:v2:k")
+    fsio.mkdirs(spark, live)
+    fsio.write_text(spark, f"{live}/table.parquet", "live")
+
+    stale_gen = str(tmp_path / "spark_graft_unitfam_0123456789")
+    crashed = f"{live}.build-deadbeef"
+    trash = f"{live}.trash-deadbeef"
+    foreign = str(tmp_path / "keep_me")
+    for d in (stale_gen, crashed, trash, foreign):
+        fsio.mkdirs(spark, d)
+
+    swept = sorted(fsio.sweep_stale_stores(spark))
+    assert swept == sorted(
+        [stale_gen, crashed, trash]
+    ), swept
+    assert fsio.exists(spark, live)
+    assert fsio.read_text(spark, f"{live}/table.parquet") == "live"
+    assert fsio.exists(spark, foreign)
+    # idempotent: a second sweep finds nothing
+    assert fsio.sweep_stale_stores(spark) == []

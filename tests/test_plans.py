@@ -601,7 +601,21 @@ def test_retrieval_consumers_read_only_store_slivers(spark):
     corpus-shaped source allowed is nothing: MMR reads topk +
     cand_sims, the hybrid fusion reads lex + topk, hard-negatives
     reads hard_neg verbatim. (knn_bruteforce_top5 / bm25_top_docs are
-    the PRODUCERS - their plans scan the corpus by design.)"""
+    the PRODUCERS - their plans scan the corpus by design.)
+
+    MMR is asserted on its PRE-checkpoint input plans (r11 ADVICE
+    #3): the query's eager localCheckpoints rewrite the explained
+    plan to Scan ExistingRDD, which would hide an embeddings scan
+    upstream and make the published-plan assertion vacuous."""
+    from machine_downtime_monitor_on_aws_spark.plans.vectorops import (
+        _mmr_inputs,
+    )
+
+    for df in _mmr_inputs(spark, SF_ORACLE):
+        plan = explain(df)
+        assert "embeddings.parquet" not in plan, plan
+        assert "documents.parquet" not in plan, plan
+        assert "spark_graft_retshort_" in plan, plan
     for name in (
         "mmr_diversified_top3",
         "hybrid_rrf_top_docs",
@@ -610,6 +624,10 @@ def test_retrieval_consumers_read_only_store_slivers(spark):
         plan = plan_of(spark, name)
         assert "embeddings.parquet" not in plan, name
         assert "documents.parquet" not in plan, name
+    # ivf_recall_at5's IVF leg under measurement runs live (it scans
+    # the corpus by design), but its exact-baseline leg must come
+    # from the persisted shortlist store (r11 verdict #2)
+    assert "spark_graft_retshort_" in plan_of(spark, "ivf_recall_at5")
     # and the producers DO scan the corpus (the assertion above would
     # be vacuous if the plan string stopped naming input files)
     assert "embeddings.parquet" in plan_of(spark, "knn_bruteforce_top5")

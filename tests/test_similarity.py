@@ -783,6 +783,9 @@ def test_retrieval_consumers_serve_from_shortlist_store(
     )
     assert cut == knn and knn
 
+    recall_fn = catalog.REGISTRY["ivf_recall_at5"].fn
+    rec1 = sorted(tuple(r) for r in recall_fn(spark, sf).collect())
+
     def _boom(*a, **k):
         raise AssertionError("warm path re-scanned the corpus")
 
@@ -790,13 +793,31 @@ def test_retrieval_consumers_serve_from_shortlist_store(
     monkeypatch.setattr(similarity, "hard_negative_topk", _boom)
     # the hybrid's lexical leg reads its own persisted shortlist:
     # poison the BM25 ranker too (retrievalops binds it at import)
-    from machine_downtime_monitor_on_aws_spark.plans import retrievalops
+    from machine_downtime_monitor_on_aws_spark.plans import retrievalops, vectorops
 
     monkeypatch.setattr(retrievalops, "bm25_rank", _boom)
+    # r12: the un-quantized recall monitor's exact baseline serves
+    # from the same store as ivfpq_recall_at5; poisoning the inline
+    # producer proves the warm path never re-derives it (the live IVF
+    # leg under measurement may still scan the corpus - by design)
+    monkeypatch.setattr(vectorops, "knn_bruteforce_top5", _boom)
     rows2 = sorted(tuple(r) for r in mmr_fn(spark, sf).collect())
     assert rows2 == rows1 and rows1
     hyb2 = sorted(tuple(r) for r in hybrid_fn(spark, sf).collect())
     assert hyb2 == hyb1 and hyb1
+    assert catalog.REGISTRY["hard_negatives_top3"].fn(spark, sf).count() > 0
+    rec2 = sorted(tuple(r) for r in recall_fn(spark, sf).collect())
+    assert rec2 == rec1 and rec1
+    # r11 ADVICE #3, second prong: poison the embeddings LOAD path
+    # too - a regression that re-joined embeddings inline (using
+    # dot/l2_norm directly rather than the poisoned rankers) would
+    # survive the producer poison above; the store-only consumers
+    # must never touch a vector
+    monkeypatch.setattr(vectorops, "_emb", _boom)
+    rows3 = sorted(tuple(r) for r in mmr_fn(spark, sf).collect())
+    assert rows3 == rows1
+    hyb3 = sorted(tuple(r) for r in hybrid_fn(spark, sf).collect())
+    assert hyb3 == hyb1
     assert catalog.REGISTRY["hard_negatives_top3"].fn(spark, sf).count() > 0
     assert len(glob.glob(str(tmp_path / "spark_graft_retshort_*"))) == 1
     assert len(glob.glob(str(tmp_path / "spark_graft_lexshort_*"))) == 1
