@@ -19,9 +19,13 @@ The reference's equivalents are managed services (DynamoDB
 conditional writes for the upsert race, Kinesis checkpoints —
 filter-kinesis-stream/index.ts:146-191); on a lake the durable unit
 is the filesystem rename, which HDFS guarantees atomic and S3A maps
-to an atomic-enough copy+delete for these SMALL single-file control
-records (data files never move through here — they are committed by
-Spark's own committers).
+to copy+delete. Two kinds of payload move through rename here: SMALL
+single-file control records (atomic-enough everywhere), and
+build-if-absent store DIRECTORIES via :func:`publish_dir`, whose
+commit protocol is explicitly copy-publish-safe (the commit record
+surfaces last on every filesystem — see its docstring). Streaming
+data files never move through here — they are committed by Spark's
+own committers.
 """
 
 from __future__ import annotations
