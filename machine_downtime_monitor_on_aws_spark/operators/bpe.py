@@ -10,6 +10,17 @@ symbols, so the per-row work is trivially bounded), one global
 pair-count aggregation with map-side combine. Only the argmax pair
 (one row) ever reaches the driver per iteration - the k-means shape.
 
+The loop trains on the WORD-FREQUENCY TABLE, not on word occurrences
+(the Sennrich et al. 2016 formulation: BPE statistics are a function
+of the corpus's ``{word: count}`` dict). Every occurrence of a word
+symbolizes, merges, and pair-counts identically, so the corpus
+collapses to one ``(sym, wcnt)`` row per DISTINCT word after a
+single scan, and pair counts become ``sum(wcnt)`` - bit-identical
+totals. Each iteration's checkpoint, fold, and aggregation then
+touch a vocabulary-sized table (Zipf: millions of distinct words vs
+trillions of occurrences at 100 TB), instead of re-materializing the
+full token stream per merge.
+
 Merges apply with plain string ``replace`` over the space-separated
 symbol string, padded with sentinel spaces so a pair can never match
 across symbol boundaries (" x y " -> " xy "): left-to-right
@@ -48,6 +59,22 @@ def symbolized_words(
     )
     return df.select(F.col(text_col)).repartition(n).select(w).select(
         sym.alias("sym")
+    )
+
+
+def symbol_word_frequencies(
+    df: DataFrame, text_col: str, parallelism: int | None = None
+) -> DataFrame:
+    """``(sym, wcnt)``: one row per DISTINCT word with its corpus
+    occurrence count - the word-frequency table classic BPE trainers
+    iterate on. Distinct symbol strings stay distinct under merges
+    (a merge only reparses the same character sequence), so the
+    grouping is stable across the whole training loop: group once,
+    never regroup."""
+    return (
+        symbolized_words(df, text_col, parallelism)
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
     )
 
 
@@ -103,23 +130,27 @@ def bpe_train_merges(
     """Train the first ``n_merges`` BPE merges over a document
     corpus. Returns ``[{iteration, pair, merged, pair_count}, ...]``
     in merge order; stops early if the corpus runs out of pairs.
-    Each iteration is one corpus-scan job collecting a single row;
-    merges apply as literal expressions, so the symbol column's plan
-    grows by one cheap ``replace`` per learned merge."""
+    The corpus is scanned ONCE (into the word-frequency table); each
+    iteration then runs one vocabulary-sized job collecting a single
+    row; merges apply as fold expressions over the distinct words.
+    Pair counts weight each distinct word's pair multiset by its
+    occurrence count - bit-identical to counting over the raw token
+    stream, at a fraction of the per-iteration work."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
-    # Materialize the symbol table once per iteration: without the
-    # barrier, iteration i's plan re-runs tokenize + symbolize + all
-    # i-1 merge folds from scratch (quadratic total work - measured
-    # 8.2s -> ~3s at sf0.1 for 3 merges). Tracked checkpoints so the
-    # per-iteration blocks are freed as soon as the next state is
-    # materialized, not at session end.
+    # Materialize the symbol state once per iteration: without the
+    # barrier, iteration i's plan re-runs tokenize + symbolize +
+    # group + all i-1 merge folds from scratch (quadratic total
+    # work). Tracked checkpoints so the per-iteration blocks are
+    # freed as soon as the next state is materialized, not at
+    # session end. Only the first checkpoint pays the corpus scan;
+    # the rest materialize the vocabulary-sized frequency table.
     from ..streaming.store import (
         _tracked_local_checkpoint,
         release_checkpoint,
     )
 
-    cur = symbolized_words(df, text_col)
+    cur = symbol_word_frequencies(df, text_col)
     out: list[dict] = []
     held: DataFrame | None = None
     try:
@@ -130,10 +161,11 @@ def bpe_train_merges(
             held = cur
             top = (
                 cur.select(
-                    F.explode(adjacent_pairs(F.col("sym"))).alias("pair")
+                    F.explode(adjacent_pairs(F.col("sym"))).alias("pair"),
+                    F.col("wcnt"),
                 )
                 .groupBy("pair")
-                .agg(F.count(F.lit(1)).alias("cnt"))
+                .agg(F.sum("wcnt").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), F.col("pair").asc())
                 .limit(1)
                 .collect()
@@ -150,7 +182,10 @@ def bpe_train_merges(
                     "pair_count": cnt,
                 }
             )
-            cur = cur.select(apply_merge(F.col("sym"), pair, merged).alias("sym"))
+            cur = cur.select(
+                apply_merge(F.col("sym"), pair, merged).alias("sym"),
+                F.col("wcnt"),
+            )
     finally:
         if held is not None:
             release_checkpoint(held)

@@ -25,6 +25,13 @@ pairs are vocabulary-sized), a broadcast-sized join scoring pairs
 against their constituent counts, and ONE argmax row collected to
 the driver. Merges apply as the shared greedy left-fold
 (operators/bpe.apply_merge) - pure expression work, no shuffle.
+
+Like the BPE trainer, the loop runs on the word-frequency table
+(``(sym, wcnt)`` per DISTINCT word, one corpus scan total): both the
+pair counts and the constituent symbol counts are per-word multisets
+weighted by ``sum(wcnt)`` - exact integers identical to counting the
+raw token stream, so the scores (and the hash-exact oracle) are
+unchanged while each iteration touches vocabulary-sized data only.
 """
 
 from __future__ import annotations
@@ -62,6 +69,21 @@ def wp_symbolized_words(
     )
 
 
+def wp_symbol_word_frequencies(
+    df: DataFrame, text_col: str, parallelism: int | None = None
+) -> DataFrame:
+    """``(sym, wcnt)``: one row per DISTINCT word with its corpus
+    occurrence count (the operators/bpe.symbol_word_frequencies
+    shape under the WordPiece alphabet). Stable under merges: a
+    merge reparses the same characters, so distinct words never
+    collide and the grouping holds for the whole loop."""
+    return (
+        wp_symbolized_words(df, text_col, parallelism)
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
 def merged_name(pair: str) -> str:
     """'a ##b' -> 'ab'; '##b ##c' -> '##bc' (strip the right side's
     continuation prefix; the left keeps its own)."""
@@ -71,19 +93,26 @@ def merged_name(pair: str) -> str:
 
 def _scored_pairs(cur: DataFrame) -> DataFrame:
     """(pair, lft, rgt, pair_count, left_count, right_count, score)
-    for the current symbol state. Counts are corpus-wide occurrence
-    counts; score = c_ab / (c_a * c_b) computed as
-    double(c_ab) / (double(c_a) * double(c_b)) - the exact order the
-    oracle replays."""
+    for the current ``(sym, wcnt)`` word-frequency state. Counts are
+    corpus-wide occurrence counts (each distinct word's symbol/pair
+    multiset weighted by its ``wcnt``); score = c_ab / (c_a * c_b)
+    computed as double(c_ab) / (double(c_a) * double(c_b)) - the
+    exact order the oracle replays."""
     syms = (
-        cur.select(F.explode(F.split(F.col("sym"), " ")).alias("s"))
+        cur.select(
+            F.explode(F.split(F.col("sym"), " ")).alias("s"),
+            F.col("wcnt"),
+        )
         .groupBy("s")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("wcnt").alias("c"))
     )
     pairs = (
-        cur.select(F.explode(adjacent_pairs(F.col("sym"))).alias("pair"))
+        cur.select(
+            F.explode(adjacent_pairs(F.col("sym"))).alias("pair"),
+            F.col("wcnt"),
+        )
         .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .agg(F.sum("wcnt").alias("pair_count"))
         .withColumn("lft", F.split(F.col("pair"), " ").getItem(0))
         .withColumn("rgt", F.split(F.col("pair"), " ").getItem(1))
     )
@@ -125,7 +154,7 @@ def wordpiece_train_merges(
         release_checkpoint,
     )
 
-    cur = wp_symbolized_words(df, text_col)
+    cur = wp_symbol_word_frequencies(df, text_col)
     out: list[dict] = []
     held: DataFrame | None = None
     try:
@@ -156,7 +185,8 @@ def wordpiece_train_merges(
                 }
             )
             cur = cur.select(
-                apply_merge(F.col("sym"), row["pair"], merged).alias("sym")
+                apply_merge(F.col("sym"), row["pair"], merged).alias("sym"),
+                F.col("wcnt"),
             )
     finally:
         if held is not None:
@@ -203,10 +233,11 @@ def wordpiece_vocab(df: DataFrame, text_col: str, merges: list[dict]) -> list[st
     chars - full character coverage by construction) plus every
     merge's name, sorted. Driver-held like the merge list itself -
     vocabulary-sized, never corpus-sized (ONE distinct-aggregation
-    collect)."""
+    collect; the explode runs over distinct words, not the token
+    stream)."""
     base = [
         r.s
-        for r in wp_symbolized_words(df, text_col)
+        for r in wp_symbol_word_frequencies(df, text_col)
         .select(F.explode(F.split(F.col("sym"), " ")).alias("s"))
         .distinct()
         .collect()
