@@ -123,6 +123,35 @@ def test_requires_positive_merges(spark):
         wordpiece_train_merges(df, "text", 0)
 
 
+def test_doubled_corpus_doubles_counts_same_merges(spark):
+    """The word-frequency-table weighting, pinned directly: training
+    on corpus+corpus must choose the SAME merges with exactly doubled
+    pair/left/right counts (scores halve: 2c/(2a*2b) = c/(2ab)) for
+    WordPiece, and doubled pair_count for BPE."""
+    from machine_downtime_monitor_on_aws_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    both = df.unionByName(
+        df.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    wp1 = wordpiece_train_merges(df, "text", 3)
+    wp2 = wordpiece_train_merges(both, "text", 3)
+    for a, b in zip(wp1, wp2, strict=True):
+        assert (a["pair"], a["merged"]) == (b["pair"], b["merged"])
+        for k in ("pair_count", "left_count", "right_count"):
+            assert b[k] == 2 * a[k]
+        assert b["score"] == a["score"] / 2.0
+    bp1 = bpe_train_merges(df, "text", 3)
+    bp2 = bpe_train_merges(both, "text", 3)
+    for a, b in zip(bp1, bp2, strict=True):
+        assert (a["pair"], a["merged"]) == (b["pair"], b["merged"])
+        assert b["pair_count"] == 2 * a["pair_count"]
+
+
 def _py_greedy(w, vocab, unk="[UNK]"):
     maxp = max(len(v[2:]) if v.startswith("##") else len(v) for v in vocab)
     pos, pieces = 0, []
