@@ -98,6 +98,18 @@ def _reorder_for_driver_evidence() -> None:
         # r12: exact-baseline leg reads the shortlist store's rnk<=5
         # cut, matching ivfpq_recall_at5 (r11 verdict #2)
         "ivf_recall_at5": 12,
+        # r12: BPE/WordPiece trainers moved onto the word-frequency
+        # table (operators/bpe.symbol_word_frequencies) - outputs
+        # bit-identical (oracle-parity + doubled-corpus tests), but
+        # the executed derivation changed: inline trainers
+        # (bpe_first_merges, wordpiece_first_merges), the merge
+        # store's cold build (bpe_compression_stats), and
+        # wordpiece_vocab's every-call distinct-word base set
+        # (wordpiece_doc_encoding)
+        "bpe_first_merges": 12,
+        "wordpiece_first_merges": 12,
+        "bpe_compression_stats": 12,
+        "wordpiece_doc_encoding": 12,
     }
     # A typo'd or renamed key would silently drop its prioritization
     # (r10 ADVICE #2) - fail loudly instead.
