@@ -731,3 +731,74 @@ def test_epoch_feed_purge_complement_random(seed):
         assert on_disk == surviving_eps or (not want and not on_disk)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _py_bpe_occurrences(texts: list[str], n_merges: int) -> list[dict]:
+    """Pure-Python occurrence-counting BPE: symbol lists per word
+    OCCURRENCE (chars + '</w>'), adjacent-pair counts with
+    multiplicity, argmax (count desc, 'left right' string asc),
+    greedy left-to-right non-overlapping merge application. The
+    trainer counts over the word-frequency table; this model proves
+    that weighting is invisible in the output."""
+    words = []
+    for t in texts:
+        for w in t.split():
+            words.append(list(w) + ["</w>"])
+    out = []
+    for it in range(1, n_merges + 1):
+        counts: dict[str, int] = {}
+        for s in words:
+            for a, b in zip(s, s[1:]):
+                counts[f"{a} {b}"] = counts.get(f"{a} {b}", 0) + 1
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        left, right = pair.split(" ", 1)
+        merged = left + right
+        out.append(
+            {
+                "iteration": it,
+                "pair": pair,
+                "merged": merged,
+                "pair_count": counts[pair],
+            }
+        )
+        nxt = []
+        for s in words:
+            o, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    o.append(merged)
+                    i += 2
+                else:
+                    o.append(s[i])
+                    i += 1
+            nxt.append(o)
+        words = nxt
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_bpe_train_matches_occurrence_model(seed):
+    """Random tiny-alphabet corpora (dense pair collisions, merge
+    cascades, repeated words) vs the occurrence model: merges, tie
+    breaks, and counts must match exactly."""
+    from machine_downtime_monitor_on_aws_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    spark = _spark()
+    rng = random.Random(seed)
+    texts = [
+        " ".join(
+            "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(1, 8))
+        )
+        for _ in range(12)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train_merges(df, "text", 4)
+    assert got == _py_bpe_occurrences(texts, 4)
