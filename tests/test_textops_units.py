@@ -392,3 +392,31 @@ def test_incremental_clusters_serve_from_history_store(
     ):
         assert catalog.REGISTRY[consumer].fn(spark, sf).count() >= 0
     assert len(glob.glob(str(tmp_path / "spark_graft_mh_hist_*"))) == 1
+
+
+def test_bpe_train_early_stop_and_empty_corpus(spark):
+    """Early-stop edges through the word-frequency path: a blank
+    corpus yields an empty frequency table (zero merges); a corpus
+    whose only word is one char trains exactly one merge
+    ('x </w>' -> 'x</w>') and then runs out of pairs."""
+    from machine_downtime_monitor_on_aws_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+    from machine_downtime_monitor_on_aws_spark.operators.wordpiece import (
+        wordpiece_train_merges,
+    )
+
+    blank = spark.createDataFrame(
+        [(0, ""), (1, "   ")], "doc_id long, text string"
+    )
+    assert bpe_train_merges(blank, "text", 3) == []
+    assert wordpiece_train_merges(blank, "text", 3) == []
+
+    one = spark.createDataFrame([(0, "x x")], "doc_id long, text string")
+    got = bpe_train_merges(one, "text", 5)
+    assert got == [
+        {"iteration": 1, "pair": "x </w>", "merged": "x</w>", "pair_count": 2}
+    ]
+    # WordPiece symbolizes a 1-char word to a single bare symbol:
+    # no pairs at all, zero merges
+    assert wordpiece_train_merges(one, "text", 5) == []
