@@ -375,3 +375,29 @@ def test_catalog_encode_serves_from_persisted_store(spark, tmp_path, monkeypatch
         os.remove(crc)
     with _pt.raises(ValueError, match="digest"):
         fn(spark, sf)
+
+
+def test_train_matches_python_model_random_corpora(spark):
+    """The fixed-corpus bit-exact pin, widened over random
+    tiny-alphabet corpora (dense symbol collisions, score ties,
+    repeated words) - counts AND IEEE score doubles must match the
+    occurrence-counting model exactly through the word-frequency
+    trainer."""
+    import random
+
+    for seed in (11, 222, 3333):
+        rng = random.Random(seed)
+        texts = [
+            " ".join(
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 5)))
+                for _ in range(rng.randint(1, 7))
+            )
+            for _ in range(10)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = wordpiece_train_merges(df, "text", 4)
+        want, _ = _py_wordpiece(texts, 4)
+        assert got == want, f"seed {seed}"
