@@ -128,7 +128,17 @@ def publish_dir(spark: SparkSession, staged: str, final: str,
                 f"record {ok_name} - refusing to publish an "
                 f"uncommitted store"
             )
-        rename(spark, staged_ok, f"{staged.rstrip('/')}/{hidden}")
+        if not rename(spark, staged_ok, f"{staged.rstrip('/')}/{hidden}"):
+            # a False here (hidden name already occupied - a reused
+            # staged dir - or the record vanished) would otherwise
+            # publish the directory WITH a visible commit record
+            # mid-copy, the exact ordering hazard this protocol
+            # exists to prevent
+            raise IOError(
+                f"publish_dir: could not step the commit record aside "
+                f"in {staged} - refusing to publish with a visible "
+                f"record"
+            )
         if exists(spark, final):
             # suspected crashed-writer partial: re-check the commit
             # record immediately before acting (a concurrent writer

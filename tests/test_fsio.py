@@ -336,6 +336,23 @@ def test_publish_dir_refuses_uncommitted_staged_build(spark, tmp_path):
     assert not fsio.exists(spark, final)
 
 
+def test_publish_dir_refuses_when_record_cannot_step_aside(
+    spark, tmp_path
+):
+    """If the commit record cannot move to its hidden name (a reused
+    staged dir already carrying one), publishing would surface the
+    record mid-copy on copy-publish filesystems - the exact ordering
+    hazard the protocol prevents. Must raise, publish nothing, and
+    still clean up the staged copy."""
+    final = str(tmp_path / "store")
+    staged = _stage_store(spark, tmp_path, "reused")
+    fsio.write_text(spark, f"{staged}/._STORE_OK.staged", "stale")
+    with pytest.raises(IOError, match="step the commit record aside"):
+        fsio.publish_dir(spark, staged, final)
+    assert not fsio.exists(spark, final)
+    assert not fsio.exists(spark, staged)
+
+
 def test_sweep_stale_stores_reclaims_unregistered_generations(
     spark, tmp_path, monkeypatch
 ):
