@@ -50,8 +50,9 @@ def symbolized_words(
     fingerprint-pipeline shape): a corpus arriving in one input
     split would otherwise symbolize, fold, and count on a single
     core for the whole training loop - measured 6.5s -> ~1s at
-    sf0.1. One exchange of raw text; every downstream iteration
-    inherits the spread partitioning through the checkpoints."""
+    sf0.1. One exchange of raw text; the frequency-table groupBy
+    downstream then spreads its (already vocabulary-sized) state by
+    symbol hash."""
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
     w = F.explode(tokens(F.col(text_col))).alias("w")
     sym = F.concat(
