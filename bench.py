@@ -393,7 +393,10 @@ def main() -> None:
     # item #8: best-of-1 numbers outside the headline set made
     # dedup/QA-family regressions unattributable) - warmup above
     # covers these too, so the medians report steady state
-    # 3, not 2: long-session GC pauses land one-sided multi-second
+    # 3, not 2: the value stored below is best-of-N (min), already
+    # immune to one-sided slow blips - the 3rd sample instead hardens
+    # the separately recorded MEDIANS (the round-over-round comparison
+    # artifact). Long-session GC pauses land one-sided multi-second
     # blips on shuffle-heavy queries (allpairs sampled [3.5, 12.2]
     # in-bench vs a tight 2.1-3.2s x8 standalone), and a 2-sample
     # median averages the blip in instead of rejecting it. Median-of-3

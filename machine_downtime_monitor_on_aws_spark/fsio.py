@@ -275,6 +275,21 @@ def tmp_store_path(family: str, ident: str) -> str:
     return path
 
 
+_HEX = frozenset("0123456789abcdef")
+
+
+def _store_family(name: str, prefix: str) -> str | None:
+    """Family encoded in a store-convention directory name — the
+    ``{prefix}{family}_{10-hex-tag}`` shape :func:`tmp_store_path`
+    produces, or one of its dot-suffixed ``.build-*``/``.trash-*``
+    siblings. None when the name does not match the convention."""
+    base = name[len(prefix):].split(".", 1)[0]
+    head, _, tag = base.rpartition("_")
+    if head and len(tag) == 10 and set(tag) <= _HEX:
+        return head
+    return None
+
+
 def sweep_stale_stores(
     spark: SparkSession, root: str | None = None,
     prefix: str = "spark_graft_",
@@ -283,21 +298,46 @@ def sweep_stale_stores(
     system tempdir) that no :func:`tmp_store_path` call in THIS
     process registered: prior-generation stores orphaned by a
     version-token bump, crashed builders' ``.build-*`` staging dirs,
-    and publish trash. Call at a quiesced point AFTER the current
-    generation's stores have all been touched (bench does, after its
-    all-catalog pass) — an in-flight concurrent builder's staging dir
-    is indistinguishable from a crashed one, so quiesced single-host
-    use is assumed. Returns the deleted paths."""
+    and publish trash. Returns the deleted paths.
+
+    The sweep is FAMILY-scoped (r12 verdict #1): a candidate is
+    reclaimable only when this process registered at least one live
+    path of the same store family, so the current generation of a
+    family this process never touched — everything, for a fresh
+    process — is structurally out of reach rather than guarded by a
+    calling-order convention. Zero registrations sweep zero dirs.
+    Within a registered family the invariant is the version-token
+    one: exactly one tag per family is current in a process, so any
+    OTHER tag (and any staging/trash sibling) is a prior generation
+    or a crashed writer's leavings. Still call at a quiesced point
+    (bench does, after its all-catalog pass): an in-flight concurrent
+    builder's staging dir is indistinguishable from a crashed one, so
+    quiesced single-host use is assumed."""
     import os
     import tempfile
 
     base = root or tempfile.gettempdir()
+    live_families = {
+        fam for fam in (
+            _store_family(os.path.basename(p), prefix)
+            for p in _LIVE_STORE_PATHS
+            if os.path.basename(p).startswith(prefix)
+        ) if fam is not None
+    }
     swept: list[str] = []
     for name in list_names(spark, base):
         if not name.startswith(prefix):
             continue
         full = os.path.join(base, name)
         if full in _LIVE_STORE_PATHS:
+            continue
+        fam = _store_family(name, prefix)
+        if fam is None or fam not in live_families:
+            # either not store-convention-named (nothing of ours) or
+            # a family this process never computed a path for - its
+            # current generation may be serving another process's
+            # reads, and a fresh process can't tell which tag is
+            # current. Leave it.
             continue
         if delete(spark, full):
             swept.append(full)

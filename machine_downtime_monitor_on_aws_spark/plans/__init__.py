@@ -82,33 +82,21 @@ def _reorder_for_driver_evidence() -> None:
     # map is name -> round the rewire shipped; an entry self-expires
     # once a driver row at or after that round lands.
     rewired = {
-        # Pruned on landing (map hygiene, r10/r11 verdicts): the r9
-        # entries expired with their r10 rows; the 8 r10 store-rewired
-        # queries and mmr_diversified_top3/ivfpq_recall_at5 (r11
-        # shortlist-store consumers) expired with their r11 rows.
-        # read-path rewire (KeyedParquetStore.read -> explicit-schema
-        # _parquet_or_empty) shipped r10 AFTER their r9 rows (r10
-        # ADVICE #1) - same rule as a logic rewire: evidence predates
-        # the shipping code until a fresh row lands
-        "exact_dedup_stream_replay": 10,
-        "minhash_stream_labels_replay": 10,
-        # r11: consumers of the persisted retrieval-shortlist store
-        "hybrid_rrf_top_docs": 11,
-        "hard_negatives_top3": 11,
-        # r12: exact-baseline leg reads the shortlist store's rnk<=5
-        # cut, matching ivfpq_recall_at5 (r11 verdict #2)
-        "ivf_recall_at5": 12,
+        # Pruned on landing (map hygiene, r10/r11/r12 verdicts): the
+        # r10 replay read-path entries, the r11 shortlist-store
+        # consumers, ivf_recall_at5's r12 baseline rewire, and the two
+        # BPE entries of the r12 trainer rewrite all expired with
+        # their hash-exact r12 rows (CORRECTNESS_r12.json).
+        #
         # r12: BPE/WordPiece trainers moved onto the word-frequency
         # table (operators/bpe.symbol_word_frequencies) - outputs
         # bit-identical (oracle-parity + doubled-corpus tests), but
-        # the executed derivation changed: inline trainers
-        # (bpe_first_merges, wordpiece_first_merges), the merge
-        # store's cold build (bpe_compression_stats), and
+        # the executed derivation changed. The two WordPiece-side
+        # queries sat at window positions 51/97 in r12 and land r13:
+        # the inline trainer (wordpiece_first_merges) and
         # wordpiece_vocab's every-call distinct-word base set
-        # (wordpiece_doc_encoding)
-        "bpe_first_merges": 12,
+        # (wordpiece_doc_encoding).
         "wordpiece_first_merges": 12,
-        "bpe_compression_stats": 12,
         "wordpiece_doc_encoding": 12,
     }
     # A typo'd or renamed key would silently drop its prioritization

@@ -383,3 +383,56 @@ def test_sweep_stale_stores_reclaims_unregistered_generations(
     assert fsio.exists(spark, foreign)
     # idempotent: a second sweep finds nothing
     assert fsio.sweep_stale_stores(spark) == []
+
+
+def test_sweep_stale_stores_noop_from_fresh_process(
+    spark, tmp_path, monkeypatch
+):
+    """The r12 verdict's liveness hazard: a process that has not
+    touched the catalog yet knows no live paths, so an early sweep
+    used to reclaim every current-generation store (silent full
+    rebuild). Family scoping makes that structural: zero registered
+    families sweep zero dirs, whatever is on disk."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    monkeypatch.setattr(fsio, "_LIVE_STORE_PATHS", set())
+    current = str(tmp_path / "spark_graft_unitfam_0123456789")
+    crashed = f"{current}.build-deadbeef"
+    for d in (current, crashed):
+        fsio.mkdirs(spark, d)
+
+    assert fsio.sweep_stale_stores(spark) == []
+    assert fsio.exists(spark, current)
+    assert fsio.exists(spark, crashed)
+
+
+def test_sweep_stale_stores_scoped_to_registered_families(
+    spark, tmp_path, monkeypatch
+):
+    """A partially warmed process reclaims only within families it
+    registered: famA's stale generation and crashed staging go, but
+    famB's dirs - possibly the current generation another consumer
+    serves - are out of reach until this process computes a famB
+    path. Family names with underscores must parse (tag is the fixed
+    10-hex suffix)."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    monkeypatch.setattr(fsio, "_LIVE_STORE_PATHS", set())
+    live_a = fsio.tmp_store_path("fam_a", "src:1:fam_a:v2:k")
+    fsio.mkdirs(spark, live_a)
+
+    stale_a = str(tmp_path / "spark_graft_fam_a_0123456789")
+    crashed_a = f"{live_a}.build-deadbeef"
+    current_b = str(tmp_path / "spark_graft_fam_b_abcdef0123")
+    crashed_b = f"{current_b}.build-deadbeef"
+    trash_b = f"{current_b}.trash-deadbeef"
+    odd_name = str(tmp_path / "spark_graft_notatag")
+    for d in (stale_a, crashed_a, current_b, crashed_b, trash_b, odd_name):
+        fsio.mkdirs(spark, d)
+
+    swept = sorted(fsio.sweep_stale_stores(spark))
+    assert swept == sorted([stale_a, crashed_a]), swept
+    for kept in (live_a, current_b, crashed_b, trash_b, odd_name):
+        assert fsio.exists(spark, kept), kept
