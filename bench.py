@@ -417,19 +417,39 @@ def main() -> None:
     if swept:
         print(f"# swept {len(swept)} stale store dirs", file=sys.stderr)
 
-    # two untimed warm passes, then best of 2: an r11 7-run series
-    # showed the ingest chain keeps JIT-warming through run ~3
-    # (8.7k/24.4k/32.9k/33.3k... msg/s on a quiet box), so the old
-    # best-of-2 recorded a mid-warmup number that drifted with box
-    # state (r9 32.9k -> r10 24.4k in driver artifacts, absolved by
-    # an r9-tree-vs-r11-tree A/B: steady states 34-35k vs 33-34k).
-    # Warming untimed makes the recorded number the capacity number.
-    for _ in range(2):
-        measure_ingest_throughput(spark)
-    ingest = max(
-        (measure_ingest_throughput(spark) for _ in range(2)),
-        key=lambda r: r["msgs_per_sec"],
+    # Convergence-based warmup, then median-of-3 at plateau. An r13
+    # 14-run cold-session series showed the ingest chain JIT-warms
+    # through run ~8, not ~3 (7.2k/19.4k/23.8k/28.5k/.../34.0k/33.6k/
+    # 35.7k msg/s), so a FIXED warmup count records a number whose
+    # position on the warmup slope depends on how hot the preceding
+    # all-catalog pass left the JVM - the r11->r12 41.1k->35.1k driver
+    # wobble on code-untouched ingest. Warm until the last run stops
+    # improving on the best-so-far by >5% (capped), then record the
+    # median of 3 plateau runs (plateau noise is one-sided, +-8%);
+    # best-of stays in the artifact for capacity planning.
+    warm_hist: list[float] = []
+    no_improve = 0
+    for _ in range(8):
+        warm_hist.append(measure_ingest_throughput(spark)["msgs_per_sec"])
+        improved = len(warm_hist) < 2 or (
+            warm_hist[-1] >= max(warm_hist[:-1]) * 1.05
+        )
+        # two consecutive non-improvers after a 4-run minimum: a
+        # single noise dip mid-climb (r13 series dipped at run 4 of a
+        # 14-run climb) must not end the warmup
+        no_improve = 0 if improved else no_improve + 1
+        if len(warm_hist) >= 4 and no_improve >= 2:
+            break
+    plateau = [measure_ingest_throughput(spark) for _ in range(3)]
+    plateau.sort(key=lambda r: r["msgs_per_sec"])
+    ingest = dict(plateau[1])
+    ingest["msgs_per_sec_best"] = round(
+        max(r["msgs_per_sec"] for r in plateau), 1
     )
+    ingest["warmup_series"] = [round(v, 1) for v in warm_hist]
+    ingest["plateau_series"] = [
+        round(r["msgs_per_sec"], 1) for r in plateau
+    ]
     print(f"# ingest: {ingest}", file=sys.stderr)
     inc_dedup = measure_incremental_dedup(spark, sf_dir)
     print(f"# incremental dedup: {inc_dedup}", file=sys.stderr)
