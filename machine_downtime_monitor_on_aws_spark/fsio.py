@@ -267,8 +267,15 @@ def tmp_store_path(family: str, ident: str) -> str:
     a store the current generation serves."""
     import hashlib
     import os
+    import re
     import tempfile
 
+    # _store_family parses names back by splitting at the first "."
+    # (the .build-/.trash- sibling convention) and at the final "_";
+    # a family containing "." (or empty) would parse back differently
+    # than written and silently confuse sweep scoping
+    if not re.fullmatch(r"[A-Za-z0-9_]+", family):
+        raise ValueError(f"store family must be [A-Za-z0-9_]+: {family!r}")
     tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_{family}_{tag}")
     _LIVE_STORE_PATHS.add(path)
@@ -293,6 +300,7 @@ def _store_family(name: str, prefix: str) -> str | None:
 def sweep_stale_stores(
     spark: SparkSession, root: str | None = None,
     prefix: str = "spark_graft_",
+    min_age_sec: float = 3600.0,
 ) -> list[str]:
     """Delete ``{prefix}*`` directories under ``root`` (default: the
     system tempdir) that no :func:`tmp_store_path` call in THIS
@@ -309,14 +317,26 @@ def sweep_stale_stores(
     Within a registered family the invariant is the version-token
     one: exactly one tag per family is current in a process, so any
     OTHER tag (and any staging/trash sibling) is a prior generation
-    or a crashed writer's leavings. Still call at a quiesced point
-    (bench does, after its all-catalog pass): an in-flight concurrent
-    builder's staging dir is indistinguishable from a crashed one, so
-    quiesced single-host use is assumed."""
+    or a crashed writer's leavings.
+
+    ``min_age_sec`` narrows the remaining concurrent-builder window
+    as defense-in-depth: an IN-FLIGHT builder's staging dir is
+    indistinguishable from a crashed one by name, but it is usually
+    young — candidates modified within the grace window are skipped.
+    Best-effort only, NOT the authoritative protection (family
+    scoping and quiesced use are): local-FS/HDFS dir mtime tracks
+    only direct-child churn, and object-store prefixes have no real
+    mtime at all (S3A reports 0 → ancient → no grace), which is why
+    nothing CORRECTNESS-critical in this module ever orders by mtime
+    (SCALE.md §cluster-2 pins that rule for marker pruning). A
+    wrongly swept store is a rebuild, never a wrong answer —
+    build-if-absent. Pass 0 to reclaim regardless of age."""
     import os
     import tempfile
+    import time
 
     base = root or tempfile.gettempdir()
+    cutoff_ms = (time.time() - min_age_sec) * 1000.0
     live_families = {
         fam for fam in (
             _store_family(os.path.basename(p), prefix)
@@ -338,6 +358,15 @@ def sweep_stale_stores(
             # current generation may be serving another process's
             # reads, and a fresh process can't tell which tag is
             # current. Leave it.
+            continue
+        fs, p = _fs_path(spark, full)
+        try:
+            mtime = float(fs.getFileStatus(p).getModificationTime())
+        except Exception:
+            # vanished between listing and stat (another sweeper or
+            # the owning process cleaning up) - nothing to reclaim
+            continue
+        if mtime > cutoff_ms:
             continue
         if delete(spark, full):
             swept.append(full)

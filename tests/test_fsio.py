@@ -374,7 +374,7 @@ def test_sweep_stale_stores_reclaims_unregistered_generations(
     for d in (stale_gen, crashed, trash, foreign):
         fsio.mkdirs(spark, d)
 
-    swept = sorted(fsio.sweep_stale_stores(spark))
+    swept = sorted(fsio.sweep_stale_stores(spark, min_age_sec=0))
     assert swept == sorted(
         [stale_gen, crashed, trash]
     ), swept
@@ -382,7 +382,7 @@ def test_sweep_stale_stores_reclaims_unregistered_generations(
     assert fsio.read_text(spark, f"{live}/table.parquet") == "live"
     assert fsio.exists(spark, foreign)
     # idempotent: a second sweep finds nothing
-    assert fsio.sweep_stale_stores(spark) == []
+    assert fsio.sweep_stale_stores(spark, min_age_sec=0) == []
 
 
 def test_sweep_stale_stores_noop_from_fresh_process(
@@ -402,7 +402,7 @@ def test_sweep_stale_stores_noop_from_fresh_process(
     for d in (current, crashed):
         fsio.mkdirs(spark, d)
 
-    assert fsio.sweep_stale_stores(spark) == []
+    assert fsio.sweep_stale_stores(spark, min_age_sec=0) == []
     assert fsio.exists(spark, current)
     assert fsio.exists(spark, crashed)
 
@@ -432,7 +432,60 @@ def test_sweep_stale_stores_scoped_to_registered_families(
     for d in (stale_a, crashed_a, current_b, crashed_b, trash_b, odd_name):
         fsio.mkdirs(spark, d)
 
-    swept = sorted(fsio.sweep_stale_stores(spark))
+    swept = sorted(fsio.sweep_stale_stores(spark, min_age_sec=0))
     assert swept == sorted([stale_a, crashed_a]), swept
     for kept in (live_a, current_b, crashed_b, trash_b, odd_name):
         assert fsio.exists(spark, kept), kept
+
+
+def test_sweep_stale_stores_spares_young_dirs(spark, tmp_path, monkeypatch):
+    """Default grace window: a candidate modified within min_age_sec
+    is skipped even when its family is registered - an in-flight
+    concurrent builder's staging dir is young by construction, so the
+    quiesced-use convention is enforced rather than assumed. Age 0
+    reclaims it (the quiesced caller's explicit choice)."""
+    import tempfile
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    monkeypatch.setattr(fsio, "_LIVE_STORE_PATHS", set())
+    live = fsio.tmp_store_path("gracefam", "src:1:gracefam:v1:k")
+    fsio.mkdirs(spark, live)
+    in_flight = f"{live}.build-deadbeef"
+    fsio.mkdirs(spark, in_flight)
+
+    assert fsio.sweep_stale_stores(spark) == []
+    assert fsio.exists(spark, in_flight)
+    swept = fsio.sweep_stale_stores(spark, min_age_sec=0)
+    assert swept == [in_flight], swept
+    assert fsio.exists(spark, live)
+
+
+def test_tmp_store_path_rejects_unparseable_family():
+    """_store_family splits at the first "." and the final "_"; a
+    family outside [A-Za-z0-9_]+ would parse back differently than
+    written and silently confuse sweep scoping - reject at the
+    source."""
+    with pytest.raises(ValueError, match="store family"):
+        fsio.tmp_store_path("bad.family", "x:v1")
+    with pytest.raises(ValueError, match="store family"):
+        fsio.tmp_store_path("", "x:v1")
+
+
+def test_store_family_roundtrip_property():
+    """Every name tmp_store_path can produce - and its .build-/.trash-
+    siblings - parses back to the family it was written with."""
+    from hypothesis import given, strategies as st
+
+    fam_st = st.from_regex(r"[A-Za-z0-9_]+", fullmatch=True).filter(
+        lambda s: len(s) <= 40
+    )
+
+    @given(fam_st, st.text(min_size=1, max_size=20),
+           st.sampled_from(["", ".build-deadbeef", ".trash-deadbeef"]))
+    def check(family, ident, suffix):
+        import hashlib
+        tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
+        name = f"spark_graft_{family}_{tag}{suffix}"
+        assert fsio._store_family(name, "spark_graft_") == family
+
+    check()
