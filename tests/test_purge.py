@@ -352,6 +352,69 @@ def test_keyed_store_delete_keys(spark, tmp_path):
     assert store.delete_keys(keys) == 0
 
 
+def test_keyed_store_delete_keys_crash_before_cleanup_heals(
+    spark, tmp_path, monkeypatch
+):
+    """Crash window for KeyedParquetStore.delete_keys: the dynamic
+    overwrite committed but the explicit emptied-bucket removal never
+    ran (an all-rows-deleted bucket is absent from the overwrite's
+    output, so its old files keep serving). The deleted keys are then
+    still visible; re-running the SAME delete re-detects them,
+    rewrites, and completes the bucket removal."""
+    from machine_downtime_monitor_on_aws_spark import fsio
+    from machine_downtime_monitor_on_aws_spark.streaming.store import (
+        KeyedParquetStore,
+    )
+
+    path = str(tmp_path / "store")
+    store = KeyedParquetStore(path, "doc_id", num_buckets=4)
+    rows = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "doc_id long, component long"
+    )
+    store.upsert(rows)
+
+    by_bucket: dict[int, list[int]] = {}
+    for r in (
+        spark.read.parquet(path)
+        .withColumn(
+            "__b",
+            F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(4)).cast("int"),
+        )
+        .collect()
+    ):
+        by_bucket.setdefault(r["__b"], []).append(r["doc_id"])
+    target = min(by_bucket, key=lambda b: (len(by_bucket[b]), b))
+    victims = by_bucket[target]
+    keys = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+
+    real_delete = fsio.delete
+
+    def crashing_delete(s, p, recursive=True):
+        if f"__kb={target}" in p:
+            raise RuntimeError("simulated crash before bucket cleanup")
+        return real_delete(s, p, recursive)
+
+    monkeypatch.setattr(fsio, "delete", crashing_delete)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.delete_keys(keys)
+    monkeypatch.setattr(fsio, "delete", real_delete)
+
+    # known partial state: the emptied bucket kept its old files and
+    # the deleted keys are still visible
+    assert os.path.exists(os.path.join(path, f"__kb={target}"))
+    assert store.read(spark).filter(
+        F.col("doc_id").isin(victims)
+    ).count() == len(victims)
+
+    # re-run heals: re-detects the same rows, removes the bucket
+    assert store.delete_keys(keys) == len(victims)
+    assert not os.path.exists(os.path.join(path, f"__kb={target}"))
+    left = store.read(spark)
+    assert left.count() == 20 - len(victims)
+    assert left.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert store.delete_keys(keys) == 0
+
+
 def test_streaming_dedup_takedown_drain(spark, tmp_path):
     """End-to-end loop wiring: requests dropped under pending/ are
     drained after the next committed epoch - the purged doc leaves
