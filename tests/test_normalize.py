@@ -218,3 +218,218 @@ def test_config_validation():
     MachineConfig(id="m", status_tag="status", status_up_values="u").validate()
     # no status tag, no lists required
     MachineConfig(id="m").validate()
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: the full decode -> probe -> explode chain vs an
+# independent Python model of the reference's matching rules
+# ---------------------------------------------------------------------------
+
+_FUZZ_F1 = MessageFormat(id="F1")
+_FUZZ_F2 = MessageFormat(
+    id="F2",
+    alias_delimiter=".",
+    messages_key="batch",
+    alias_key="n",
+    quality_key="q",
+    timestamp_key="t",
+    value_key="v",
+)
+_FUZZ_FMTS = [
+    ("F1", "messages", "name", "quality", "timestamp", "value", "/"),
+    ("F2", "batch", "n", "q", "t", "v", "."),
+]
+
+
+def _fuzz_stringify(v):
+    """try_variant_get(..., "string") semantics, probed empirically:
+    scalars stringify (100 -> '100', true -> 'true'), objects/arrays
+    render as compact JSON, null -> NULL."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, int):
+        return str(v)
+    return json.dumps(v, separators=(",", ":"))
+
+
+def _fuzz_model_ts(s):
+    """Strict parse under the XXX/XX variant cascade -> epoch floor."""
+    import datetime as dt
+
+    t = s[:-1] + "+00:00" if s.endswith("Z") else s
+    try:
+        d = dt.datetime.strptime(t, "%Y-%m-%d %H:%M:%S.%f%z")
+    except ValueError:
+        return None
+    return int(d.timestamp())
+
+
+def _fuzz_model_record(data: str):
+    """(format_id|None, exploded rows) per the reference's rules
+    (machine-data-parser.ts:105-149), written independently of the
+    Spark plan: canonical-b64 gate, JSON parse, first-match format
+    probe (messages key is an array; EVERY message has non-null
+    non-space-blank alias/quality/value/timestamp; timestamp parses
+    strictly; alias splits into >=2 tokens)."""
+    import re as _re
+
+    stripped = data.replace("\r", "").replace("\n", "")
+    if not (
+        _re.fullmatch(r"[A-Za-z0-9+/]*={0,2}", stripped)
+        and len(stripped) % 4 == 0
+    ):
+        return None, []
+    try:
+        obj = json.loads(base64.b64decode(stripped).decode("utf-8"))
+    except Exception:
+        return None, []
+    for fmt_id, mkey, akey, qkey, tkey, vkey, delim in _FUZZ_FMTS:
+        msgs = obj.get(mkey) if isinstance(obj, dict) else None
+        if not isinstance(msgs, list):
+            continue
+        rows, ok = [], True
+        for m in msgs:
+            def _get(k):
+                return _fuzz_stringify(m.get(k)) if isinstance(m, dict) else None
+
+            alias, value = _get(akey), _get(vkey)
+            quality, ts_raw = _get(qkey), _get(tkey)
+            if any(
+                f is None or f.strip(" ") == ""
+                for f in (alias, quality, value, ts_raw)
+            ):
+                ok = False
+                break
+            ep = _fuzz_model_ts(ts_raw)
+            if ep is None:
+                ok = False
+                break
+            toks = alias.split(delim)
+            if len(toks) < 2:
+                ok = False
+                break
+            rows.append(
+                (delim.join(toks[:-1]), toks[-1], alias, value, quality, ep)
+            )
+        if ok:
+            return fmt_id, rows
+    return None, []
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_parse_explode_matches_python_model_random(spark, seed):
+    """Differential fuzz of the whole S2/P1/D2 chain: ~120 adversarial
+    records per seed (bad base64, non-JSON, wrong shapes, blank/typed/
+    nested fields, bad timestamps, 1-token aliases, empty arrays,
+    multi-format overlaps) must produce exactly the model's
+    format_id per record and exactly the model's exploded message
+    rows - and the chain must never throw (T10 totality: every
+    record parses XOR rejects)."""
+    import random
+
+    rng = random.Random(seed)
+    valid_ts = [
+        "2021-03-05 18:16:10.517000+00:00",
+        "2024-01-02 03:04:05.000001Z",
+        "2023-06-07 08:09:10.123456+0200",
+    ]
+    bad_ts = ["garbage", "2021-03-05", "", "   "]
+    f1_alias = ["site/a/m1/TAG", "x/y", "x/"]
+    f2_alias = ["plant.m2.TAG", "a.b"]
+    bad_alias = ["flat", ""]
+    goodq = ["GOOD", "1064", 192, True]
+    goodv = ["17.5", 100, True, {"nested": 1}]
+    badv = [None, "   ", ""]
+
+    def f1_msg(good=True):
+        m = {
+            "name": rng.choice(f1_alias),
+            "quality": rng.choice(goodq),
+            "timestamp": rng.choice(valid_ts),
+            "value": rng.choice(goodv),
+        }
+        if not good:
+            kind = rng.randrange(5)
+            if kind == 0:
+                del m["name"]
+            elif kind == 1:
+                m["name"] = rng.choice(bad_alias)
+            elif kind == 2:
+                m["timestamp"] = rng.choice(bad_ts)
+            elif kind == 3:
+                m["value"] = rng.choice(badv)
+            else:
+                m["quality"] = "   "
+        return m
+
+    def f2_msg():
+        return {
+            "n": rng.choice(f2_alias),
+            "q": rng.choice(goodq),
+            "t": rng.choice(valid_ts),
+            "v": rng.choice(goodv),
+        }
+
+    def gen_record():
+        kind = rng.randrange(11)
+        if kind == 0:
+            return rng.choice(["!!!not-b64!!!", "abc", "a b c d", "====", "AB=A"])
+        if kind == 1:
+            return base64.b64encode(
+                rng.choice([b"hello world", b"{truncated", b""])
+            ).decode()
+        if kind == 2:
+            return b64(rng.choice([42, [1, 2], "str", None]))
+        if kind == 3:
+            return b64({"foo": 1})
+        if kind == 4:
+            return b64({"messages": rng.choice([5, {"a": 1}, "x", None])})
+        if kind == 5:
+            return b64({"messages": []})
+        if kind == 6:
+            return b64({"messages": [f1_msg() for _ in range(rng.randrange(1, 4))]})
+        if kind == 7:
+            msgs = [f1_msg() for _ in range(rng.randrange(0, 3))] + [f1_msg(False)]
+            rng.shuffle(msgs)
+            return b64({"messages": msgs})
+        if kind == 8:
+            return b64({"batch": [f2_msg() for _ in range(rng.randrange(1, 3))]})
+        if kind == 9:
+            return b64({"messages": [f1_msg()], "batch": [f2_msg()]})
+        return b64({"messages": [f1_msg(False)], "batch": [f2_msg()]})
+
+    records = [(i, gen_record()) for i in range(120)]
+    df = spark.createDataFrame(records, "record_id int, data string")
+    parsed = parse_envelopes(df, [_FUZZ_F1, _FUZZ_F2])
+    matched, rejected = split_rejects(parsed)
+
+    got_fmt = {
+        r["record_id"]: r["format_id"]
+        for r in parsed.select("record_id", "format_id").collect()
+    }
+    want_fmt = {i: _fuzz_model_record(d)[0] for i, d in records}
+    assert got_fmt == want_fmt
+    assert matched.count() + rejected.count() == len(records)
+
+    from machine_downtime_monitor_on_aws_spark.operators.normalize import (
+        explode_messages,
+    )
+
+    rows = explode_messages(matched, [_FUZZ_F1, _FUZZ_F2], keep_cols=["record_id"])
+    got_rows = sorted(
+        (
+            r["record_id"], r["machine_id"], r["tag"], r["alias"],
+            r["value"], r["quality"], r["event_epoch"],
+        )
+        for r in rows.collect()
+    )
+    want_rows = sorted(
+        (i, *m)
+        for i, d in records
+        for m in _fuzz_model_record(d)[1]
+    )
+    assert got_rows == want_rows
