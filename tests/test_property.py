@@ -802,3 +802,112 @@ def test_bpe_train_matches_occurrence_model(seed):
     )
     got = bpe_train_merges(df, "text", 4)
     assert got == _py_bpe_occurrences(texts, 4)
+
+
+def model_rle_runs(seq: list[tuple[int, str]]) -> list[tuple[int, str, int]]:
+    """create-quicksight.ts:12-49 semantics per key: change points
+    (first row or value differs from predecessor), duration = next
+    change point's epoch - this one, open final run dropped."""
+    cps = [
+        (ep, v)
+        for i, (ep, v) in enumerate(seq)
+        if i == 0 or v != seq[i - 1][1]
+    ]
+    return [
+        (cps[i][0], cps[i][1], cps[i + 1][0] - cps[i][0])
+        for i in range(len(cps) - 1)
+    ]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_rle_runs_match_model(seed):
+    """Randomized streams (few distinct values -> long and 1-row runs,
+    strictly increasing epochs per key) against a direct Python model
+    of the reference's Athena RLE."""
+    from machine_downtime_monitor_on_aws_spark.operators.rle import (
+        run_durations,
+    )
+
+    spark = _spark()
+    rng = random.Random(seed)
+    streams: dict[str, list[tuple[int, str]]] = {}
+    for k in range(6):
+        ep, seq = 0, []
+        for _ in range(rng.randint(1, 50)):
+            ep += rng.randint(1, 900)
+            seq.append((ep, rng.choice(["UP", "DOWN", "IDLE"])))
+        streams[f"m{k}"] = seq
+    rows = [
+        (m, i, ep, v)
+        for m, seq in streams.items()
+        for i, (ep, v) in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, seq long, ep long, status string"
+    ).selectExpr("id", "seq", "timestamp_seconds(ep) AS ts", "status")
+    out = run_durations(df, ["id"], ["ts", "seq"], "status", "ts")
+    got: dict[str, list[tuple[int, str, int]]] = {}
+    for r in out.orderBy("id", "ts").collect():
+        got.setdefault(r.id, []).append(
+            (int(r.ts.timestamp()), r.status, int(r.duration_seconds))
+        )
+    want = {m: model_rle_runs(seq) for m, seq in streams.items()}
+    assert got == {m: v for m, v in want.items() if v}
+
+
+def model_minute_rollup(
+    readings: list[tuple[int, int, str]],
+) -> dict[int, str]:
+    """machine-detail.ts:31-45 per minute: latest reading wins unless
+    any DOWN occurred in the minute. readings = (epoch, seq, status);
+    latest = max by (epoch, seq) - the reference's stable sort keeps
+    input order among equal timestamps."""
+    by_minute: dict[int, list[tuple[int, int, str]]] = {}
+    for ep, i, s in readings:
+        by_minute.setdefault(ep // 60, []).append((ep, i, s))
+    out = {}
+    for m, rs in by_minute.items():
+        if any(s == "DOWN" for _, _, s in rs):
+            out[m] = "DOWN"
+        else:
+            out[m] = max(rs)[2]
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_minute_rollup_matches_model(seed):
+    """Randomized readings with duplicate timestamps (tie-broken by a
+    sequence column) against the DOWN-dominant latest-status model."""
+    from machine_downtime_monitor_on_aws_spark.operators.minute_rollup import (
+        minute_status_rollup,
+    )
+
+    spark = _spark()
+    rng = random.Random(seed)
+    per_id: dict[str, list[tuple[int, int, str]]] = {}
+    for k in range(4):
+        readings = []
+        for i in range(rng.randint(1, 60)):
+            # duplicate epochs on purpose: seq breaks the tie
+            ep = rng.randint(0, 600)
+            readings.append((ep, i, rng.choice(["UP", "DOWN", "IDLE"])))
+        per_id[f"m{k}"] = readings
+    rows = [
+        (m, i, ep, s) for m, rs in per_id.items() for ep, i, s in rs
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, seq long, ep long, status string"
+    ).selectExpr("id", "seq", "timestamp_seconds(ep) AS ts", "status")
+    out = minute_status_rollup(df, order_col="seq")
+    got = {
+        (r.id, int(r.minute_start.timestamp()) // 60): r.status
+        for r in out.collect()
+    }
+    want = {
+        (m, minute): s
+        for m, rs in per_id.items()
+        for minute, s in model_minute_rollup(rs).items()
+    }
+    assert got == want
