@@ -38,8 +38,19 @@ def asof_join_backward(
     """
     lt = left.withColumn("__side", F.lit(1))
     rt_cols = key_cols + [ts_col] + value_cols
+    drop_tiebreak = False
     if tiebreak_col and tiebreak_col not in rt_cols:
         rt_cols.append(tiebreak_col)
+    if tiebreak_col and tiebreak_col not in left.columns:
+        # the union below projects to the LEFT schema, so a
+        # right-only tiebreak column must exist there too (NULL for
+        # left rows - they never contribute values, so their order
+        # among themselves is irrelevant); drop it from the output
+        lt = lt.withColumn(
+            tiebreak_col,
+            F.lit(None).cast(right.schema[tiebreak_col].dataType),
+        )
+        drop_tiebreak = True
     # strict (<): equal-ts right rows sort AFTER left -> excluded from
     # the preceding frame; non-strict (<=): before -> included
     rt = right.select(*rt_cols).withColumn("__side", F.lit(2 if strict else 0))
@@ -68,7 +79,7 @@ def asof_join_backward(
     out = unioned
     for v, rv in zip(value_cols, marked):
         out = out.withColumn(f"asof_{v}", F.last(F.col(rv), ignorenulls=True).over(w))
-    return (
-        out.filter(F.col("__is_left"))
-        .drop("__side", "__is_left", *marked)
-    )
+    dropped = ["__side", "__is_left", *marked]
+    if drop_tiebreak:
+        dropped.append(tiebreak_col)
+    return out.filter(F.col("__is_left")).drop(*dropped)

@@ -911,3 +911,59 @@ def test_minute_rollup_matches_model(seed):
         for minute, s in model_minute_rollup(rs).items()
     }
     assert got == want
+
+
+def model_asof_backward(lefts, rights, strict):
+    """Per key: latest right value with rts < lts (strict) or <=
+    (non-strict); among equal rts the greatest tiebreak wins (the
+    window orders by (ts, side, tiebreak) and last-in-frame wins)."""
+    out = {}
+    for lts, lid in lefts:
+        cand = [
+            (rts, rid, v)
+            for rts, rid, v in rights
+            if (rts < lts if strict else rts <= lts)
+        ]
+        out[lid] = max(cand)[2] if cand else None
+    return out
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6), st.booleans())
+def test_asof_join_backward_matches_model(seed, strict):
+    """Randomized as-of joins with DELIBERATE timestamp collisions
+    (left-left, right-right, and left-right at the same instant) pin
+    the strict/non-strict tie semantics and the tiebreak order."""
+    from machine_downtime_monitor_on_aws_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    spark = _spark()
+    rng = random.Random(seed)
+    keys = [f"k{i}" for i in range(4)]
+    lrows, rrows, lid = [], [], 0
+    per_key = {}
+    for k in keys:
+        lefts, rights = [], []
+        for _ in range(rng.randint(1, 15)):
+            lefts.append((rng.randint(0, 40), lid))
+            lid += 1
+        for rid in range(rng.randint(0, 15)):
+            rights.append((rng.randint(0, 40), rid, float(rng.randint(0, 99))))
+        per_key[k] = (lefts, rights)
+        lrows += [(k, ts, i) for ts, i in lefts]
+        rrows += [(k, ts, rid, v) for ts, rid, v in rights]
+    left = spark.createDataFrame(
+        lrows, "k string, ep long, lid long"
+    ).selectExpr("k", "timestamp_seconds(ep) AS ts", "lid")
+    right = spark.createDataFrame(
+        rrows, "k string, ep long, rid long, val double"
+    ).selectExpr("k", "timestamp_seconds(ep) AS ts", "rid", "val")
+    out = asof_join_backward(
+        left, right, ["k"], "ts", ["val"], strict=strict, tiebreak_col="rid"
+    )
+    got = {r.lid: r.asof_val for r in out.collect()}
+    want = {}
+    for k, (lefts, rights) in per_key.items():
+        want.update(model_asof_backward(lefts, rights, strict))
+    assert got == want
