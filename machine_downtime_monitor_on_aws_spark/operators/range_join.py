@@ -27,15 +27,14 @@ def range_join_window(
     equal keys. Returns probe columns + build's ts as ``matched_ts``.
     """
     w = window_seconds
+    # floor, NOT a long cast: division-then-cast truncates toward
+    # zero, which disagrees with the build side's floor for negative
+    # (pre-1970) epochs and silently drops boundary pairs (pinned by
+    # tests/test_property.py::test_range_join_matches_model)
+    pb = F.floor(F.col(probe_ts).cast("long") / w).cast("long")
     p = probe.withColumn("__epoch", F.col(probe_ts).cast("long")).withColumn(
         "__bucket",
-        F.explode(
-            F.array(
-                (F.col(probe_ts).cast("long") / w).cast("long") - 1,
-                (F.col(probe_ts).cast("long") / w).cast("long"),
-                (F.col(probe_ts).cast("long") / w).cast("long") + 1,
-            )
-        ),
+        F.explode(F.array(pb - 1, pb, pb + 1)),
     )
     payload = [c for c in build.columns if c not in key_cols and c != build_ts]
     b = build.select(

@@ -967,3 +967,42 @@ def test_asof_join_backward_matches_model(seed, strict):
     for k, (lefts, rights) in per_key.items():
         want.update(model_asof_backward(lefts, rights, strict))
     assert got == want
+
+
+def model_range_join(probes, builds, w):
+    """All (probe_id, build_epoch) pairs with |b - p| <= w, same key."""
+    out = []
+    for k, pe, pid in probes:
+        for bk, be in builds:
+            if bk == k and abs(be - pe) <= w:
+                out.append((pid, be))
+    return sorted(out)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_range_join_matches_model(seed):
+    """Randomized interval joins, INCLUDING negative (pre-1970)
+    epochs: the bucket quantization must be floor-consistent on both
+    sides or boundary pairs silently vanish."""
+    from machine_downtime_monitor_on_aws_spark.operators.range_join import (
+        range_join_window,
+    )
+
+    spark = _spark()
+    rng = random.Random(seed)
+    W = 10
+    keys = ["a", "b"]
+    probes = [
+        (rng.choice(keys), rng.randint(-120, 120), i) for i in range(40)
+    ]
+    builds = [(rng.choice(keys), rng.randint(-120, 120)) for _ in range(40)]
+    p = spark.createDataFrame(
+        probes, "k string, ep long, pid long"
+    ).selectExpr("k", "timestamp_seconds(ep) AS ts", "pid")
+    b = spark.createDataFrame(
+        builds, "k string, ep long"
+    ).selectExpr("k", "timestamp_seconds(ep) AS bts")
+    out = range_join_window(p, b, ["k"], "ts", "bts", W)
+    got = sorted((r.pid, r.matched_epoch) for r in out.collect())
+    assert got == model_range_join(probes, builds, W)
