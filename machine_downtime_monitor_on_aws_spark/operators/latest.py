@@ -49,22 +49,30 @@ def changed_rows(
     """Rows of ``current`` whose value differs from ``prior`` (or are
     new) - the change feed (index.ts:177-186).
 
-    Left join on key; keep where prior value is null or differs.
-    ``prior`` (a latest-snapshot) is small relative to the stream -
-    broadcast when it fits; at scale both sides are snapshots keyed
-    the same way so the join co-partitions.
+    Left join on key; keep where the key has no prior row or the
+    value null-safely differs. The presence marker (not the prior
+    VALUE's nullness) is what distinguishes a new key: a prior row
+    whose stored value is legitimately NULL must not re-emit an
+    unchanged NULL every batch, and a transition TO NULL must emit
+    (a plain ``!=`` is NULL in both cases). The reference's status
+    domain never holds NULL, so this only matters for generic
+    KeyedParquetStore payloads. ``prior`` (a latest-snapshot) is
+    small relative to the stream - broadcast when it fits; at scale
+    both sides are snapshots keyed the same way so the join
+    co-partitions.
     """
     p = prior.select(
         *[F.col(k) for k in key_cols],
         F.col(value_col).alias("__prior_value"),
+        F.lit(True).alias("__prior_present"),
     )
     return (
         current.join(p, key_cols, "left")
         .filter(
-            F.col("__prior_value").isNull()
-            | (F.col(value_col) != F.col("__prior_value"))
+            F.col("__prior_present").isNull()
+            | ~F.col(value_col).eqNullSafe(F.col("__prior_value"))
         )
-        .drop("__prior_value")
+        .drop("__prior_value", "__prior_present")
     )
 
 

@@ -1006,3 +1006,51 @@ def test_range_join_matches_model(seed):
     out = range_join_window(p, b, ["k"], "ts", "bts", W)
     got = sorted((r.pid, r.matched_epoch) for r in out.collect())
     assert got == model_range_join(probes, builds, W)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.integers(min_value=0, max_value=10**6))
+def test_latest_and_changed_rows_match_model(seed):
+    """latest_by_key is an order-insensitive argmax by (ts, seq);
+    changed_rows emits exactly new keys and null-safe value changes -
+    a prior row holding NULL must not re-emit an unchanged NULL, and
+    a transition TO NULL must emit."""
+    from machine_downtime_monitor_on_aws_spark.operators.latest import (
+        changed_rows,
+        latest_by_key,
+    )
+
+    spark = _spark()
+    rng = random.Random(seed)
+    vals = ["UP", "DOWN", "IDLE", None]
+    rows = [
+        (f"m{rng.randrange(6)}", i, rng.randint(0, 20), rng.choice(vals))
+        for i in range(rng.randint(5, 60))
+    ]
+    rng.shuffle(rows)  # order-insensitivity: input order is arbitrary
+    df = spark.createDataFrame(
+        rows, "id string, seq long, ep long, status string"
+    ).selectExpr("id", "seq", "timestamp_seconds(ep) AS ts", "status")
+
+    latest = latest_by_key(df, ["id"], "ts", ["status"], order_col="seq")
+    got_latest = {r.id: r.status for r in latest.collect()}
+    want_latest = {}
+    for m, i, ep, s in sorted(rows, key=lambda r: (r[0], r[2], r[1])):
+        want_latest[m] = s
+    assert got_latest == want_latest
+
+    prior_rows = [
+        (f"m{k}", rng.choice(vals)) for k in range(4)  # m4/m5 are new
+    ]
+    prior = spark.createDataFrame(prior_rows, "id string, status string")
+    got_changed = {
+        r.id: r.status
+        for r in changed_rows(latest, prior, ["id"], "status").collect()
+    }
+    prior_map = dict(prior_rows)
+    want_changed = {
+        m: s
+        for m, s in want_latest.items()
+        if m not in prior_map or prior_map[m] != s
+    }
+    assert got_changed == want_changed
