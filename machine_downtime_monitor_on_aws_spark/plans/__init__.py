@@ -98,6 +98,13 @@ def _reorder_for_driver_evidence() -> None:
         # (wordpiece_doc_encoding).
         "wordpiece_first_merges": 12,
         "wordpiece_doc_encoding": 12,
+        # r13: range-join probe-bucket quantization moved from
+        # long-cast to floor (negative-epoch fix) - output identical
+        # on the catalog's modern epochs, but the executed expression
+        # changed. (The r13 asof tiebreak fix adds NO entry: its new
+        # branch is inactive for the catalog caller, whose left side
+        # carries the tiebreak column - plan bit-identical.)
+        "error_context_counts": 13,
     }
     # A typo'd or renamed key would silently drop its prioritization
     # (r10 ADVICE #2) - fail loudly instead.
