@@ -104,25 +104,6 @@ def minhash_signature(shingle_col: Column, num_perms: int) -> Column:
     return F.array(*[perm_min(k) for k in range(num_perms)])
 
 
-def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:
-    """LSH band hashes: md5 of each band's concatenated signature
-    rows. Returns array<string> of length num_bands."""
-    return F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at(signature, b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(num_bands)
-        ]
-    )
-
-
 # Character-trigram profiles for the n-gram language-ID variant:
 # high-frequency trigrams (space-padded word boundaries as '_') per
 # language. A production profile is learned from a corpus; the scoring

@@ -79,31 +79,6 @@ def pq_encode_reconstruct(
     )
 
 
-def recon_from_codes(
-    centroids: list[list[float]], dim: int, m: int, code_col: str = "pq_code"
-) -> Column:
-    """Blockwise reconstruction of a stored code against literal
-    codebooks - the expression search_ivfpq_index and the small-K ADC
-    scorer share. Embeds K*dim doubles in the plan: fine at the
-    catalog's K=16 (the oracle-exact path), wrong past a few thousand
-    doubles (plan bloat + the documented JIT-bytecode cliff) - large
-    K routes through :func:`pq_topk_lut` instead."""
-    if dim % m != 0:
-        raise ValueError(f"dim={dim} not divisible by m={m}")
-    sub = dim // m
-    return F.flatten(
-        F.array(
-            *[
-                F.element_at(
-                    _literal_subcodebook(centroids, j, sub),
-                    F.element_at(F.col(code_col), j + 1) + 1,
-                )
-                for j in range(m)
-            ]
-        )
-    )
-
-
 def pq_encode_join(
     df: DataFrame,
     centroids: list[list[float]],

@@ -1083,3 +1083,23 @@ def test_incremental_spans_replay_shield_and_kgram_maintenance(spark):
         assert read_minhash_index_params(spark, table)["kgram_k"] == 8
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_drop_exact_dups_keeps_min_id_representative(spark):
+    """drop_exact_dups (COVERAGE.md U2 evidence): one surviving row
+    per distinct text, the min-id one; unique texts untouched; other
+    columns ride along unchanged."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        drop_exact_dups,
+    )
+
+    rows = [
+        (3, "aaa", "x"), (1, "aaa", "y"), (2, "aaa", "z"),
+        (5, "bbb", "p"), (4, "ccc", "q"), (6, "bbb", "r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, extra string")
+    got = sorted(
+        (r.doc_id, r.text, r.extra)
+        for r in drop_exact_dups(df, "doc_id", "text").collect()
+    )
+    assert got == [(1, "aaa", "y"), (4, "ccc", "q"), (5, "bbb", "p")]
