@@ -435,7 +435,13 @@ def main() -> None:
     for _ in range(8):
         runs_hist.append(measure_ingest_throughput(spark))
         vals = [r["msgs_per_sec"] for r in runs_hist]
-        improved = len(vals) < 2 or vals[-1] >= max(vals[:-1]) * 1.05
+        # Cumulative climb detection (r13 ADVICE #2): a steady sub-5%
+        # PER-RUN late-warmup climb (the documented runs-5-8 regime)
+        # must not read as two non-improvers, so a run "improves"
+        # when the best of the last TWO runs beats everything before
+        # them by >=5% - consecutive small gains compound into one
+        # improvement instead of ending the series on the slope.
+        improved = len(vals) < 3 or max(vals[-2:]) >= max(vals[:-2]) * 1.05
         # two consecutive non-improvers after a 4-run minimum: a
         # single noise dip mid-climb (r13 series dipped at run 4 of a
         # 14-run climb) must not end the climb detection

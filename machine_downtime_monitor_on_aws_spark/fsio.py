@@ -337,11 +337,19 @@ def sweep_stale_stores(
 
     base = root or tempfile.gettempdir()
     cutoff_ms = (time.time() - min_age_sec) * 1000.0
+    # Family liveness is evidence about THIS root only: tmp_store_path
+    # registers under the system tempdir, so a sweep over a custom
+    # root must not treat same-named families there as ours (a
+    # different deployment's current tag; r13 ADVICE #1). Only
+    # registered paths whose parent IS the sweep root vouch for a
+    # family.
+    base_norm = os.path.normpath(base)
     live_families = {
         fam for fam in (
             _store_family(os.path.basename(p), prefix)
             for p in _LIVE_STORE_PATHS
             if os.path.basename(p).startswith(prefix)
+            and os.path.normpath(os.path.dirname(p)) == base_norm
         ) if fam is not None
     }
     swept: list[str] = []
@@ -359,15 +367,20 @@ def sweep_stale_stores(
             # reads, and a fresh process can't tell which tag is
             # current. Leave it.
             continue
-        fs, p = _fs_path(spark, full)
-        try:
-            mtime = float(fs.getFileStatus(p).getModificationTime())
-        except Exception:
-            # vanished between listing and stat (another sweeper or
-            # the owning process cleaning up) - nothing to reclaim
-            continue
-        if mtime > cutoff_ms:
-            continue
+        if min_age_sec > 0:
+            # skip the stat entirely at min_age_sec<=0 so "pass 0 to
+            # reclaim regardless of age" holds even against clock
+            # skew / future mtimes (r13 ADVICE #3)
+            fs, p = _fs_path(spark, full)
+            try:
+                mtime = float(fs.getFileStatus(p).getModificationTime())
+            except Exception:
+                # vanished between listing and stat (another sweeper
+                # or the owning process cleaning up) - nothing to
+                # reclaim
+                continue
+            if mtime > cutoff_ms:
+                continue
         if delete(spark, full):
             swept.append(full)
     return swept

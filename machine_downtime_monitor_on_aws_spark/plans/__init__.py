@@ -82,22 +82,14 @@ def _reorder_for_driver_evidence() -> None:
     # map is name -> round the rewire shipped; an entry self-expires
     # once a driver row at or after that round lands.
     rewired = {
-        # Pruned on landing (map hygiene, r10/r11/r12 verdicts): the
+        # Pruned on landing (map hygiene, r10-r13 verdicts): the
         # r10 replay read-path entries, the r11 shortlist-store
-        # consumers, ivf_recall_at5's r12 baseline rewire, and the two
-        # BPE entries of the r12 trainer rewrite all expired with
-        # their hash-exact r12 rows (CORRECTNESS_r12.json).
+        # consumers, ivf_recall_at5's r12 baseline rewire, the two
+        # BPE entries of the r12 trainer rewrite (hash-exact r12
+        # rows), and the two WordPiece entries of the same rewrite
+        # (hash-exact r13 rows, CORRECTNESS_r13.json) all expired
+        # with their post-rewire driver rows.
         #
-        # r12: BPE/WordPiece trainers moved onto the word-frequency
-        # table (operators/bpe.symbol_word_frequencies) - outputs
-        # bit-identical (oracle-parity + doubled-corpus tests), but
-        # the executed derivation changed. The two WordPiece-side
-        # queries sat at window positions 51/97 in r12 and land r13:
-        # the inline trainer (wordpiece_first_merges) and
-        # wordpiece_vocab's every-call distinct-word base set
-        # (wordpiece_doc_encoding).
-        "wordpiece_first_merges": 12,
-        "wordpiece_doc_encoding": 12,
         # r13: range-join probe-bucket quantization moved from
         # long-cast to floor (negative-epoch fix) - output identical
         # on the catalog's modern epochs, but the executed expression

@@ -489,3 +489,60 @@ def test_store_family_roundtrip_property():
         assert fsio._store_family(name, "spark_graft_") == family
 
     check()
+
+
+def test_sweep_custom_root_ignores_other_roots_registrations(
+    spark, tmp_path, monkeypatch
+):
+    """Family liveness is per-root (r13 ADVICE #1): registering a
+    family under the system tempdir must not make same-named dirs
+    under a DIFFERENT sweep root reclaimable - they may be another
+    deployment's current generation whose live tag this process never
+    registered. Registering under the custom root itself does."""
+    import tempfile
+
+    sysroot = tmp_path / "sys"
+    other = tmp_path / "other"
+    sysroot.mkdir()
+    other.mkdir()
+    monkeypatch.setattr(tempfile, "tempdir", str(sysroot))
+    monkeypatch.setattr(fsio, "_LIVE_STORE_PATHS", set())
+
+    live_sys = fsio.tmp_store_path("rootfam", "src:1:rootfam:v2:k")
+    fsio.mkdirs(spark, live_sys)
+    foreign = str(other / "spark_graft_rootfam_0123456789")
+    fsio.mkdirs(spark, foreign)
+
+    # same family name, different root: out of reach
+    assert fsio.sweep_stale_stores(spark, root=str(other), min_age_sec=0) == []
+    assert fsio.exists(spark, foreign)
+
+    # a registration under the custom root itself vouches for it
+    fsio._LIVE_STORE_PATHS.add(str(other / "spark_graft_rootfam_aaaaaaaaaa"))
+    swept = fsio.sweep_stale_stores(spark, root=str(other), min_age_sec=0)
+    assert swept == [foreign], swept
+
+
+def test_sweep_age_zero_unconditional_on_future_mtime(
+    spark, tmp_path, monkeypatch
+):
+    """min_age_sec<=0 skips the mtime stat entirely (r13 ADVICE #3):
+    a candidate touched with a slightly-future mtime (clock skew on a
+    shared filesystem) is still reclaimed, keeping 'pass 0 to reclaim
+    regardless of age' literal."""
+    import os
+    import tempfile
+    import time
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    monkeypatch.setattr(fsio, "_LIVE_STORE_PATHS", set())
+    live = fsio.tmp_store_path("skewfam", "src:1:skewfam:v1:k")
+    fsio.mkdirs(spark, live)
+    stale = str(tmp_path / "spark_graft_skewfam_0123456789")
+    fsio.mkdirs(spark, stale)
+    future = time.time() + 3600
+    os.utime(stale, (future, future))
+
+    assert fsio.sweep_stale_stores(spark) == []  # grace window holds
+    swept = fsio.sweep_stale_stores(spark, min_age_sec=0)
+    assert swept == [stale], swept
