@@ -46,7 +46,10 @@ HEADLINE_R3 = [
     "dedup_exact_docs",
     "doc_token_stats",
     "doc_quality_scores",
-    "lang_id_predictions",
+    # r14 swap: the marker-word lang-ID entry retired (evidence rides
+    # lang_id_agreement); the n-gram heuristic proper is the headline
+    # language-ID representative from r14 on.
+    "lang_id_ngram_predictions",
     "minhash_lsh_buckets",
     "neardup_candidate_pairs",
     "knn_bruteforce_top5",

@@ -1,0 +1,185 @@
+"""Suffix-ordering exact-substring dedup - the skew-immune
+complement to the k-gram pair join in :mod:`.spans` (r13 verdict
+next-round #3a; the distributed re-expression of Lee et al. 2022's
+suffix-array ExactSubstr pass from "Deduplicating Training Data
+Makes Language Models Better").
+
+Semantics (ExactSubstr): a token position is DUPLICATED when the
+substring starting there occurs at least twice anywhere in the
+corpus - across documents or within one (self-overlaps count, as in
+the paper). The classic suffix-array reading: position p lies inside
+a duplicate of length >= L iff p's suffix shares an LCP >= L with an
+ADJACENT suffix in suffix-sorted order, because sorted order places
+each suffix next to its longest-common-prefix partner.
+
+Why this next to spans.duplicated_spans (which already finds all
+cross-doc spans >= k exactly): the k-gram pass JOINS every pair of
+occurrences of a gram, so a boilerplate gram occurring W times
+corpus-wide emits O(W^2) join rows and needs the
+``max_gram_occurrences`` recall valve. Suffix ordering never
+enumerates pairs: the same W occurrences land in one sort bucket and
+cost O(W log W) to sort plus O(W) adjacent comparisons - hot
+boilerplate is exactly where this pass stays cheap, with NO recall
+valve needed. The spans pass stays the tool when the PAIRING
+(doc_a, doc_b, alignment) is the product; this pass is the tool when
+the per-position duplicated/not decision is (the paper's use: cut
+duplicated ranges out of training text).
+
+Distributed shape - a full suffix array needs the corpus's token
+space in one address space, so the sort is bucketed losslessly
+instead (the same per-key-window discipline that keeps global sorts
+out of the rest of this repo):
+
+- every suffix is keyed by the md5 of its first ``anchor_tokens``
+  tokens (the bucket) plus the next ``ext_tokens`` tokens (the
+  extension). Two suffixes with LCP >= anchor_tokens share their
+  bucket BY CONSTRUCTION, so sorting within buckets and comparing
+  adjacent rows loses no duplicate of length >= anchor_tokens - the
+  bucket boundary only severs pairs whose LCP is below the reporting
+  threshold anyway.
+- the suffix table is O(corpus tokens) rows of
+  (doc_id, pos, 32-hex bucket, <= ext_tokens tokens) - document text
+  never shuffles whole, only bounded windows of it (the dedup.py /
+  spans.py discipline); ``ext_tokens`` bounds the shuffle row width.
+- the only shuffle keys on the high-entropy bucket digest; AQE
+  absorbs residual skew. Within a bucket the window sort is
+  per-partition; no global sort, no global row_number.
+- reported repeat lengths cap at anchor_tokens + ext_tokens; a
+  longer repeat still reports from every interior anchor, so
+  per-document COVERAGE (the dedup decision) is exact - only the
+  max-length statistic saturates at the cap. Coverage uses
+  fixed-width [pos, pos+anchor) intervals, whose union over all
+  duplicated anchors of a repeat of length R is exactly [a, a+R).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def token_lcp(a: Column, b: Column) -> Column:
+    """Length of the longest common prefix of two token arrays (both
+    non-null), as a long. ``array_position`` returns 0 when no
+    mismatch exists inside the zipped span, i.e. one array prefixes
+    the other - then the LCP is the shorter length. ``zip_with`` pads
+    the shorter side with NULL and ``eqNullSafe(NULL, token)`` is
+    false, so padding reads as a mismatch at exactly min-length+1."""
+    z = F.zip_with(a, b, lambda x, y: x.eqNullSafe(y))
+    mm = F.array_position(z, F.lit(False))
+    return (
+        F.when(mm > 0, mm - 1).otherwise(F.least(F.size(a), F.size(b)))
+    ).cast("long")
+
+
+def suffix_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    anchor_tokens: int,
+    ext_tokens: int,
+) -> DataFrame:
+    """One row per token suffix: ``(doc_id, pos, bucket, ext)`` with
+    ``bucket`` the md5 of the space-joined first ``anchor_tokens``
+    tokens and ``ext`` the following ``ext_tokens`` tokens (shorter
+    near document end, empty past it). Documents shorter than
+    ``anchor_tokens`` emit nothing - they cannot host an
+    anchor-length duplicate (same rule as spans.kgram_windows)."""
+    if anchor_tokens < 1:
+        raise ValueError(f"anchor_tokens must be >= 1, got {anchor_tokens}")
+    if ext_tokens < 0:
+        raise ValueError(f"ext_tokens must be >= 0, got {ext_tokens}")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") >= anchor_tokens)
+    entries = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - F.lit(anchor_tokens - 1)),
+        lambda i: F.struct(
+            (i - 1).cast("long").alias("pos"),
+            F.md5(F.array_join(F.slice("__t", i, anchor_tokens), " ")).alias(
+                "bucket"
+            ),
+            F.slice("__t", i + F.lit(anchor_tokens), ext_tokens).alias("ext"),
+        ),
+    )
+    return d.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", "e.pos", "e.bucket", "e.ext"
+    )
+
+
+def exactsubstr_coverage(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    anchor_tokens: int = 8,
+    ext_tokens: int = 24,
+) -> DataFrame:
+    """Per-document ExactSubstr dedup statistics:
+    ``(doc_id, dup_starts, covered_tokens, max_repeat_tokens)`` for
+    every document with at least one duplicated anchor.
+
+    - ``dup_starts``: token positions whose ``anchor_tokens``-gram
+      occurs >= 2 times corpus-wide (the paper's per-position
+      duplicated test at threshold L = anchor_tokens);
+    - ``covered_tokens``: tokens inside the union of the
+      [pos, pos+anchor) intervals of those positions - exactly the
+      token mass the paper's pass would cut;
+    - ``max_repeat_tokens``: longest duplicated substring starting in
+      this document, measured as anchor + the larger adjacent-suffix
+      LCP extension, saturating at anchor_tokens + ext_tokens.
+
+    Adjacency is within the anchor bucket ordered by the space-joined
+    extension (binary order; identical in DuckDB - the oracle), with
+    (doc_id, pos) tiebreak. Equal-extension ties give equal LCPs, so
+    the reported values are tie-order-independent."""
+    suf = suffix_rows(docs, id_col, text_col, anchor_tokens, ext_tokens)
+    bucket_w = Window.partitionBy("bucket")
+    order_w = bucket_w.orderBy(F.array_join("ext", " "), "doc_id", "pos")
+    prev_ext = F.lag("ext").over(order_w)
+    next_ext = F.lead("ext").over(order_w)
+    lcp_side = lambda nb: F.when(  # noqa: E731
+        nb.isNotNull(), token_lcp(F.col("ext"), nb)
+    ).otherwise(F.lit(0))
+    scored = (
+        suf.withColumn("__cnt", F.count(F.lit(1)).over(bucket_w))
+        .withColumn(
+            "rep",
+            F.lit(anchor_tokens)
+            + F.greatest(lcp_side(prev_ext), lcp_side(next_ext)),
+        )
+        .filter(F.col("__cnt") >= 2)
+        .select("doc_id", "pos", "rep")
+    )
+    # gaps-and-islands union of the fixed-width [pos, pos+anchor)
+    # intervals, per doc (pair-local key, never global)
+    doc_w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = scored.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("pos") > F.coalesce(
+                    F.lag("pos").over(doc_w) + anchor_tokens,
+                    F.lit(-1),
+                ),
+                1,
+            ).otherwise(0)
+        ).over(doc_w),
+    )
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("pos") + anchor_tokens - F.min("pos")).alias("clen"))
+        .groupBy("doc_id")
+        .agg(F.sum("clen").alias("covered_tokens"))
+    )
+    stats = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_starts"),
+        F.max("rep").alias("max_repeat_tokens"),
+    )
+    return stats.join(cov, "doc_id").select(
+        "doc_id",
+        "dup_starts",
+        F.col("covered_tokens").cast("long").alias("covered_tokens"),
+        "max_repeat_tokens",
+    )

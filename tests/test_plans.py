@@ -347,8 +347,61 @@ def test_r10_catalog_swap_executed():
     assert sorted(rows_only) == [
         "approx_distinct_and_percentiles",
         "knn_pandas_udf",
-        "simhash_fast_fingerprints",
     ]
+
+
+def test_r14_catalog_swap_executed():
+    """r13 verdict next-round #3: three retirements fund the round's
+    three new-surface entries. Retired: the q1 SQL-API demo (same
+    Catalyst plan as q1; equivalence pinned below), the rows-only
+    xxhash64 SimHash entry (the Python XXH64 model in
+    test_rows_only_pins pins it stronger; md5 twin keeps the oracle),
+    and the marker-word lang-ID score dump (its scoring stays
+    oracle-checked through lang_id_agreement). Builders stay
+    importable; the catalog stays within the staleness bound."""
+    import math
+
+    from machine_downtime_monitor_on_aws_spark.plans import (
+        relational,
+        textops,
+    )
+
+    retired = {
+        "q1_pricing_summary_sql": relational,
+        "simhash_fast_fingerprints": textops,
+        "lang_id_predictions": textops,
+    }
+    for n, mod in retired.items():
+        assert n not in catalog.REGISTRY, f"{n} should be retired"
+        assert callable(getattr(mod, n))  # evidence stays importable
+    for n in (
+        "exactsubstr_doc_coverage",
+        "q1_pricing_summary",
+        "simhash_fingerprints",
+        "lang_id_agreement",
+        "lang_id_ngram_predictions",
+    ):
+        assert n in catalog.REGISTRY, f"swap replacement/twin {n} missing"
+    assert math.ceil(len(catalog.REGISTRY) / 50) <= 3
+
+
+def test_q1_sql_api_twin_same_results(spark):
+    """The retired SQL-API twin stays equivalent to the DataFrame-API
+    q1: same columns, same rows - both APIs remain first-class
+    surfaces even though only one carries the driver row."""
+    from machine_downtime_monitor_on_aws_spark.plans.relational import (
+        q1_pricing_summary_sql,
+    )
+
+    df_api = catalog.REGISTRY["q1_pricing_summary"].fn(spark, SF_ORACLE)
+    sql_api = q1_pricing_summary_sql(spark, SF_ORACLE)
+    # the SQL demo computes a subset of q1's measures - every column
+    # it produces must exist on q1 and agree value-for-value
+    common = [c for c in sql_api.columns]
+    assert set(common) <= set(df_api.columns)
+    a = sorted(map(tuple, df_api.select(*common).collect()))
+    b = sorted(map(tuple, sql_api.select(*common).collect()))
+    assert a == b
 
 
 def _formatted_plan(df):
