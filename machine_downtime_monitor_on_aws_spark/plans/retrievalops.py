@@ -197,6 +197,68 @@ def hybrid_rrf_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CE_TOP = 10
+_QTERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _TERMS) + "]"
+
+
+def _ce_oracle() -> str:
+    from ..operators.rerank import lexical_interaction_score_sql
+
+    score = lexical_interaction_score_sql(_QTERMS_SQL, "dt.tk")
+    return f"""
+WITH {_BM25_CTES},
+dt AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+scored AS (
+  SELECT l.doc_id, CAST(l.rnk AS INT) AS bm25_rnk, {score} AS q
+  FROM lex l JOIN dt ON dt.doc_id = l.doc_id
+)
+SELECT doc_id, bm25_rnk,
+       CAST(q AS DOUBLE) / 1000000000.0 AS ce_score, CAST(rnk AS INT) AS rnk
+FROM (SELECT doc_id, bm25_rnk, q,
+             row_number() OVER (ORDER BY q DESC, doc_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= {_CE_TOP}
+"""
+
+
+@register("crossencoder_rerank_top10", oracle=_ce_oracle())
+def crossencoder_rerank_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder re-rank seam (operators/rerank.py - r13 verdict
+    next-round #3b, the retrieval stack's missing final stage): the
+    persisted BM25 top-20 shortlist re-ordered by an Arrow-batched
+    PAIR scorer that sees query and candidate together, final top-10
+    with the first-stage rank kept alongside for rank-shift QA. The
+    default scorer is the deterministic lexical-interaction model
+    (position-weighted term hits, 1e-9-quantized int sums) so the
+    whole stage hash-matches the DuckDB oracle; a model-backed
+    cross-encoder swaps in through the same (queries, docs) -> int64
+    contract without touching the plan. Scale shape: the candidate
+    sliver (20 rows) broadcasts into the doc-text join, scoring
+    touches O(queries x top-N) pairs never the corpus, and the final
+    cut is a per-query window."""
+    from ..operators.rerank import crossencoder_rerank
+
+    pin_utc(spark)
+    lex = spark.read.schema("doc_id long, score double, rnk int").parquet(
+        f"{_lex_shortlist_store(spark, sf_dir)}/lex"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = (
+        docs.join(F.broadcast(lex), "doc_id")
+        .select(
+            F.lit(0).alias("qid"),
+            "doc_id",
+            F.lit(" ".join(_TERMS)).alias("query"),
+            "text",
+            F.col("rnk").cast("int").alias("bm25_rnk"),
+        )
+    )
+    out = crossencoder_rerank(
+        cands, "qid", "doc_id", "query", "text", _CE_TOP
+    )
+    return out.select("doc_id", "bm25_rnk", "ce_score", "rnk")
+
+
 _TFIDF_ORACLE = f"""
 WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
