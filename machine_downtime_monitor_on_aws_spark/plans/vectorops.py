@@ -227,6 +227,80 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_SMD = 0.5
+
+_DRIFT_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ex AS (SELECT vec_id, unnest(range(0, len(v))) AS dim, v FROM e),
+vals AS (
+  SELECT vec_id % 2 AS grp, CAST(dim AS INT) AS dim, v[dim + 1] AS x FROM ex
+),
+acc AS (
+  SELECT grp, dim, count(*) AS n,
+         CAST(sum(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sum_q,
+         CAST(sum(CAST(floor(x * x * 1000000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS sumsq_q
+  FROM vals GROUP BY grp, dim
+),
+m AS (
+  SELECT r.dim, r.n AS n_ref, c.n AS n_new,
+         (CAST(r.sum_q AS DOUBLE) / 1000000000.0)
+           / CAST(r.n AS DOUBLE) AS mean_ref,
+         (CAST(c.sum_q AS DOUBLE) / 1000000000.0)
+           / CAST(c.n AS DOUBLE) AS mean_new,
+         greatest((CAST(r.sumsq_q AS DOUBLE) / 1000000000.0)
+                    / CAST(r.n AS DOUBLE)
+                    - ((CAST(r.sum_q AS DOUBLE) / 1000000000.0)
+                       / CAST(r.n AS DOUBLE))
+                      * ((CAST(r.sum_q AS DOUBLE) / 1000000000.0)
+                         / CAST(r.n AS DOUBLE)),
+                  0.0) AS var_ref
+  FROM (SELECT * FROM acc WHERE grp = 0) r
+  JOIN (SELECT * FROM acc WHERE grp = 1) c ON c.dim = r.dim
+),
+s AS (
+  SELECT dim, n_ref, n_new, mean_ref, mean_new,
+         abs(mean_new - mean_ref) / sqrt(var_ref + 1e-12) AS smd
+  FROM m
+)
+SELECT dim, n_ref, n_new, mean_ref, mean_new, smd,
+       smd > {_DRIFT_SMD} AS drifted
+FROM s
+"""
+
+
+@register("embedding_drift_monitor", oracle=_DRIFT_ORACLE)
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-population drift report (operators/drift.py - r13
+    verdict next-round #3c, the retrain signal the IVF skew gate
+    cannot see): per-dimension standardized mean difference between
+    a reference population and the current one - here the
+    deterministic vec_id-parity split of the corpus, so the oracle
+    re-derives both sides; production compares the stats persisted
+    at index-train time (write_population_stats beside the index)
+    against each arriving batch. Scale shape: one posexplode +
+    64-group quantized-BIGINT aggregation per side (map-side combine
+    reduces every partition to dim rows before the exchange), the
+    join is dim x dim, and the gate decision
+    (operators/drift.population_drifted) pulls one bounded counter.
+    Every double derives from integer accumulators by a fixed
+    expression order - hash-exact across engines."""
+    from ..operators.drift import (
+        embedding_drift_stats,
+        embedding_population_stats,
+    )
+
+    e = _emb(spark, sf_dir)
+    ref = embedding_population_stats(
+        e.filter(F.col("vec_id") % 2 == 0), "vec", _DIM
+    )
+    cur = embedding_population_stats(
+        e.filter(F.col("vec_id") % 2 == 1), "vec", _DIM
+    )
+    return embedding_drift_stats(ref, cur, smd_threshold=_DRIFT_SMD)
+
+
 _N_CENTROIDS = 16
 _N_PROBES = 4
 

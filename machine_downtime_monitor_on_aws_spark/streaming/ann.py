@@ -63,6 +63,8 @@ def run_incremental_ann_stream(
     train_iters: int = 2,
     rebalance_max_list_share: float | None = None,
     bootstrap_centroids: DataFrame | None = None,
+    drift_smd_threshold: float | None = None,
+    drift_max_dims: int = 0,
 ) -> StreamingQuery:
     """Start the ANN maintenance loop over a vector stream
     (``id_col`` long, ``vec_col`` array<double>). See the module
@@ -74,7 +76,22 @@ def run_incremental_ann_stream(
     the codebook (the persisted-centroid-store discipline): the
     stream then only ever assigns + appends, and the bootstrap is
     deterministic regardless of which batch arrives first. Ignored
-    once a committed index exists."""
+    once a committed index exists.
+
+    ``drift_smd_threshold`` arms the POPULATION-drift gate
+    (operators/drift.py) - the retrain signal the skew gate cannot
+    see: each committed batch's per-dimension statistics are compared
+    against the reference population persisted beside the index
+    (``{index_path}__popstats``, OUTSIDE the index dir so rebuild
+    swaps never clobber it); when more than ``drift_max_dims``
+    dimensions shift past the threshold, the index retrains and the
+    reference refreshes to the full post-rebuild corpus (also after a
+    SKEW-triggered rebuild, so both gates agree on what "trained-on"
+    means). The first population seen seeds the reference, and
+    re-seeds it if the stats dir is ever lost - the gate is advisory:
+    a missed check is a delayed retrain, never a wrong answer. Per
+    batch this adds one O(batch) dim-row aggregation and bounded
+    dim-row driver pulls."""
     spark = vec_stream.sparkSession
     token = _checkpoint_sink_token(spark, checkpoint_dir)
     marker_dir = checkpoint_dir.rstrip("/") + "/ann_epochs"
@@ -133,11 +150,55 @@ def run_incremental_ann_stream(
         # dedup loop's compaction): the rebuild never races its own
         # epoch's write, and a crash mid-swap leaves both copies on
         # disk rather than a half-updated index
+        rebuilt = False
         if rebalance_max_list_share is not None:
-            rebalance_ivf_index_if_needed(
+            rebuilt = rebalance_ivf_index_if_needed(
                 spark, index_path, n_centroids, dim,
                 max_list_share=rebalance_max_list_share,
             )
+        if drift_smd_threshold is not None:
+            from ..operators.drift import (
+                embedding_drift_stats,
+                embedding_population_stats,
+                population_drifted,
+                read_population_stats,
+                write_population_stats,
+            )
+            from ..operators.ivf import rebuild_ivf_index
+
+            stats_path = index_path.rstrip("/") + "__popstats"
+            # <= dim rows: the bounded-pull class (centroid fetches)
+            cur_rows = embedding_population_stats(e, "vec", dim).collect()
+            stats_schema = "dim int, n long, sum_q long, sumsq_q long"
+            if cur_rows and not fsio.exists(
+                spark, f"{stats_path}/_STORE_OK"
+            ):
+                write_population_stats(
+                    spark,
+                    spark.createDataFrame(cur_rows, stats_schema),
+                    stats_path,
+                )
+            elif cur_rows and not rebuilt:
+                report = embedding_drift_stats(
+                    read_population_stats(spark, stats_path),
+                    spark.createDataFrame(cur_rows, stats_schema),
+                    smd_threshold=drift_smd_threshold,
+                )
+                if population_drifted(report, drift_max_dims):
+                    rebuild_ivf_index(spark, index_path, n_centroids, dim)
+                    rebuilt = True
+            if rebuilt:
+                # either gate retrained: the reference is now the full
+                # corpus the fresh centroids were trained on
+                corpus = spark.read.parquet(f"{index_path}/corpus").select(
+                    "vec_id", "vec"
+                )
+                write_population_stats(
+                    spark,
+                    embedding_population_stats(corpus, "vec", dim),
+                    stats_path,
+                    replace=True,
+                )
 
     return (
         vec_stream.writeStream.foreachBatch(process_batch)
