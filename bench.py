@@ -207,7 +207,16 @@ def measure_incremental_dedup(spark, sf_dir: str) -> dict:
     the full-corpus pair enumeration - the O(batch) vs O(corpus)
     claim, measured. Index build is untimed setup (it amortizes over
     every future batch); both measured paths end in the same
-    count-the-pairs action."""
+    count-the-pairs action.
+
+    READING THE LABELS LEG: at bench scale labels_incremental_sec
+    EXCEEDS labels_full_cc_sec by design, not regression - the sf0.1
+    pair graph (~256 edges) keeps full CC on the driver union-find
+    shortcut while update_components pays fixed multi-job overhead.
+    The asymptotics flip once history crosses the 200k-edge driver
+    threshold: measured in BENCH_CC_CROSSOVER.json
+    (bench_cc_crossover.py; 3.7-7.8x incremental wins at 200k-3.2M
+    edges), decomposed in SCALE.md r14."""
     from machine_downtime_monitor_on_aws_spark.operators.dedup import (
         DEFAULT_NUM_BANDS,
         candidate_pairs_exact,
