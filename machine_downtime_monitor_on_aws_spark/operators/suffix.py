@@ -153,7 +153,13 @@ def exactsubstr_coverage(
         .select("doc_id", "pos", "rep")
     )
     # gaps-and-islands union of the fixed-width [pos, pos+anchor)
-    # intervals, per doc (pair-local key, never global)
+    # intervals, per doc (per-key window, never global). Everything
+    # downstream rides ONE linear lineage: counts and the max repeat
+    # fold through the same island aggregation that computes
+    # coverage, so the suffix table + bucket windows - the dominant
+    # cost - execute exactly once (a stats ⋈ coverage self-join
+    # would run them twice). Both groupBys cluster on doc_id, which
+    # the island window already partitioned by - no further shuffle.
     doc_w = Window.partitionBy("doc_id").orderBy("pos")
     isl = scored.withColumn(
         "island",
@@ -167,19 +173,13 @@ def exactsubstr_coverage(
             ).otherwise(0)
         ).over(doc_w),
     )
-    cov = (
-        isl.groupBy("doc_id", "island")
-        .agg((F.max("pos") + anchor_tokens - F.min("pos")).alias("clen"))
-        .groupBy("doc_id")
-        .agg(F.sum("clen").alias("covered_tokens"))
+    per_island = isl.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("rep").alias("__max_rep"),
+        (F.max("pos") + anchor_tokens - F.min("pos")).alias("__clen"),
     )
-    stats = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dup_starts"),
-        F.max("rep").alias("max_repeat_tokens"),
-    )
-    return stats.join(cov, "doc_id").select(
-        "doc_id",
-        "dup_starts",
-        F.col("covered_tokens").cast("long").alias("covered_tokens"),
-        "max_repeat_tokens",
+    return per_island.groupBy("doc_id").agg(
+        F.sum("__n").alias("dup_starts"),
+        F.sum("__clen").cast("long").alias("covered_tokens"),
+        F.max("__max_rep").alias("max_repeat_tokens"),
     )
