@@ -715,3 +715,37 @@ def test_store_idents_carry_version_tokens():
                 bad.append((fname, suffix))
     assert n >= 15, f"ident scan found only {n} idents - pattern drifted?"
     assert not bad, f"store idents missing a version token: {bad}"
+
+
+def test_exactsubstr_plan_single_pass_two_exchanges(spark):
+    """The suffix table + bucket windows (the dominant cost) execute
+    once: one documents scan, exactly two hash exchanges (anchor
+    digest, doc_id), no broadcast/join, no SinglePartition - the
+    stats fold through the island aggregation instead of a
+    stats-join-coverage self-join that would run the windows twice."""
+    plan = plan_of(spark, "exactsubstr_doc_coverage")
+    assert "SinglePartition" not in plan
+    assert "BroadcastExchange" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_crossencoder_rerank_plan_broadcasts_the_sliver(spark):
+    """The 20-row shortlist broadcasts into the doc-text join (never
+    the corpus side), scoring is one ArrowEvalPython-free mapInPandas
+    stage, and the final cut is a per-query window - no global sort."""
+    plan = plan_of(spark, "crossencoder_rerank_top10")
+    assert "BroadcastHashJoin" in plan
+    assert "MapInPandas" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(qid" in plan  # the per-query window cut
+
+
+def test_drift_monitor_plan_partial_aggregates(spark):
+    """Both population sides partial-aggregate map-side before the
+    exchange - the shuffle carries O(partitions x dim) rows, not the
+    exploded corpus - and the dim x dim join needs no broadcast of
+    anything corpus-sized."""
+    plan = plan_of(spark, "embedding_drift_monitor")
+    assert len(re.findall(r"partial_sum", plan)) >= 2
+    assert "SinglePartition" not in plan
