@@ -222,8 +222,10 @@ def cdc_chunks(
     word happens to hash to the residue.
 
     Output: (doc_id, chunk_idx, start_token, n_tokens, chunk_md5) -
-    the md5 is over the chunk's space-joined tokens, the join key
-    for chunk-store dedup. Docs with no tokens produce no chunks.
+    chunk_idx and start_token are both 1-BASED (pinned by the oracle
+    and the first-principles model test); the md5 is over the
+    chunk's space-joined tokens, the join key for chunk-store dedup.
+    Docs with no tokens produce no chunks.
     Production deployments usually add min/max chunk-length clamps;
     the unclamped form keeps the oracle expression shared and the
     boundary semantics pure.
