@@ -97,6 +97,13 @@ def _reorder_for_driver_evidence() -> None:
         # branch is inactive for the catalog caller, whose left side
         # carries the tiebreak column - plan bit-identical.)
         "error_context_counts": 13,
+        # r14: tfidf_rank gained lazy checkpoint barriers (one corpus
+        # explode instead of three; values identical, plan changed).
+        # The query sits inside the r14 driver window (position 41,
+        # r11-stale cohort), so this entry should self-expire with
+        # its r14 row - recorded for the bookkeeping trail, not for
+        # scheduling effect.
+        "tfidf_top_docs": 14,
     }
     # A typo'd or renamed key would silently drop its prioritization
     # (r10 ADVICE #2) - fail loudly instead.
