@@ -42,6 +42,7 @@ def pagerank_unrolled(
     damping: float = 0.85,
     src: str = "id_a",
     dst: str = "id_b",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """PageRank over the UNDIRECTED graph of ``pairs`` (each pair
     contributes both directions), fixed ``iters`` power iterations
@@ -49,7 +50,18 @@ def pagerank_unrolled(
     node in a pair graph has degree >= 1, so there is no dangling
     mass; the damped update still left-joins + coalesces so isolated
     receivers would be handled. Deterministic: contributions quantize
-    to 1e-9 BIGINTs before summing."""
+    to 1e-9 BIGINTs before summing.
+
+    ``checkpoint_every``: truncate the rank table's lineage with an
+    eager localCheckpoint every k iterations - the module docstring's
+    production advice made a parameter (at tens of iterations an
+    un-truncated plan grows a join+agg PER ITERATION and re-optimizes
+    the whole chain each action; the connected_components loop
+    truncates every round for the same reason). Quantized sums make
+    each iteration deterministic, so semantics are unchanged; the
+    pinned RDD ids ride the result as ``_spark_graft_ckpt_ids`` for
+    release_checkpoint. None (default) keeps the fully lazy unrolled
+    plan - right for the catalog's few-iteration oracle-paired use."""
     edges = pairs.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
@@ -62,9 +74,14 @@ def pagerank_unrolled(
             F.lit(0).cast("long").alias("degree"),
             F.lit(0.0).alias("pagerank"),
         )
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     pr = nodes.withColumn("pr", F.lit(1.0 / float(n)))
     base = (1.0 - damping) / float(n)
-    for _ in range(iters):
+    ckpt_ids: tuple[int, ...] = ()
+    for it in range(iters):
         contrib = (
             edges.join(pr, edges["src"] == pr["node"])
             .join(deg, "src")
@@ -94,6 +111,13 @@ def pagerank_unrolled(
             )
             .select("node", "pr")
         )
-    return pr.join(deg, pr["node"] == deg["src"]).select(
+        if checkpoint_every is not None and (it + 1) % checkpoint_every == 0:
+            from ..streaming.store import _tracked_local_checkpoint
+
+            pr = _tracked_local_checkpoint(pr, eager=True)
+            ckpt_ids += getattr(pr, "_spark_graft_ckpt_ids", ())
+    out = pr.join(deg, pr["node"] == deg["src"]).select(
         "node", "degree", F.col("pr").alias("pagerank")
     )
+    out._spark_graft_ckpt_ids = ckpt_ids
+    return out
