@@ -58,10 +58,19 @@ def pagerank_unrolled(
     un-truncated plan grows a join+agg PER ITERATION and re-optimizes
     the whole chain each action; the connected_components loop
     truncates every round for the same reason). Quantized sums make
-    each iteration deterministic, so semantics are unchanged; the
-    pinned RDD ids ride the result as ``_spark_graft_ckpt_ids`` for
-    release_checkpoint. None (default) keeps the fully lazy unrolled
-    plan - right for the catalog's few-iteration oracle-paired use."""
+    each iteration deterministic, so semantics are unchanged; each
+    new eager checkpoint releases the superseded one immediately, so
+    storage holds ONE pinned node-table copy at a time, and only the
+    live (final) checkpoint's RDD id rides the result as
+    ``_spark_graft_ckpt_ids`` for release_checkpoint. None (default)
+    keeps the fully lazy unrolled plan - right for the catalog's
+    few-iteration oracle-paired use."""
+    # validate before ANY Spark action (and before the empty-graph
+    # early return) so bad args fail fast without paying a job
+    if checkpoint_every is not None and checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     edges = pairs.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
@@ -74,13 +83,9 @@ def pagerank_unrolled(
             F.lit(0).cast("long").alias("degree"),
             F.lit(0.0).alias("pagerank"),
         )
-    if checkpoint_every is not None and checkpoint_every < 1:
-        raise ValueError(
-            f"checkpoint_every must be >= 1, got {checkpoint_every}"
-        )
     pr = nodes.withColumn("pr", F.lit(1.0 / float(n)))
     base = (1.0 - damping) / float(n)
-    ckpt_ids: tuple[int, ...] = ()
+    prev_ckpt: DataFrame | None = None
     for it in range(iters):
         contrib = (
             edges.join(pr, edges["src"] == pr["node"])
@@ -112,12 +117,28 @@ def pagerank_unrolled(
             .select("node", "pr")
         )
         if checkpoint_every is not None and (it + 1) % checkpoint_every == 0:
-            from ..streaming.store import _tracked_local_checkpoint
+            from ..streaming.store import (
+                _tracked_local_checkpoint,
+                release_checkpoint,
+            )
 
             pr = _tracked_local_checkpoint(pr, eager=True)
-            ckpt_ids += getattr(pr, "_spark_graft_ckpt_ids", ())
+            # each eager checkpoint supersedes the previous one; free
+            # its blocks NOW (it has fully materialized into the new
+            # one) so storage holds one node-table copy, not
+            # iters/checkpoint_every of them (r14 ADVICE)
+            if prev_ckpt is not None:
+                release_checkpoint(prev_ckpt)
+            prev_ckpt = pr
     out = pr.join(deg, pr["node"] == deg["src"]).select(
         "node", "degree", F.col("pr").alias("pagerank")
     )
-    out._spark_graft_ckpt_ids = ckpt_ids
+    # only the LIVE (final) checkpoint rides the result for the
+    # caller's release_checkpoint (when the last iterations ran past
+    # a boundary, pr is derived FROM prev_ckpt, whose pin must stay)
+    out._spark_graft_ckpt_ids = (
+        getattr(prev_ckpt, "_spark_graft_ckpt_ids", ())
+        if prev_ckpt is not None
+        else ()
+    )
     return out

@@ -79,11 +79,13 @@ def minute_grid(
     end,
     id_col: str = "id",
 ) -> DataFrame:
-    """Cross of distinct ids x minute starts in [start, end).
+    """Cross of distinct ids x fully-elapsed minute starts from start.
 
-    Mirrors machine-detail.ts:17-25 (grid from start.startOf('minute')
-    stepping 1 minute, exclusive of end). ``start``/``end`` are
-    timestamp literals/py datetimes.
+    Mirrors machine-detail.ts:17-25: grid from start.startOf('minute'),
+    stepping 1 minute, with loop guard ``chunkEnd <= endTimestamp`` —
+    minute m is emitted only once fully elapsed (m + 60s <= end), so an
+    unaligned end drops the trailing in-progress minute. ``start``/``end``
+    are timestamp literals/py datetimes.
     """
     ids = spark_df_ids.select(F.col(id_col).alias("id")).distinct()
     grid = ids.select(
@@ -96,9 +98,12 @@ def minute_grid(
             )
         ).alias("minute_start"),
     )
-    # sequence() is end-inclusive; the reference grid excludes `end`
-    # unless it lands exactly on a fresh minute (loop guard `isBefore`)
-    return grid.filter(F.col("minute_start") < F.lit(end).cast("timestamp"))
+    # sequence() is end-inclusive; the reference keeps minute m only
+    # while its chunkEnd (m+1min) <= end (machine-detail.ts:22)
+    return grid.filter(
+        F.col("minute_start") + F.expr("INTERVAL 1 MINUTE")
+        <= F.lit(end).cast("timestamp")
+    )
 
 
 def minute_chart(
@@ -114,10 +119,12 @@ def minute_chart(
 ) -> DataFrame:
     """Full detail-chart query: grid right-join + per-minute aggs.
 
-    Returns one row per (id, minute) in [start, end): status
+    Returns one row per (id, fully-elapsed minute from start): status
     (UNKNOWN-filled) and last production count (NULL-filled). The
     1-hour-lookback -> exactly-60-rows invariant
-    (machine-detail.spec.ts:201) holds by construction.
+    (machine-detail.spec.ts:201) holds by construction — and holds
+    for UNALIGNED 1-hour windows too, since the trailing in-progress
+    minute is excluded (machine-detail.ts:22 loop guard).
     """
     in_range = (F.col(ts_col) >= F.lit(start).cast("timestamp")) & (
         F.col(ts_col) < F.lit(end).cast("timestamp")

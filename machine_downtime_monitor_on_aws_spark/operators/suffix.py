@@ -130,13 +130,17 @@ def exactsubstr_coverage(
       this document, measured as anchor + the larger adjacent-suffix
       LCP extension, saturating at anchor_tokens + ext_tokens.
 
-    Adjacency is within the anchor bucket ordered by the space-joined
-    extension (binary order; identical in DuckDB - the oracle), with
-    (doc_id, pos) tiebreak. Equal-extension ties give equal LCPs, so
-    the reported values are tie-order-independent."""
+    Adjacency is within the anchor bucket ordered by the extension
+    token ARRAY itself (element-wise lexicographic - exact
+    token-sequence order with no separator assumption; a space-joined
+    string order would under-report LCPs for tokens containing ASCII
+    control chars < 0x20, which survive whitespace tokenization.
+    DuckDB's list comparison is identical, so the oracle shares the
+    order), with (doc_id, pos) tiebreak. Equal-extension ties give
+    equal LCPs, so the reported values are tie-order-independent."""
     suf = suffix_rows(docs, id_col, text_col, anchor_tokens, ext_tokens)
     bucket_w = Window.partitionBy("bucket")
-    order_w = bucket_w.orderBy(F.array_join("ext", " "), "doc_id", "pos")
+    order_w = bucket_w.orderBy(F.col("ext"), "doc_id", "pos")
     prev_ext = F.lag("ext").over(order_w)
     next_ext = F.lead("ext").over(order_w)
     lcp_side = lambda nb: F.when(  # noqa: E731

@@ -82,28 +82,28 @@ def _reorder_for_driver_evidence() -> None:
     # map is name -> round the rewire shipped; an entry self-expires
     # once a driver row at or after that round lands.
     rewired = {
-        # Pruned on landing (map hygiene, r10-r13 verdicts): the
+        # Pruned on landing (map hygiene, r10-r14 verdicts): the
         # r10 replay read-path entries, the r11 shortlist-store
-        # consumers, ivf_recall_at5's r12 baseline rewire, the two
-        # BPE entries of the r12 trainer rewrite (hash-exact r12
-        # rows), and the two WordPiece entries of the same rewrite
-        # (hash-exact r13 rows, CORRECTNESS_r13.json) all expired
-        # with their post-rewire driver rows.
+        # consumers, ivf_recall_at5's r12 baseline rewire, the
+        # BPE/WordPiece entries of the r12 trainer rewrite,
+        # error_context_counts' r13 floored range-join (hash-exact
+        # r14 row), and tfidf_top_docs' r14 checkpoint barriers
+        # (hash-exact r14 row) all expired with their post-rewire
+        # driver rows.
         #
-        # r13: range-join probe-bucket quantization moved from
-        # long-cast to floor (negative-epoch fix) - output identical
-        # on the catalog's modern epochs, but the executed expression
-        # changed. (The r13 asof tiebreak fix adds NO entry: its new
-        # branch is inactive for the catalog caller, whose left side
-        # carries the tiebreak column - plan bit-identical.)
-        "error_context_counts": 13,
-        # r14: tfidf_rank gained lazy checkpoint barriers (one corpus
-        # explode instead of three; values identical, plan changed).
-        # The query sits inside the r14 driver window (position 41,
-        # r11-stale cohort), so this entry should self-expire with
-        # its r14 row - recorded for the bookkeeping trail, not for
-        # scheduling effect.
-        "tfidf_top_docs": 14,
+        # r15: minute_grid's end-boundary filter changed from
+        # `minute_start < end` to `minute_start + 1min <= end`,
+        # matching the reference's fully-elapsed-minute loop guard
+        # (machine-detail.ts:22, r14 ADVICE medium). The catalog
+        # caller's end is minute-aligned, so output is identical,
+        # but the executed expression changed.
+        "minute_chart_grid": 15,
+        # r15: exactsubstr adjacency ordering moved from space-joined
+        # extension strings to the token ARRAY itself on both the
+        # Spark and oracle sides (r14 ADVICE: exact token-sequence
+        # order with no separator assumption). Output identical on
+        # control-char-free corpora like the testdata.
+        "exactsubstr_doc_coverage": 15,
     }
     # A typo'd or renamed key would silently drop its prioritization
     # (r10 ADVICE #2) - fail loudly instead.

@@ -2311,9 +2311,9 @@ adj AS (
   SELECT doc_id, pos, ext,
          count(*) OVER (PARTITION BY bucket) AS cnt,
          lag(ext) OVER (PARTITION BY bucket
-                        ORDER BY array_to_string(ext, ' '), doc_id, pos) AS pext,
+                        ORDER BY ext, doc_id, pos) AS pext,
          lead(ext) OVER (PARTITION BY bucket
-                         ORDER BY array_to_string(ext, ' '), doc_id, pos) AS nxt
+                         ORDER BY ext, doc_id, pos) AS nxt
   FROM keyed
 ),
 nbs AS (

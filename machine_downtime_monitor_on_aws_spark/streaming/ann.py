@@ -51,6 +51,52 @@ from ..operators.ivf import (
 )
 from .ingest import _checkpoint_sink_token
 
+_STATS_SCHEMA = "dim int, n long, sum_q long, sumsq_q long"
+
+
+def _add_stats(a: list, b: list) -> list:
+    """Sum two per-dimension accumulator row lists. The quantized
+    integer accumulators (operators/drift.py) are exactly additive,
+    which is what makes the cumulative-population gate O(batch) per
+    epoch instead of O(corpus)."""
+    acc: dict[int, list[int]] = {}
+    for rows in (a, b):
+        for r in rows:
+            cur = acc.setdefault(int(r.dim), [0, 0, 0])
+            cur[0] += int(r.n)
+            cur[1] += int(r.sum_q)
+            cur[2] += int(r.sumsq_q)
+    from pyspark.sql import Row
+
+    return [
+        Row(dim=d, n=v[0], sum_q=v[1], sumsq_q=v[2])
+        for d, v in sorted(acc.items())
+    ]
+
+
+def _latest_snapshot_rows(spark, snap_dir, token, epoch_id):
+    """Rows of the newest cumulative-stats snapshot STRICTLY BELOW
+    ``epoch_id`` for this checkpoint lineage, or None. A replayed
+    epoch's own (possibly half-written) snapshot is excluded so the
+    replay recomputes it from the same predecessor - that is what
+    makes the pre-marker snapshot write idempotent."""
+    best = None
+    for name in fsio.list_names(spark, snap_dir):
+        if not name.startswith("__epoch="):
+            continue
+        tok, _, eid = name[len("__epoch="):].rpartition("-")
+        if tok != token or not eid.isdigit() or int(eid) >= epoch_id:
+            continue
+        if best is None or int(eid) > best[0]:
+            best = (int(eid), name)
+    if best is None:
+        return None
+    return (
+        spark.read.schema(_STATS_SCHEMA)
+        .parquet(f"{snap_dir}/{best[1]}")
+        .collect()
+    )
+
 
 def run_incremental_ann_stream(
     vec_stream: DataFrame,
@@ -80,18 +126,26 @@ def run_incremental_ann_stream(
 
     ``drift_smd_threshold`` arms the POPULATION-drift gate
     (operators/drift.py) - the retrain signal the skew gate cannot
-    see: each committed batch's per-dimension statistics are compared
-    against the reference population persisted beside the index
-    (``{index_path}__popstats``, OUTSIDE the index dir so rebuild
-    swaps never clobber it); when more than ``drift_max_dims``
-    dimensions shift past the threshold, the index retrains and the
-    reference refreshes to the full post-rebuild corpus (also after a
-    SKEW-triggered rebuild, so both gates agree on what "trained-on"
-    means). The first population seen seeds the reference, and
-    re-seeds it if the stats dir is ever lost - the gate is advisory:
-    a missed check is a delayed retrain, never a wrong answer. Per
-    batch this adds one O(batch) dim-row aggregation and bounded
-    dim-row driver pulls."""
+    see: the CUMULATIVE served population (reference + integer-
+    additive per-batch statistics accumulated since the last retrain,
+    exactly-once via epoch-keyed snapshots in
+    ``{index_path}__popstats_cur``) is compared against the reference
+    population persisted beside the index
+    (``{index_path}__popstats``, both OUTSIDE the index dir so
+    rebuild swaps never clobber them); when more than
+    ``drift_max_dims`` dimensions shift past the threshold, the index
+    retrains, the reference refreshes to the full post-rebuild corpus
+    (also after a SKEW-triggered rebuild, so both gates agree on what
+    "trained-on" means), and the cumulative chain resets to it.
+    Gating on the cumulative population rather than the lone batch is
+    what lets the loop SETTLE: a batch-vs-reference gate re-fires on
+    every post-shift micro-batch (the refreshed reference is the
+    mixed corpus, which no pure-new batch matches), rebuilding
+    O(corpus) per epoch. The first population seen seeds the
+    reference, and re-seeds it if the stats dir is ever lost - the
+    gate is advisory: a missed check is a delayed retrain, never a
+    wrong answer. Per batch this adds one O(batch) dim-row
+    aggregation and bounded dim-row driver pulls."""
     spark = vec_stream.sparkSession
     token = _checkpoint_sink_token(spark, checkpoint_dir)
     marker_dir = checkpoint_dir.rstrip("/") + "/ann_epochs"
@@ -105,6 +159,23 @@ def run_incremental_ann_stream(
         e = batch_df.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
         )
+        # NULL / mis-sized vectors: the batch operators fail fast on
+        # them (l2_norm raises - right for offline callers, a silent
+        # skip would bias an index or a statistic), but inside
+        # foreachBatch that raise lands BEFORE the epoch marker, so
+        # every restart replays the same poison batch and fails again
+        # - a wedged loop (the r7 bootstrap lesson). Quarantine them
+        # instead: exactly-once via dynamic overwrite of this epoch's
+        # partition, same discipline as the corpus append itself.
+        ok = F.col("vec").isNotNull() & (F.size("vec") == dim)
+        bad = e.filter(~ok)
+        if bad.limit(1).count() > 0:
+            bad.withColumn("__epoch", F.lit(epoch_val)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "__epoch"
+            ).json(checkpoint_dir.rstrip("/") + "/ann_rejects")
+        e = e.filter(ok)
         if not read_ivf_index_params(spark, index_path):
             # bootstrap: params.json is written LAST by build, so its
             # absence means no committed skeleton - (re-)run the
@@ -136,6 +207,44 @@ def run_incremental_ann_stream(
                 centroids=cents, epoch_partitioned=True,
             )
         append_to_ivf_index(e, index_path, dim, epoch=epoch_val)
+        # cumulative-population snapshot BEFORE the marker: the chain
+        # entry for epoch N is a pure function of (snapshot < N, batch
+        # N), so a crash-replayed epoch rewrites the identical
+        # partition - exactly-once, like the corpus append. Writing it
+        # pre-marker means a committed epoch's mass is never lost from
+        # the chain (post-marker it would vanish on a crash, biasing
+        # every future drift decision).
+        batch_stat_rows: list = []
+        cum_rows = None
+        stats_path = index_path.rstrip("/") + "__popstats"
+        snap_dir = index_path.rstrip("/") + "__popstats_cur"
+        if drift_smd_threshold is not None:
+            from ..operators.drift import embedding_population_stats
+
+            # e is the quarantine-filtered well-formed subset, so the
+            # operator's fail-fast (which would otherwise kill the
+            # query, contradicting the advisory-gate contract) cannot
+            # fire here (r14 ADVICE). <= dim rows: the bounded-pull
+            # class (centroid fetches).
+            batch_stat_rows = embedding_population_stats(
+                e, "vec", dim
+            ).collect()
+            if batch_stat_rows and fsio.exists(
+                spark, f"{stats_path}/_STORE_OK"
+            ):
+                prev = _latest_snapshot_rows(spark, snap_dir, token, epoch_id)
+                if prev is None:
+                    # fresh chain: the reference IS the population at
+                    # the last (re)train - start accumulating from it
+                    from ..operators.drift import read_population_stats
+
+                    prev = read_population_stats(spark, stats_path).collect()
+                cum_rows = _add_stats(prev, batch_stat_rows)
+                spark.createDataFrame(cum_rows, _STATS_SCHEMA).withColumn(
+                    "__epoch", F.lit(epoch_val)
+                ).write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("__epoch").parquet(snap_dir)
         fsio.write_text_atomic(spark, marker, epoch_val)
         # prune committed markers older than this epoch (ordering by
         # the epoch id parsed from the name, never mtime; foreign
@@ -166,22 +275,29 @@ def run_incremental_ann_stream(
             )
             from ..operators.ivf import rebuild_ivf_index
 
-            stats_path = index_path.rstrip("/") + "__popstats"
-            # <= dim rows: the bounded-pull class (centroid fetches)
-            cur_rows = embedding_population_stats(e, "vec", dim).collect()
-            stats_schema = "dim int, n long, sum_q long, sumsq_q long"
-            if cur_rows and not fsio.exists(
+            if batch_stat_rows and not fsio.exists(
                 spark, f"{stats_path}/_STORE_OK"
             ):
                 write_population_stats(
                     spark,
-                    spark.createDataFrame(cur_rows, stats_schema),
+                    spark.createDataFrame(batch_stat_rows, _STATS_SCHEMA),
                     stats_path,
                 )
-            elif cur_rows and not rebuilt:
+            elif cum_rows is not None and not rebuilt:
+                # gate on the CUMULATIVE served population (reference
+                # + every batch since the last retrain), not on the
+                # lone batch: batch-vs-reference fires on every
+                # post-shift micro-batch forever - after a retrain the
+                # reference is the full MIXED corpus, so each pure-new
+                # batch still reads as drifted and the loop rebuilds
+                # O(corpus) per epoch (r15: caught by the end-to-end
+                # test's epoch-4 centroid luck). The cumulative
+                # population converges to the corpus, so the gate
+                # fires exactly when the SERVED distribution left the
+                # TRAINED-ON one, then settles after the refresh.
                 report = embedding_drift_stats(
                     read_population_stats(spark, stats_path),
-                    spark.createDataFrame(cur_rows, stats_schema),
+                    spark.createDataFrame(cum_rows, _STATS_SCHEMA),
                     smd_threshold=drift_smd_threshold,
                 )
                 if population_drifted(report, drift_max_dims):
@@ -189,7 +305,10 @@ def run_incremental_ann_stream(
                     rebuilt = True
             if rebuilt:
                 # either gate retrained: the reference is now the full
-                # corpus the fresh centroids were trained on
+                # corpus the fresh centroids were trained on, and the
+                # cumulative chain resets to it (a crash between the
+                # two leaves a stale over-counting chain -> at worst
+                # one spurious advisory rebuild, then consistent)
                 corpus = spark.read.parquet(f"{index_path}/corpus").select(
                     "vec_id", "vec"
                 )
@@ -199,6 +318,18 @@ def run_incremental_ann_stream(
                     stats_path,
                     replace=True,
                 )
+                fsio.delete(spark, snap_dir)
+            elif cum_rows is not None:
+                # chain hygiene: epoch N's snapshot supersedes all
+                # earlier ones (and any foreign-token leftovers)
+                for old in fsio.list_names(spark, snap_dir):
+                    if not old.startswith("__epoch="):
+                        continue
+                    tok, _, eid = old[len("__epoch="):].rpartition("-")
+                    if tok != token or (
+                        eid.isdigit() and int(eid) < epoch_id
+                    ):
+                        fsio.delete(spark, f"{snap_dir}/{old}")
 
     return (
         vec_stream.writeStream.foreachBatch(process_batch)

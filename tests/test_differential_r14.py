@@ -88,11 +88,12 @@ def test_rollover_equal_at_boundary_is_not_a_reset(spark):
 
 def _model_grid(start: dt.datetime, end: dt.datetime) -> list[int]:
     """machine-detail.ts:17-25: from start.startOf('minute'), step one
-    minute while isBefore(end). Python floordiv floors negatives."""
+    minute while ``chunkEnd <= endTimestamp`` — only fully-elapsed
+    minutes are emitted. Python floordiv floors negatives."""
     m = int(start.timestamp()) // 60 * 60
     e = end.timestamp()
     out = []
-    while m < e:
+    while m + 60 <= e:
         out.append(m)
         m += 60
     return out
@@ -107,15 +108,19 @@ def test_minute_grid_matches_model_edges(spark):
         # fully pre-1970, unaligned start AND end
         (dt.datetime(1969, 12, 31, 22, 0, 59, tzinfo=UTC),
          dt.datetime(1969, 12, 31, 22, 5, 1, tzinfo=UTC)),
-        # end exactly on a minute boundary: excluded
+        # end exactly on a minute boundary: that minute fully elapsed
         (dt.datetime(2026, 3, 8, 6, 58, 0, tzinfo=UTC),
          dt.datetime(2026, 3, 8, 7, 2, 0, tzinfo=UTC)),
-        # end mid-minute: the last started minute IS included
+        # end mid-minute: the trailing in-progress minute is EXCLUDED
+        # (reference loop guard chunkEnd <= endTimestamp)
         (dt.datetime(2026, 3, 8, 6, 58, 20, tzinfo=UTC),
          dt.datetime(2026, 3, 8, 7, 1, 40, tzinfo=UTC)),
-        # degenerate: end before the truncated start's next step
+        # degenerate: no minute fully elapses -> empty grid
         (dt.datetime(2026, 1, 1, 0, 0, 30, tzinfo=UTC),
          dt.datetime(2026, 1, 1, 0, 0, 45, tzinfo=UTC)),
+        # unaligned 1-hour window: exactly 60 fully-elapsed minutes
+        (dt.datetime(2026, 5, 4, 9, 17, 42, tzinfo=UTC),
+         dt.datetime(2026, 5, 4, 10, 17, 42, tzinfo=UTC)),
     ]
     for start, end in cases:
         got = sorted(

@@ -192,11 +192,90 @@ def test_streaming_ann_drift_gate(spark, tmp_path):
     assert corpus.count() == 100
     assert corpus.select("vec_id").distinct().count() == 100
 
-    # epoch 4: the post-shift distribution is now the reference -
-    # more of the same does not retrain again
+    # epoch 4: 12 more shifted rows. The gate compares the CUMULATIVE
+    # served population (112 rows, barely moved from the 100-row
+    # reference) - quiet. (The retired batch-vs-reference gate fired
+    # here on every post-shift batch: the refreshed reference is the
+    # MIXED corpus, which no pure-shifted batch matches - it
+    # rebuilt O(corpus) per epoch, masked in the old test by
+    # sampled_centroids happening to pick the same 4 smallest-hash
+    # ids. The reference row-count assert below is the non-luck
+    # evidence the gate stayed closed.)
     c1 = centroids()
     e4 = [(5000 + i, cluster_vec(i % n_cent, shift=2.0)) for i in range(12)]
     write_epoch("b4.jsonl", e4)
     run()
     assert centroids() == c1
     assert spark.read.parquet(f"{idx}/corpus").count() == 112
+    assert {
+        r.dim: r.n for r in read_population_stats(spark, stats_path).collect()
+    } == {d: 100 for d in range(dim)}, "gate fired on an un-drifted cumulative"
+    # the cumulative chain is live and holds exactly one snapshot
+    snap_dir = idx + "__popstats_cur"
+    snaps = [n for n in os.listdir(snap_dir) if n.startswith("__epoch=")]
+    assert len(snaps) == 1
+    cum = spark.read.schema(
+        "dim int, n long, sum_q long, sumsq_q long"
+    ).parquet(os.path.join(snap_dir, snaps[0]))
+    assert {r.dim: r.n for r in cum.collect()} == {d: 112 for d in range(dim)}
+
+    # epoch 5: a batch carrying a NULL vector and a mis-sized vector
+    # alongside good rows. The batch drift operator fails fast on
+    # malformed input, but the STREAM path pre-filters to the
+    # well-formed subset (r14 ADVICE): the query must survive (a
+    # raise here would kill it after the epoch marker committed,
+    # violating the advisory-gate contract) and the gate must stay
+    # quiet on the clean subset.
+    import json as _json
+
+    with open(os.path.join(src, "b5.jsonl"), "w") as f:
+        f.write(
+            "\n".join(
+                [
+                    _json.dumps({"vec_id": 6000, "vec": None}),
+                    _json.dumps({"vec_id": 6001, "vec": [1.0, 2.0]}),
+                ]
+                + [
+                    _json.dumps(
+                        {"vec_id": 6100 + i,
+                         "vec": cluster_vec(i % n_cent, shift=2.0)}
+                    )
+                    for i in range(8)
+                ]
+            )
+        )
+    run()
+    assert centroids() == c1, "drift gate fired on a clean-subset batch"
+    # the 8 clean rows landed; the 2 malformed ones went to quarantine
+    assert spark.read.parquet(f"{idx}/corpus").count() == 120
+    rej = spark.read.json(os.path.join(ckpt, "ann_rejects"))
+    assert sorted(r.vec_id for r in rej.collect()) == [6000, 6001]
+
+    # epoch 6: sustained shift finally tips the CUMULATIVE population
+    # (270 rows, 210 of them shifted) past the threshold - one
+    # rebuild, reference refreshes to the full 270-row corpus, the
+    # chain resets
+    e6 = [(7000 + i, cluster_vec(i % n_cent, shift=2.0)) for i in range(150)]
+    write_epoch("b6.jsonl", e6)
+    run()
+    assert {
+        r.dim: r.n for r in read_population_stats(spark, stats_path).collect()
+    } == {d: 270 for d in range(dim)}, "cumulative drift did not retrain"
+    parts = [
+        n for n in os.listdir(f"{idx}/corpus") if n.startswith("__epoch=")
+    ]
+    assert parts == ["__epoch=base"], "rebuild did not compact epochs"
+    assert not os.path.exists(snap_dir), "chain did not reset on retrain"
+
+    # epoch 7: the retrained reference now covers the shifted mass -
+    # more of the same settles (the whole point of the cumulative
+    # gate)
+    c2 = centroids()
+    e7 = [(8000 + i, cluster_vec(i % n_cent, shift=2.0)) for i in range(12)]
+    write_epoch("b7.jsonl", e7)
+    run()
+    assert centroids() == c2
+    assert {
+        r.dim: r.n for r in read_population_stats(spark, stats_path).collect()
+    } == {d: 270 for d in range(dim)}
+    assert spark.read.parquet(f"{idx}/corpus").count() == 282

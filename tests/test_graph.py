@@ -124,7 +124,12 @@ def test_pagerank_checkpointed_identical_and_releasable(spark):
     got = {r.node: (r.degree, r.pagerank) for r in ck.collect()}
     assert got == plain
     ids = ck._spark_graft_ckpt_ids
-    assert len(ids) == 3  # iterations 2, 4, 6
+    # superseded checkpoints (iterations 2 and 4) are released as
+    # soon as their successor materializes (r14 ADVICE); only the
+    # live final checkpoint rides the result
+    assert len(ids) == 1
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert jmap.get(ids[0]) is not None  # live until the caller frees
     release_checkpoint(ck)
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     assert all(jmap.get(rid) is None for rid in ids)
@@ -133,3 +138,8 @@ def test_pagerank_checkpointed_identical_and_releasable(spark):
 
     with pytest.raises(ValueError, match="checkpoint_every"):
         pagerank_unrolled(df, iters=2, checkpoint_every=0)
+    # validation precedes the empty-graph early return AND any Spark
+    # action (r14 ADVICE: empty graph + bad arg must still raise)
+    empty = df.limit(0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank_unrolled(empty, iters=2, checkpoint_every=0)

@@ -96,6 +96,16 @@ def test_exactsubstr_matches_model_randomized(spark):
     docs.append((103, "yy1 " + exact_a))
     # overlapping self-repeat within one doc ("a a a a ...")
     docs.append((104, " ".join(["rep"] * 9)))
+    # tokens containing ASCII control chars < 0x20 (survive whitespace
+    # tokenization): under the retired space-join ordering the string
+    # sort interleaves d < d\x01 < "d\x01 y" < "d x", splitting the
+    # LCP-1 pair (105, 106) and under-reporting max_repeat_tokens 4
+    # instead of 5; the array ordering keeps exact token-sequence
+    # order (r14 ADVICE)
+    docs.append((105, "k1 k2 k3 k4 d"))
+    docs.append((106, "k1 k2 k3 k4 d x"))
+    docs.append((107, "k1 k2 k3 k4 d\x01"))
+    docs.append((108, "k1 k2 k3 k4 d\x01 y"))
     a, e = 4, 6
     assert _run(spark, docs, a, e) == _model(docs, a, e)
 
