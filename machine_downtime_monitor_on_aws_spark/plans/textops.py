@@ -174,7 +174,14 @@ def _contamination(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     )
 
 
-@register("benchmark_contamination", oracle=_contam_oracle(_CONTAM_N))
+# RETIRED from the catalog (r15 swap, r14 verdict next-round #4):
+# the n=3 batch decontamination row. Its evidence stays live twice
+# over - benchmark_contamination_13gram keeps the identical operator
+# oracle-paired at the published 13-gram window every round, and the
+# new decontam_stream_replay re-derives the full n=3 batch semantics
+# as the invariant its streaming-delta feed must sum to. Builder
+# stays importable;
+# tests/test_plans.py::test_r15_catalog_swap_executed pins the swap.
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: per training doc, the count of
     distinct n-gram shingles it shares with a held-out
@@ -434,22 +441,15 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.orderBy(F.col("total_tf").desc(), F.col("term")).limit(100)
 
 
-@register(
-    "vocab_top_bigrams",
-    oracle=f"""
-WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
-bi AS (
-  SELECT doc_id,
-         unnest(list_transform(range(1, len(toks)),
-                i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS bigram
-  FROM t WHERE len(toks) >= 2
-)
-SELECT bigram, CAST(count(*) AS BIGINT) AS total_tf,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-FROM bi GROUP BY bigram
-ORDER BY total_tf DESC, bigram LIMIT 100
-""",
-)
+# RETIRED from the catalog (r15 swap, r14 verdict next-round #1b):
+# the top-bigrams-by-frequency dump. Its evidence stays live twice
+# over - pmi_top_collocations re-derives the same bigram/unigram
+# count tables inside its oracle-paired PMI ranking every round, and
+# gopher_top_bigram_share keeps the top-bigram-frequency use inside
+# the quality-gate family; the new kn_trigram_doc_scores is the
+# n-gram-LM production surface this dump was the primitive for.
+# Builder stays importable;
+# tests/test_plans.py::test_r15_catalog_swap_executed pins the swap.
 def vocab_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation stats: top word bigrams by corpus frequency (the
     n-gram LM / phrase-mining primitive). Same TakeOrdered shape as
@@ -2133,6 +2133,83 @@ def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_D = 0.75
+
+_KN_TRIGRAM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+tr AS (
+  SELECT doc_id, s.w1 AS w1, s.w2 AS w2, s.w3 AS w3 FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                  i -> struct_pack(
+                         w1 := toks[CAST(i AS INT)],
+                         w2 := toks[CAST(i AS INT) + 1],
+                         w3 := toks[CAST(i AS INT) + 2]))) AS s
+    FROM t WHERE len(toks) >= 3)
+),
+c3t AS (SELECT w1, w2, w3, count(*) AS c3 FROM tr GROUP BY w1, w2, w3),
+ctxt AS (SELECT w1, w2, count(*) AS c2, count(DISTINCT w3) AS nf
+         FROM tr GROUP BY w1, w2),
+tt AS (SELECT DISTINCT w1, w2, w3 FROM tr),
+mids AS (SELECT w2, w3, count(*) AS n1mid FROM tt GROUP BY w2, w3),
+w2s AS (SELECT w2, count(*) AS nctx, count(DISTINCT w3) AS nfol2
+        FROM tt GROUP BY w2),
+bt AS (SELECT DISTINCT w2, w3 FROM tt),
+uni AS (SELECT w3, count(*) AS n1uni FROM bt GROUP BY w3),
+btot AS (SELECT count(*) AS b FROM bt),
+p2 AS (
+  SELECT m.w2, m.w3,
+         (CAST(m.n1mid AS DOUBLE) - {_KN_D}) / CAST(s.nctx AS DOUBLE)
+         + {_KN_D} * CAST(s.nfol2 AS DOUBLE) / CAST(s.nctx AS DOUBLE)
+           * (CAST(u.n1uni AS DOUBLE)
+              / CAST((SELECT b FROM btot) AS DOUBLE)) AS p2
+  FROM mids m JOIN w2s s USING (w2) JOIN uni u USING (w3)
+),
+p AS (
+  SELECT tr.doc_id,
+         (CAST(c.c3 AS DOUBLE) - {_KN_D}) / CAST(x.c2 AS DOUBLE)
+         + {_KN_D} * CAST(x.nf AS DOUBLE) / CAST(x.c2 AS DOUBLE)
+           * p2.p2 AS p
+  FROM tr JOIN c3t c USING (w1, w2, w3)
+          JOIN ctxt x USING (w1, w2)
+          JOIN p2 USING (w2, w3)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CAST(floor(p * 1000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000000.0 / CAST(count(*) AS DOUBLE) AS mean_kn_prob,
+       min(p) AS min_kn_prob
+FROM p GROUP BY doc_id
+"""
+
+
+@register("kn_trigram_doc_scores", oracle=_KN_TRIGRAM_ORACLE)
+def kn_trigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM scoring
+    (operators/kneser_ney.py - r14 verdict next-round #1b, the
+    bigram LM's production upgrade): absolute discount D = 0.75 with
+    continuation counts at the lower orders, trained on the corpus
+    itself and scoring every document's mean/min trigram probability
+    - the CCNet-style perplexity-proxy quality gate at trigram
+    fidelity. Every count is an integer aggregate, every probability
+    a fixed left-associative IEEE dag over those integers, and the
+    per-doc mean rides the quantized 1e-9 BIGINT-sum scheme - so the
+    ENTIRE smoother (discounts, interpolation weights, continuation
+    backoff) hash-matches the oracle's relational re-derivation.
+    Log-space perplexity is deliberately out: ln() is not
+    correctly-rounded across libm implementations (the bigram-LM
+    rationale); a production log-scorer is a one-line variant.
+
+    Scale shape: the corpus explodes ONCE into token-sized trigram
+    rows; the five model tables are vocabulary-sized and partially
+    aggregate map-side; scoring is keyed equi-joins on short string
+    keys - document text never shuffles. Single consumer today, so
+    the model trains in-plan; a second consumer moves the count
+    tables behind the bigram-LM persisted-store discipline."""
+    from ..operators.kneser_ney import kn_trigram_doc_scores as _kn
+
+    return _kn(_docs(spark, sf_dir), tokens(F.col("text")))
+
+
 @register(
     "gopher_top_bigram_share",
     oracle=f"""
@@ -3576,6 +3653,128 @@ def exact_dedup_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("epoch"),
     )
+
+
+# ---- Streaming decontamination loop replay (delta-feed end state)
+
+_DECONTAM_REPLAY_ORACLE = f"""
+WITH ev AS (
+  SELECT g, min(ep) AS ep FROM (
+    SELECT unnest(list_distinct({_shingles_sql(_CONTAM_N)})) AS g,
+           CAST((doc_id % 291) // 97 AS INT) AS ep
+    FROM documents WHERE doc_id % 97 = 0) GROUP BY g
+),
+cg AS (
+  SELECT doc_id, unnest(list_distinct({_shingles_sql(_CONTAM_N)})) AS g
+  FROM documents WHERE doc_id % 97 <> 0
+),
+hits AS (SELECT cg.doc_id, ev.ep FROM cg JOIN ev USING (g))
+SELECT doc_id, CAST(count(*) AS INT) AS n_shared_ngrams,
+       CAST(count(DISTINCT ep) AS INT) AS n_epochs
+FROM hits GROUP BY doc_id
+"""
+
+
+@register("decontam_stream_replay", oracle=_DECONTAM_REPLAY_ORACLE)
+def decontam_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming decontamination loop's end state, driver-verified
+    (r14 verdict next-round #4 - the last batch-only gap in the
+    streaming family): the benchmark set (doc_id % 97 = 0) ARRIVES in
+    three availableNow epochs (by (doc_id/97) % 3) through
+    streaming/decontam.run_decontamination_stream, each epoch probing
+    only its NEW grams against the corpus's persisted shingle index;
+    the returned view sums the epoch-partitioned delta feed. What the
+    hash match machine-checks against one batch DuckDB query:
+
+    - DELTA-SUM INVARIANT: per doc, summed epoch deltas equal the
+      n=3 batch contamination count against the FULL accumulated
+      benchmark (each gram lands in exactly the epoch that first
+      contributed it - min(ep) in the oracle);
+    - EXACTLY-ONCE: n_epochs equals the distinct first-epochs of the
+      doc's shared grams - a replayed/duplicated epoch write would
+      inflate n_shared_ngrams immediately;
+    - INDEX-PROBE equivalence: the broadcast probe of the bucketed
+      postings table recovers exactly the corpus-side explode+join
+      the batch operator runs.
+
+    Replay runs once per corpus (build-if-absent under _REPLAY_DONE;
+    single-writer assumed, crash-partial builds wiped); warm
+    invocations read the feed. Docs sharing no gram never enter the
+    feed - the O(delta) point of the loop."""
+    import hashlib
+    import os
+
+    from ..operators.allpairs import shingle_postings, write_shingle_index
+    from ..streaming.decontam import (
+        contamination_totals,
+        run_decontamination_stream,
+    )
+
+    pin_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:dcreplay:v1:{_CONTAM_N}:3"
+    tag = hashlib.md5(ident.encode("utf-8")).hexdigest()[:10]
+    from .. import fsio
+
+    root = fsio.tmp_store_path("dcreplay", ident)
+    flags_path = f"{root}/flags"
+    done = f"{root}/_REPLAY_DONE"
+
+    if not fsio.exists(spark, done):
+        if fsio.exists(spark, root):
+            fsio.delete(spark, root)
+        table = f"spark_graft_dcr_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = f"{wh.rstrip('/')}/{table}"
+        if fsio.exists(spark, loc):
+            fsio.delete(spark, loc)
+        d = _docs(spark, sf_dir)
+        # the corpus's postings index at the decontamination window
+        write_shingle_index(
+            shingle_postings(
+                d.filter(F.col("doc_id") % 97 != 0),
+                "doc_id",
+                "text",
+                _CONTAM_N,
+            ),
+            table,
+            num_buckets=16,
+            shingle_n=_CONTAM_N,
+        )
+        bench = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+        in_dir = f"{root}/in"
+        fsio.mkdirs(spark, in_dir)
+        for ep in range(3):
+            stage = f"{root}/stage_e{ep}"
+            bench.filter(
+                (F.col("doc_id") % 291) / 97 == ep
+            ).coalesce(1).write.mode("overwrite").json(stage)
+            parts = sorted(
+                p
+                for p in fsio.list_files_recursive(spark, stage)
+                if "/part-" in p and not p.endswith(".crc")
+            )
+            for i, p in enumerate(parts):
+                fsio.rename(spark, p, f"{in_dir}/e{ep}_{i}.json")
+            q = run_decontamination_stream(
+                spark.readStream.schema("doc_id long, text string").json(
+                    in_dir
+                ),
+                table,
+                f"{root}/grams",
+                flags_path,
+                f"{root}/ckpt",
+                n=_CONTAM_N,
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "replay epoch did not terminate within 600s"
+                )
+        fsio.write_text_atomic(spark, done, "ok")
+    return contamination_totals(spark, flags_path)
 
 
 # incremental substring dedup: duplicated_spans' oracle restricted to

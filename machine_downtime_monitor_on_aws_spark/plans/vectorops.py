@@ -500,19 +500,14 @@ def ivf_recall_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lsh_bucket_assignments",
-    oracle=f"""
-WITH planes AS (SELECT {_planes_sql()} AS ps),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT vec_id,
-       array_to_string(
-         list_transform((SELECT ps FROM planes),
-                        p -> CASE WHEN {_DOT_SQL.format(a='v', b='p')} >= 0
-                             THEN '1' ELSE '0' END), '') AS bucket
-FROM e
-""",
-)
+# RETIRED from the catalog (r15 swap, r14 verdict next-round #1a):
+# the raw sign-LSH bucket-id dump. Its evidence stays live twice
+# over - lsh_neardup_embeddings derives these exact buckets inside
+# its oracle-paired pair stage every round, and the new
+# signq_rerank_top5 is the production form of "sign bits as a
+# surface" (packed words + Hamming popcount + exact re-rank instead
+# of a bit-string dump). Builder stays importable;
+# tests/test_plans.py::test_r15_catalog_swap_executed pins the swap.
 def lsh_bucket_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket id per vector - the public
     operators/similarity.lsh_buckets surface as its own catalog query
@@ -1201,6 +1196,94 @@ def sq_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
     )
     return sq_topk(q, e, stats, _TOPK, levels=_SQ_LEVELS)
+
+
+_SIGNQ_WORDS = (_DIM + 31) // 32
+_SIGNQ_SHORTLIST = 20
+
+_SIGNQ_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+st AS (
+  SELECT t.j,
+         sum(CAST(floor(v[t.j + 1] * 1000000000.0 + 0.5) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM e, generate_series(0, {_DIM - 1}) t(j) GROUP BY t.j
+),
+thr AS (
+  SELECT j, CAST(s AS DOUBLE) / 1000000000.0 / CAST(n AS DOUBLE) AS thr
+  FROM st
+),
+bl AS (
+  SELECT e.vec_id,
+         list(CASE WHEN e.v[t.j + 1] > t.thr THEN CAST(1 AS BIGINT)
+                   ELSE CAST(0 AS BIGINT) END ORDER BY t.j) AS bits
+  FROM e, thr t GROUP BY e.vec_id
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(range(0, {_SIGNQ_WORDS}),
+           w -> CAST(list_sum(list_transform(range(0, 32),
+                  j -> bits[CAST(w * 32 + j + 1 AS INT)]
+                       * (CAST(1 AS BIGINT) << CAST(j AS INT))))
+                AS BIGINT)) AS code
+  FROM bl
+),
+q AS (SELECT vec_id AS qid, code AS qcode FROM codes
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(q.qcode, c.code),
+              x -> bit_count(xor(x[1], x[2])))) AS BIGINT) AS hamming
+  FROM q JOIN codes c ON c.vec_id <> q.qid
+),
+cand AS (
+  SELECT qid, neighbor_id, hamming FROM (
+    SELECT qid, neighbor_id, hamming,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY hamming ASC, neighbor_id ASC) AS rn
+    FROM scored) WHERE rn <= {_SIGNQ_SHORTLIST}
+),
+exact AS (
+  SELECT cand.qid, cand.neighbor_id, cand.hamming,
+         {_sq_l2_sql('qe.v', 'ne.v')} AS sq_dist
+  FROM cand JOIN e qe ON qe.vec_id = cand.qid
+            JOIN e ne ON ne.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT qid, neighbor_id, hamming, sq_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sq_dist ASC, neighbor_id ASC) AS rnk
+  FROM exact
+)
+SELECT qid, neighbor_id, hamming, sq_dist, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOPK}
+"""
+
+
+@register("signq_rerank_top5", oracle=_SIGNQ_ORACLE)
+def signq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign-quantization ANN (operators/signq.py - r14 verdict
+    next-round #1a, the missing cheapest point on the SQ/PQ/OPQ
+    compression curve): threshold each dimension at its
+    quantized-integer corpus mean, pack the sign bits 32 per BIGINT
+    word (64 dims -> 16 bytes), shortlist 20 candidates per query by
+    XOR+popcount Hamming distance, then re-rank the sliver by exact
+    squared L2 over the raw vectors - the ivfpq_rerank_top5 shortlist
+    contract at 1 bit per dimension. Every stage is exact integer or
+    fixed-order IEEE arithmetic, so the oracle re-derives thresholds,
+    packed words, Hamming counts, and re-rank distances end to end.
+    Scale shape: fit is one map-side-combining aggregation (dim
+    BIGINTs to the driver); encoding is scan expression; stage 1
+    broadcasts only the 10 query codes and cuts per-query windows -
+    the corpus never shuffles; stage 2 touches queries x 20 rows."""
+    from ..operators.signq import signq_fit_thresholds, signq_topk_rerank
+
+    e = _emb(spark, sf_dir).select("vec_id", "vec")
+    thr = signq_fit_thresholds(e, _DIM)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
+    )
+    return signq_topk_rerank(q, e, thr, _TOPK, _SIGNQ_SHORTLIST)
 
 
 _PERM_PQ_ORACLE = f"""

@@ -162,10 +162,17 @@ def test_candidate_pair_set_never_shuffles(spark):
 
 
 def test_token_packing_single_shuffle(spark):
-    """Packing = one hash partition on bucket (window), nothing else."""
+    """Packing = one hash partition on bucket (window), nothing else.
+    (Pinned on the builder directly since the r15 swap retired the
+    catalog row; pack_utilization_stats / training_shard_manifest
+    keep the assignment oracle-checked.)"""
     import re
 
-    plan = plan_of(spark, "token_packing_assignments")
+    from machine_downtime_monitor_on_aws_spark.plans.pipelineops import (
+        token_packing_assignments,
+    )
+
+    plan = explain(token_packing_assignments(spark, SF_ORACLE))
     # formatted explain prints each node in the tree AND the detail
     # section; count node headers "(N) Exchange" once
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
@@ -380,6 +387,49 @@ def test_r14_catalog_swap_executed():
         "simhash_fingerprints",
         "lang_id_agreement",
         "lang_id_ngram_predictions",
+    ):
+        assert n in catalog.REGISTRY, f"swap replacement/twin {n} missing"
+    assert math.ceil(len(catalog.REGISTRY) / 50) <= 3
+
+
+def test_r15_catalog_swap_executed():
+    """r14 verdict next-round #1: three retirements fund the round's
+    three new 100TB surfaces. Retired: the sign-LSH bucket-id dump
+    (buckets re-derive inside lsh_neardup_embeddings' oracle; the new
+    signq query is the production packed-bit form), the top-bigrams
+    dump (the same count tables live inside pmi_top_collocations /
+    gopher_top_bigram_share; the new KN query is the n-gram-LM
+    production surface), and the raw packing dump
+    (pack_utilization_stats re-derives the identical assignment and
+    training_shard_manifest consumes it). Builders stay importable;
+    the catalog stays within the staleness bound."""
+    import math
+
+    from machine_downtime_monitor_on_aws_spark.plans import (
+        pipelineops,
+        textops,
+        vectorops,
+    )
+
+    retired = {
+        "lsh_bucket_assignments": vectorops,
+        "vocab_top_bigrams": textops,
+        "token_packing_assignments": pipelineops,
+        "benchmark_contamination": textops,
+    }
+    for n, mod in retired.items():
+        assert n not in catalog.REGISTRY, f"{n} should be retired"
+        assert callable(getattr(mod, n))  # evidence stays importable
+    for n in (
+        "signq_rerank_top5",
+        "kn_trigram_doc_scores",
+        "training_shard_manifest",
+        "decontam_stream_replay",
+        "lsh_neardup_embeddings",
+        "pmi_top_collocations",
+        "gopher_top_bigram_share",
+        "pack_utilization_stats",
+        "benchmark_contamination_13gram",
     ):
         assert n in catalog.REGISTRY, f"swap replacement/twin {n} missing"
     assert math.ceil(len(catalog.REGISTRY) / 50) <= 3

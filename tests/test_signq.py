@@ -1,0 +1,151 @@
+"""Binary sign-quantization ANN (operators/signq.py): pure-Python
+model pins for the packed codes and Hamming arithmetic, an exactness
+property for the full-corpus shortlist, and the plan contract -
+beside the oracle-paired catalog query signq_rerank_top5."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from machine_downtime_monitor_on_aws_spark.operators.signq import (
+    hamming_distance,
+    signq_encode,
+    signq_fit_thresholds,
+    signq_topk_rerank,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, vec array<double>",
+    )
+
+
+def _model_thresholds(rows):
+    dim = len(rows[0])
+    n = len(rows)
+    return [
+        float(sum(int((v[j] * 1e9 + 0.5) // 1) for v in rows)) / 1e9 / n
+        for j in range(dim)
+    ]
+
+
+def _model_code(vec, thr, word=32):
+    dim = len(vec)
+    n_words = (dim + word - 1) // word
+    bits = [1 if vec[j] > thr[j] else 0 for j in range(dim)]
+    bits += [0] * (n_words * word - dim)
+    return [
+        sum(bits[w * word + j] << j for j in range(word))
+        for w in range(n_words)
+    ]
+
+
+def test_encode_matches_python_model(spark):
+    """Packed words equal the bit-for-bit Python model, including a
+    non-multiple-of-32 dimension (pad bits stay zero) and the strict
+    `>` threshold comparison (equal-to-threshold encodes 0)."""
+    rows = [
+        [0.0, 5.0, -1.0, 7.0, 2.5] * 7,  # dim 35 -> 2 words, 29 pad bits
+        [1.0, 5.0, 3.5, -2.0, 2.5] * 7,
+        [0.25, 4.0, 2.0, 4.0, 2.5] * 7,
+    ]
+    df = _df(spark, rows)
+    dim = len(rows[0])
+    thr = signq_fit_thresholds(df, dim)
+    assert thr == pytest.approx(_model_thresholds(rows), abs=0.0)
+    got = {
+        r["vec_id"]: list(r["signq_code"])
+        for r in signq_encode(df, thr).collect()
+    }
+    for i, v in enumerate(rows):
+        assert got[i] == _model_code(v, thr), f"vec {i}"
+    # constant dimension (index 4, value 2.5 everywhere): mean ==
+    # value, strict > makes the bit 0 for every vector
+    for i in range(len(rows)):
+        assert (got[i][0] >> 4) & 1 == 0
+
+
+def test_hamming_matches_python_model(spark):
+    """XOR+popcount over packed words equals the per-bit count."""
+    rows = [[float(i + j % 3) for j in range(64)] for i in range(6)]
+    df = _df(spark, rows)
+    thr = signq_fit_thresholds(df, 64)
+    enc = signq_encode(df, thr)
+    a = enc.select(
+        F.col("vec_id").alias("ida"), F.col("signq_code").alias("ca")
+    )
+    b = enc.select(
+        F.col("vec_id").alias("idb"), F.col("signq_code").alias("cb")
+    )
+    got = {
+        (r["ida"], r["idb"]): r["hd"]
+        for r in a.crossJoin(b)
+        .withColumn("hd", hamming_distance(F.col("ca"), F.col("cb")))
+        .collect()
+    }
+    codes = {i: _model_code(v, thr) for i, v in enumerate(rows)}
+    for i in codes:
+        for j in codes:
+            expect = sum(
+                bin(x ^ y).count("1")
+                for x, y in zip(codes[i], codes[j])
+            )
+            assert got[(i, j)] == expect
+
+
+def test_full_corpus_shortlist_equals_brute_force(spark):
+    """With shortlist >= corpus size, the Hamming stage cannot drop
+    the true neighbors, so the re-ranked top-k equals exact
+    brute-force squared-L2 top-k - the losslessness bound every
+    shortlist representation is graded against."""
+    rows = [[float((i * 7 + j * 3) % 11) for j in range(8)] for i in range(12)]
+    df = _df(spark, rows)
+    thr = signq_fit_thresholds(df, 8)
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
+    )
+    got = {
+        (r["qid"], r["rnk"]): r["neighbor_id"]
+        for r in signq_topk_rerank(q, df, thr, 3, len(rows)).collect()
+    }
+    for qid in (0, 1):
+        dists = sorted(
+            (
+                sum((a - b) ** 2 for a, b in zip(rows[qid], rows[i])),
+                i,
+            )
+            for i in range(len(rows))
+            if i != qid
+        )
+        for rnk, (_, nid) in enumerate(dists[:3], start=1):
+            assert got[(qid, rnk)] == nid
+
+
+def test_shortlist_smaller_than_k_raises(spark):
+    df = _df(spark, [[0.0] * 4])
+    q = df.select(F.col("vec_id").alias("qid"), F.col("vec").alias("qv"))
+    with pytest.raises(ValueError, match="shortlist"):
+        signq_topk_rerank(q, df, [0.0] * 4, 5, 3)
+
+
+def test_signq_plan_broadcasts_queries_not_corpus(spark):
+    """The catalog query's plan: query codes and the 200-row
+    shortlist broadcast (never the corpus), both rank cuts are
+    per-query windows (hashpartitioning on qid), and nothing funnels
+    through a single partition."""
+    from conftest import SF_ORACLE
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+    from test_plans import explain
+
+    plan = explain(
+        catalog.REGISTRY["signq_rerank_top5"].fn(spark, SF_ORACLE)
+    )
+    assert "BroadcastExchange" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(qid" in plan

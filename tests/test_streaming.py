@@ -2133,3 +2133,125 @@ def test_streaming_span_dedup_loop(spark, tmp_path):
         assert s20 == {(2, 20), (10, 20), (11, 20)}  # doc 1 gone
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_decontamination_loop(spark, tmp_path):
+    """The benchmark-update decontamination loop (r14 verdict
+    next-round #4): epoch 1 flags corpus docs overlapping the new
+    benchmark's grams; epoch 2 re-flags ONLY docs touched by grams
+    never seen before (a wholly-duplicate benchmark doc contributes
+    nothing - the O(delta) contract); totals across epochs equal the
+    batch pass against the accumulated benchmark; restart with no
+    new data is a no-op."""
+    from machine_downtime_monitor_on_aws_spark.operators.allpairs import (
+        shingle_postings,
+        write_shingle_index,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.decontam import (
+        contamination_totals,
+        run_decontamination_stream,
+    )
+
+    src = str(tmp_path / "bench")
+    ckpt = str(tmp_path / "ckpt")
+    grams_path = str(tmp_path / "grams")
+    flags_path = str(tmp_path / "flags")
+    os.makedirs(src)
+    table = "sdecontam_test"
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "beta gamma delta epsilon"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def run():
+        q = run_decontamination_stream(
+            spark.readStream.schema("bench_id long, text string").json(src),
+            table,
+            grams_path,
+            flags_path,
+            ckpt,
+            n=3,
+        )
+        q.awaitTermination(120)
+
+    try:
+        write_shingle_index(
+            shingle_postings(corpus, "doc_id", "text", 3),
+            table,
+            num_buckets=4,
+            shingle_n=3,
+        )
+        with open(os.path.join(src, "b1.jsonl"), "w") as f:
+            f.write(json.dumps(
+                {"bench_id": 100, "text": "alpha beta gamma delta"}
+            ))
+        run()
+        t1 = {
+            r["doc_id"]: (r["n_shared_ngrams"], r["n_epochs"])
+            for r in contamination_totals(spark, flags_path).collect()
+        }
+        # bench grams: {alpha beta gamma, beta gamma delta}
+        assert t1 == {1: (2, 1), 2: (1, 1)}
+
+        with open(os.path.join(src, "b2.jsonl"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in [
+                # wholly duplicate vs epoch 1: contributes NO new gram
+                {"bench_id": 101, "text": "alpha beta gamma"},
+                {"bench_id": 102, "text": "gamma delta epsilon zeta"},
+            ]))
+        run()
+        t2 = {
+            r["doc_id"]: (r["n_shared_ngrams"], r["n_epochs"])
+            for r in contamination_totals(spark, flags_path).collect()
+        }
+        # epoch 2's new grams: {gamma delta epsilon, delta epsilon zeta}
+        # -> only doc 2 re-flagged; doc 3 still untouched
+        assert t2 == {1: (2, 1), 2: (2, 2)}
+        # the delta feed names only touched docs, once per touching epoch
+        deltas = spark.read.schema(
+            "doc_id long, n_new_shared int, __epoch_id string"
+        ).parquet(flags_path)
+        assert deltas.count() == 3  # (1,e0) (2,e0) (2,e1)
+
+        run()  # no new data: marker + checkpoint make it a no-op
+        t3 = {
+            r["doc_id"]: (r["n_shared_ngrams"], r["n_epochs"])
+            for r in contamination_totals(spark, flags_path).collect()
+        }
+        assert t3 == t2
+
+        # totals equal the batch pass against the accumulated benchmark
+        bench_all = spark.createDataFrame(
+            [
+                (100, "alpha beta gamma delta"),
+                (101, "alpha beta gamma"),
+                (102, "gamma delta epsilon zeta"),
+            ],
+            "bench_id long, text string",
+        )
+        from machine_downtime_monitor_on_aws_spark.functions.text import (
+            shingles,
+        )
+
+        ev = bench_all.select(
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("g")
+        ).distinct()
+        cg = corpus.select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles(F.col("text"), 3))).alias("g"),
+        )
+        batch = {
+            r["doc_id"]: r["cnt"]
+            for r in cg.join(ev, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert batch == {d: c for d, (c, _e) in t2.items()}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
