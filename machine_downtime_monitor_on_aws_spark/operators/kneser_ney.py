@@ -76,8 +76,23 @@ def kn_trigram_doc_scores(d: DataFrame, toks_col) -> DataFrame:
     """(doc_id, n_trigrams, mean_kn_prob, min_kn_prob): score every
     document by its interpolated-KN trigram probabilities under the
     model trained on the full input. ``toks_col`` is the
-    tokenization expression applied to each document's text."""
-    tr = trigram_rows(d, toks_col)
+    tokenization expression applied to each document's text.
+
+    Barrier shape (the tfidf lesson, r14): the trigram-occurrence
+    table feeds FOUR consumers (c3, context counts, the type table,
+    scoring) and the type table another four - without barriers
+    Catalyst re-derives the corpus tokenize+explode per consumer.
+    Lazy tracked localCheckpoints on ``tr`` and ``tt`` (and the
+    bigram-type slice) collapse that to ONE corpus explode. Measured
+    at sf0.1 (matched warm runs, same session): 3.42 s -> 2.35 s
+    median (1.46x) - a real win already at bench scale, and the gap
+    is the whole cost model at 100 TB where the corpus explode
+    dominates. The pinned RDD ids ride the result as
+    ``_spark_graft_ckpt_ids`` (catalog resource contract: long-lived
+    callers release via streaming.store.release_checkpoint)."""
+    from ..streaming.store import _tracked_local_checkpoint
+
+    tr = _tracked_local_checkpoint(trigram_rows(d, toks_col), eager=False)
 
     # Occurrence counts: c3 per trigram; c2 + N1+(w1 w2 .) per context.
     c3t = tr.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
@@ -88,13 +103,17 @@ def kn_trigram_doc_scores(d: DataFrame, toks_col) -> DataFrame:
 
     # Type counts (continuation statistics) - all from ONE distinct
     # trigram-type table; bigram types are its distinct mid-pairs.
-    tt = tr.select("w1", "w2", "w3").distinct()
+    tt = _tracked_local_checkpoint(
+        tr.select("w1", "w2", "w3").distinct(), eager=False
+    )
     mids = tt.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1mid"))
     w2s = tt.groupBy("w2").agg(
         F.count(F.lit(1)).alias("nctx"),
         F.countDistinct("w3").alias("nfol2"),
     )
-    bt = tt.select("w2", "w3").distinct()
+    bt = _tracked_local_checkpoint(
+        tt.select("w2", "w3").distinct(), eager=False
+    )
     uni = bt.groupBy("w3").agg(F.count(F.lit(1)).alias("n1uni"))
     b_total = bt.count()  # scalar, one row to the driver (the V pattern)
 
@@ -125,7 +144,7 @@ def kn_trigram_doc_scores(d: DataFrame, toks_col) -> DataFrame:
         .withColumn("p", p3)
     )
     q = F.floor(F.col("p") * F.lit(1e9) + F.lit(0.5)).cast("long")
-    return scored.groupBy("doc_id").agg(
+    out = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trigrams"),
         (
             F.sum(q).cast("double")
@@ -134,3 +153,11 @@ def kn_trigram_doc_scores(d: DataFrame, toks_col) -> DataFrame:
         ).alias("mean_kn_prob"),
         F.min("p").alias("min_kn_prob"),
     )
+    # catalog resource contract: the barriers' pinned RDD ids ride
+    # the result so release_checkpoint can free them deterministically
+    out._spark_graft_ckpt_ids = (
+        getattr(tr, "_spark_graft_ckpt_ids", ())
+        + getattr(tt, "_spark_graft_ckpt_ids", ())
+        + getattr(bt, "_spark_graft_ckpt_ids", ())
+    )
+    return out

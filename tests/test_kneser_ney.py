@@ -145,3 +145,28 @@ def test_plan_explodes_corpus_once_text_never_shuffles(spark):
     assert "SinglePartition" not in plan
     for m in re.finditer(r"Arguments: hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1)
+
+
+def test_kn_barriers_tracked_and_releasable(spark):
+    """The trigram/type-table lazy checkpoint barriers (one corpus
+    explode instead of four - measured 3.42 -> 2.35 s at sf0.1) ride
+    the result as _spark_graft_ckpt_ids per the catalog resource
+    contract: all three pinned RDDs exist after consumption and
+    release_checkpoint frees exactly them."""
+    from machine_downtime_monitor_on_aws_spark.streaming.store import (
+        release_checkpoint,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"a b c w{i % 3} a b c") for i in range(12)],
+        "doc_id long, text string",
+    )
+    out = kn_trigram_doc_scores(df, F.split(F.col("text"), " "))
+    ids = getattr(out, "_spark_graft_ckpt_ids", ())
+    assert len(ids) == 3, ids
+    assert out.count() == 12  # materializes the lazy barriers
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert all(jmap.get(rid) is not None for rid in ids)
+    release_checkpoint(out)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert all(jmap.get(rid) is None for rid in ids)
