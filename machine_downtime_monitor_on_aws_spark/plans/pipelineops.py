@@ -45,14 +45,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
-@register(
-    "corpus_deterministic_sample",
-    oracle=f"""
-SELECT doc_id, lang, source
-FROM documents
-WHERE {sample_hash_sql('doc_id', 'sample')} < {_SAMPLE_PCT * 100}
-""",
-)
+# RETIRED from the catalog (r15 swap, funding the streaming shard
+# manifest replay): the flat 40% hash-filter demo. Its evidence
+# stays live three ways - corpus_mixture_sample is the SAME
+# sample_hash filter with per-source rates, quality_weighted_sample
+# the same filter with a per-row rate column, and
+# training_corpus_pipeline runs deterministic sampling inside its
+# end-to-end oracle. Builder stays importable;
+# tests/test_plans.py::test_r15_catalog_swap_executed pins the swap
+# and test_sampling_queries_have_no_shuffle keeps the plan contract
+# on the builder directly.
 def corpus_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """~40% reproducible subsample by id hash: unlike df.sample, the
     kept set is independent of partition layout / run, and the
@@ -353,6 +355,146 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "shard", "position", "order_key",
         "bucket", "pack_id", "n_docs", "pack_tokens",
+    )
+
+
+# ---- Streaming shard-manifest maintenance replay (feed end state)
+
+_MANIFEST_EPOCHS = 3
+
+_SHARD_STREAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+         {sample_hash_sql('doc_id', 'pack')} % {_PACK_BUCKETS} AS bucket
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(floor((sum(n_tokens) OVER w - n_tokens) / {_PACK_MAX_TOKENS}) AS INT)
+           AS pack_id
+  FROM t
+  WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+packs AS (
+  SELECT CAST(bucket AS BIGINT) AS bucket, pack_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+  FROM assigned GROUP BY bucket, pack_id
+),
+sh AS (
+  SELECT bucket, pack_id, n_docs, pack_tokens,
+         {shard_key_sql(_SHARD_KEY_SQL, _N_SHARDS)} AS shard,
+         {order_key_sql(_SHARD_KEY_SQL)} AS order_key,
+         CAST((bucket + pack_id) % {_MANIFEST_EPOCHS} AS INT) AS ep
+  FROM packs
+)
+SELECT bucket, pack_id, n_docs, pack_tokens, shard, order_key,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY ep, order_key, bucket, pack_id)
+            AS INT) AS position,
+       ep
+FROM sh
+"""
+
+
+@register("shard_manifest_stream_replay", oracle=_SHARD_STREAM_ORACLE)
+def shard_manifest_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard-manifest STREAMING loop's end state, driver-verified
+    (streaming/shards.py - the assembly stage's incremental path):
+    the corpus's packed sequences ARRIVE in three availableNow epochs
+    (by (bucket + pack_id) % 3) and each epoch extends every shard
+    from its committed high-water position. What the hash match
+    machine-checks against one batch DuckDB query:
+
+    - EPOCH-MAJOR / HASH-MINOR order: position equals a row_number
+      over (arrival epoch, order_key, key) - committed positions
+      never renumber, within-epoch order is the batch operator's
+      hash order, and shard/order_key are the SAME pure md5
+      functions of the key the batch manifest uses;
+    - EXACTLY-ONCE: every pack appears exactly once with a dense
+      per-shard 1..n position sequence - a replayed/duplicated epoch
+      write would break density immediately;
+    - BASE-OFFSET integrity: each epoch's rows start exactly one
+      past the prior committed max per shard.
+
+    Replay runs once per corpus (build-if-absent under _REPLAY_DONE;
+    single-writer assumed, crash-partial builds wiped); warm
+    invocations read the feed. The ``ep`` column re-derives from the
+    feed's __epoch_id suffix so the oracle's arrival attribution is
+    checked, not assumed."""
+    import hashlib
+    import os
+
+    from ..streaming.shards import read_manifest, run_shard_manifest_stream
+
+    pin_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = (
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:shreplay:v1:"
+        f"{_PACK_MAX_TOKENS}:{_PACK_BUCKETS}:{_N_SHARDS}:{_MANIFEST_EPOCHS}"
+    )
+    from .. import fsio
+
+    root = fsio.tmp_store_path("shreplay", ident)
+    manifest_path = f"{root}/manifest"
+    done = f"{root}/_REPLAY_DONE"
+    key_schema = "bucket bigint, pack_id int, n_docs bigint, pack_tokens bigint"
+
+    if not fsio.exists(spark, done):
+        if fsio.exists(spark, root):
+            fsio.delete(spark, root)
+        d = _docs(spark, sf_dir).select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        )
+        packs = (
+            pack_sequences(
+                d, "doc_id", "n_tokens", _PACK_MAX_TOKENS, _PACK_BUCKETS,
+                salt="pack",
+            )
+            .groupBy("bucket", "pack_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("pack_tokens"),
+            )
+        )
+        in_dir = f"{root}/in"
+        fsio.mkdirs(spark, in_dir)
+        for ep in range(_MANIFEST_EPOCHS):
+            stage = f"{root}/stage_e{ep}"
+            packs.filter(
+                (F.col("bucket") + F.col("pack_id")) % _MANIFEST_EPOCHS == ep
+            ).coalesce(1).write.mode("overwrite").json(stage)
+            parts = sorted(
+                p
+                for p in fsio.list_files_recursive(spark, stage)
+                if "/part-" in p and not p.endswith(".crc")
+            )
+            for i, p in enumerate(parts):
+                fsio.rename(spark, p, f"{in_dir}/e{ep}_{i}.json")
+            q = run_shard_manifest_stream(
+                spark.readStream.schema(key_schema).json(in_dir),
+                ["bucket", "pack_id"],
+                manifest_path,
+                f"{root}/ckpt",
+                _N_SHARDS,
+                key_schema,
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "replay epoch did not terminate within 600s"
+                )
+        fsio.write_text_atomic(spark, done, "ok")
+    feed = read_manifest(spark, manifest_path, key_schema)
+    return feed.select(
+        "bucket", "pack_id", "n_docs", "pack_tokens", "shard", "order_key",
+        "position",
+        F.regexp_extract("__epoch_id", "-([0-9]+)$", 1)
+        .cast("int")
+        .alias("ep"),
     )
 
 

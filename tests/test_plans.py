@@ -134,10 +134,17 @@ def test_lake_day_read_prunes_partitions(spark, tmp_path):
 
 
 def test_sampling_queries_have_no_shuffle(spark):
-    """Sampling/mixing are scan-level filters: zero exchanges."""
-    for name in ("corpus_deterministic_sample", "corpus_mixture_sample"):
-        plan = plan_of(spark, name)
-        assert "Exchange" not in plan, name
+    """Sampling/mixing are scan-level filters: zero exchanges.
+    (corpus_deterministic_sample pinned on the builder directly
+    since the r15 swap retired its catalog row.)"""
+    from machine_downtime_monitor_on_aws_spark.plans.pipelineops import (
+        corpus_deterministic_sample,
+    )
+
+    plan = explain(corpus_deterministic_sample(spark, SF_ORACLE))
+    assert "Exchange" not in plan, "corpus_deterministic_sample"
+    plan = plan_of(spark, "corpus_mixture_sample")
+    assert "Exchange" not in plan, "corpus_mixture_sample"
 
 
 def test_fingerprint_pipelines_single_shuffle(spark):
@@ -416,6 +423,10 @@ def test_r15_catalog_swap_executed():
         "vocab_top_bigrams": textops,
         "token_packing_assignments": pipelineops,
         "benchmark_contamination": textops,
+        # funds shard_manifest_stream_replay: the flat 40% filter's
+        # hash rides corpus_mixture_sample / quality_weighted_sample
+        # / training_corpus_pipeline
+        "corpus_deterministic_sample": pipelineops,
     }
     for n, mod in retired.items():
         assert n not in catalog.REGISTRY, f"{n} should be retired"
@@ -425,11 +436,14 @@ def test_r15_catalog_swap_executed():
         "kn_trigram_doc_scores",
         "training_shard_manifest",
         "decontam_stream_replay",
+        "shard_manifest_stream_replay",
         "lsh_neardup_embeddings",
         "pmi_top_collocations",
         "gopher_top_bigram_share",
         "pack_utilization_stats",
         "benchmark_contamination_13gram",
+        "corpus_mixture_sample",
+        "quality_weighted_sample",
     ):
         assert n in catalog.REGISTRY, f"swap replacement/twin {n} missing"
     assert math.ceil(len(catalog.REGISTRY) / 50) <= 3

@@ -2255,3 +2255,92 @@ def test_streaming_decontamination_loop(spark, tmp_path):
         assert batch == {d: c for d, (c, _e) in t2.items()}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_shard_manifest_loop(spark, tmp_path):
+    """The shard-manifest maintenance loop: epoch 1 seeds every
+    shard's order; epoch 2 EXTENDS each shard from its committed max
+    (no renumbering - the committed rows are byte-identical after
+    the second epoch); shard/order_key equal the batch operator's
+    pure hash functions; per-shard positions stay dense; restart
+    with no new data is a no-op."""
+    import hashlib
+
+    from machine_downtime_monitor_on_aws_spark.streaming.shards import (
+        read_manifest,
+        run_shard_manifest_stream,
+    )
+
+    src = str(tmp_path / "packs")
+    ckpt = str(tmp_path / "ckpt")
+    manifest = str(tmp_path / "manifest")
+    os.makedirs(src)
+    key_schema = "seq_id long, n_tokens bigint"
+    n_shards = 2
+
+    def run():
+        q = run_shard_manifest_stream(
+            spark.readStream.schema(key_schema).json(src),
+            ["seq_id"],
+            manifest,
+            ckpt,
+            n_shards,
+            key_schema,
+        )
+        q.awaitTermination(120)
+
+    def snap():
+        return {
+            r["seq_id"]: (
+                r["shard"],
+                r["position"],
+                r["order_key"],
+                r["n_tokens"],
+            )
+            for r in read_manifest(spark, manifest, key_schema).collect()
+        }
+
+    with open(os.path.join(src, "b1.jsonl"), "w") as f:
+        f.write("\n".join(
+            json.dumps({"seq_id": i, "n_tokens": 100 + i})
+            for i in range(6)
+        ))
+    run()
+    m1 = snap()
+    assert len(m1) == 6
+    per = {}
+    for sid, (shard, pos, ok, _n) in m1.items():
+        h = hashlib.md5(f"shard:{sid}".encode()).hexdigest()
+        assert shard == int(h[:6], 16) % 10000 % n_shards
+        assert ok == hashlib.md5(f"order:{sid}".encode()).hexdigest()
+        per.setdefault(shard, []).append((pos, ok))
+    for shard, members in per.items():
+        members.sort()
+        assert [p for p, _ in members] == list(range(1, len(members) + 1))
+        assert [k for _, k in members] == sorted(k for _, k in members)
+
+    with open(os.path.join(src, "b2.jsonl"), "w") as f:
+        f.write("\n".join(
+            json.dumps({"seq_id": i, "n_tokens": 100 + i})
+            for i in range(6, 10)
+        ))
+    run()
+    m2 = snap()
+    assert len(m2) == 10
+    # committed rows byte-identical: no renumbering
+    assert all(m2[sid] == m1[sid] for sid in m1)
+    # epoch-2 rows extend each shard from its committed max, densely
+    for shard in per:
+        base = max(p for p, _ in per[shard])
+        new = sorted(
+            (pos, ok)
+            for sid, (s, pos, ok, _n) in m2.items()
+            if s == shard and sid not in m1
+        )
+        assert [p for p, _ in new] == list(
+            range(base + 1, base + 1 + len(new))
+        )
+        assert [k for _, k in new] == sorted(k for _, k in new)
+
+    run()  # no new data: marker + checkpoint make it a no-op
+    assert snap() == m2
