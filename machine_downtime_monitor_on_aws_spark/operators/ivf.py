@@ -919,3 +919,186 @@ def purge_from_ivf_corpus(
         sub = "/".join(f"{c}={v}" for c, v in zip(part_cols, combo))
         fsio.delete(spark, f"{corpus_path}/{sub}")
     return int(n_deleted)
+
+
+# ---- IVF + binary sign-quantization (the FAISS IVF,B-style combo):
+# coarse inverted lists for PARTITION PRUNING, 1-bit sign codes for
+# the cheapest possible in-list scan (operators/signq.py). The
+# corpus partition stores (vec_id, signq_code, list_id) and NOT the
+# raw vector: at dim=64 that is 16 bytes/vector - the index is ~32x
+# smaller than raw float64 even before pruning, and the probed-list
+# scan is XOR+popcount per word. Exact recall returns through the
+# standard shortlist re-rank against the raw-vector source (the
+# search_ivfpq_index_rerank contract).
+
+
+def thresholds_digest(thresholds: list[float]) -> str:
+    """md5 over the threshold vector's IEEE-754 little-endian bytes -
+    the codebook_digest discipline for the sign quantizer: Hamming
+    distances between codes cut at DIFFERENT thresholds are silently
+    meaningless, so search verifies the stamp before scoring."""
+    h = hashlib.md5()
+    for x in thresholds:
+        h.update(struct.pack("<d", float(x)))
+    return h.hexdigest()
+
+
+def build_ivfbin_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int,
+    dim: int,
+    thresholds: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    centroids: DataFrame | None = None,
+) -> None:
+    """Build the IVF-binary index: assign each vector to its nearest
+    coarse centroid (broadcast K-row table, corpus never shuffles),
+    sign-encode against ``thresholds``
+    (operators/signq.signq_fit_thresholds over the corpus, or any
+    frozen reference population), and write (vec_id, signq_code,
+    list_id) partitioned by list_id. The thresholds persist INSIDE
+    the index ({path}/thresholds) and the params stamp pins them by
+    digest - consumers re-open the index with no out-of-band state,
+    and a torn threshold store fails loudly."""
+    from .signq import signq_encode
+
+    if len(thresholds) != dim:
+        raise ValueError(
+            f"thresholds has {len(thresholds)} entries, expected dim={dim}"
+        )
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("__n", l2_norm("vec", dim))
+    if centroids is None:
+        centroids = e.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+        )
+    cents = centroids.select("cid", "cv")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assign = _nearest(e, cents.withColumn("__cn", l2_norm("cv", dim)),
+                      "vec", "__n", ["vec_id"], dim, 1).select(
+        "vec_id", "vec", F.col("cid").alias("list_id")
+    )
+    encoded = signq_encode(assign, thresholds)
+    encoded.select("vec_id", "signq_code", "list_id").write.mode(
+        "overwrite"
+    ).partitionBy("list_id").parquet(f"{path}/corpus")
+    df.sparkSession.createDataFrame(
+        [(j, float(t)) for j, t in enumerate(thresholds)],
+        "j int, thr double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/thresholds")
+    _stamp_index_params(
+        df.sparkSession,
+        path,
+        {
+            "layout": "ivfbin",
+            "dim": dim,
+            "n_words": (dim + 31) // 32,
+            "thresholds_md5": thresholds_digest(thresholds),
+        },
+    )
+
+
+def load_ivfbin_thresholds(spark: SparkSession, path: str) -> list[float]:
+    """The sign thresholds an IVF-binary index was built with, read
+    from the store and re-verified against the stamped digest (the
+    load_ivfpq_codebooks discipline)."""
+    from .. import fsio
+
+    if not fsio.exists(spark, f"{path}/params.json"):
+        raise ValueError(f"no committed ivfbin index at {path!r}")
+    params = read_ivf_index_params(spark, path)
+    rows = spark.read.parquet(f"{path}/thresholds").collect()
+    thr = [0.0] * len(rows)
+    for r in rows:
+        thr[r["j"]] = float(r["thr"])
+    actual = thresholds_digest(thr)
+    if params.get("thresholds_md5") != actual:
+        raise ValueError(
+            f"ivfbin thresholds at {path!r} fail the stamped digest "
+            f"({params.get('thresholds_md5')} != {actual}): torn write "
+            "or tampered store"
+        )
+    return thr
+
+
+def search_ivfbin_index_rerank(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    shortlist: int,
+    n_probes: int,
+    dim: int,
+    vector_source: DataFrame,
+    query_id_col: str = "qid",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Two-stage IVF-binary retrieval: stage 1 probes each query's
+    top-P lists (the broadcast probe join dynamic-partition-prunes
+    the corpus scan to P partitions per query - the
+    search_ivf_index I/O story, over 1-bit codes) and shortlists
+    ``shortlist`` candidates by XOR+popcount Hamming; stage 2
+    re-ranks ONLY that sliver by exact squared L2 against
+    ``vector_source`` (the raw vectors the index deliberately does
+    not store). Thresholds load from the index and are
+    digest-verified. Returns (qid, neighbor_id, hamming, sq_dist,
+    rnk) - the signq_topk_rerank contract, so with all lists probed
+    and a full-corpus shortlist the two paths agree row-for-row
+    (test-pinned)."""
+    from ..functions.vectors import sq_l2
+    from .signq import hamming_distance, signq_encode
+    from .topk import top_k_per_group
+
+    if shortlist < k:
+        raise ValueError(f"shortlist={shortlist} must be >= k={k}")
+    _check_ivf_index_params(spark, path, layout="ivfbin", dim=dim)
+    thr = load_ivfbin_thresholds(spark, path)
+    cents = spark.read.parquet(f"{path}/centroids").withColumn(
+        "__cn", l2_norm("cv", dim)
+    )
+    corpus = spark.read.parquet(f"{path}/corpus")
+    q = signq_encode(
+        queries.select(
+            F.col(query_id_col).alias("qid"),
+            F.col(query_vec_col).alias("qv"),
+        ),
+        thr,
+        vec_col="qv",
+        code_col="__qcode",
+    ).withColumn("__qn", l2_norm("qv", dim))
+    probe = _nearest(q, cents, "qv", "__qn", ["qid"], dim, n_probes).select(
+        "qid", "qv", "__qcode", F.col("cid").alias("list_id")
+    )
+    scored = (
+        corpus.join(F.broadcast(probe), "list_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn(
+            "hamming",
+            hamming_distance(F.col("__qcode"), F.col("signq_code")),
+        )
+    )
+    cand = top_k_per_group(
+        scored, ["qid"], [F.col("hamming").asc(), F.col("vec_id").asc()],
+        shortlist,
+    ).select("qid", "qv", F.col("vec_id").alias("neighbor_id"), "hamming")
+    src = vector_source.select(
+        F.col(id_col).alias("__sid"), F.col(vec_col).alias("__sv")
+    )
+    exact = src.join(
+        F.broadcast(cand), F.col("__sid") == F.col("neighbor_id")
+    ).withColumn("sq_dist", sq_l2(F.col("qv"), F.col("__sv")))
+    ranked = top_k_per_group(
+        exact, ["qid"], [F.col("sq_dist").asc(), F.col("neighbor_id").asc()], k
+    )
+    return ranked.select(
+        "qid",
+        "neighbor_id",
+        "hamming",
+        "sq_dist",
+        F.col("rnk").cast("int").alias("rnk"),
+    )

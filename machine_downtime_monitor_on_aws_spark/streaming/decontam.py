@@ -64,13 +64,21 @@ def benchmark_gram_deltas(
 ) -> DataFrame:
     """The batch's distinct n-grams minus every gram any prior epoch
     already indexed: one distinct over benchmark-delta-sized rows,
-    one left-anti join against the (benchmark-sized) gram index."""
+    one left-anti join against the (benchmark-sized) gram index.
+
+    A NULL text shingles to a NULL gram, and NULL never equals NULL
+    in the anti-join - an unfiltered NULL would read as "new" EVERY
+    epoch, re-triggering writes for all-duplicate batches and
+    breaking the O(delta) contract under malformed input (the r14
+    drift-gate lesson: a bad row may cost coverage of itself, never
+    loop health). Filtered here, once, for both sinks."""
     g = (
         batch.select(
             F.explode(
                 F.array_distinct(shingles(F.col(text_col), n))
             ).alias("g")
         )
+        .filter(F.col("g").isNotNull())
         .distinct()
     )
     return g.join(seen_grams.select("g"), "g", "left_anti")

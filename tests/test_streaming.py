@@ -2344,3 +2344,25 @@ def test_streaming_shard_manifest_loop(spark, tmp_path):
 
     run()  # no new data: marker + checkpoint make it a no-op
     assert snap() == m2
+
+
+def test_decontam_null_text_never_rereads_as_new(spark):
+    """A NULL benchmark text must not leak a NULL gram: NULL never
+    equals NULL in the left-anti, so an unfiltered one would count
+    as 'new' every epoch and re-trigger writes for all-duplicate
+    batches. The malformed row costs only its own coverage."""
+    from machine_downtime_monitor_on_aws_spark.streaming.decontam import (
+        benchmark_gram_deltas,
+    )
+
+    b = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma")],
+        "bench_id long, text string",
+    )
+    seen = spark.createDataFrame([], "g string")
+    first = {r["g"] for r in benchmark_gram_deltas(b, seen, 3).collect()}
+    assert first == {"alpha beta gamma"}  # no None leaked
+    # second epoch with the same batch against the accumulated index:
+    # nothing is new (the NULL row cannot resurface either)
+    seen2 = spark.createDataFrame([(g,) for g in first], "g string")
+    assert benchmark_gram_deltas(b, seen2, 3).count() == 0
