@@ -1102,3 +1102,41 @@ def search_ivfbin_index_rerank(
         "sq_dist",
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+def append_to_ivfbin_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> None:
+    """Steady-state growth of an IVF-binary index: assign the batch
+    against the persisted coarse centroids (broadcast, partial-agg
+    argmin), sign-encode against the index's OWN digest-verified
+    thresholds (loaded, never passed - a batch encoded at drifted
+    thresholds would poison every future Hamming scan of the touched
+    lists), append into the ``list_id`` partitions. O(batch), never
+    O(corpus) - the binary twin of :func:`append_to_ivfpq_index`.
+    Thresholds stay FROZEN at build time by design: sign codes are
+    only mutually comparable under one threshold vector, so corpus
+    drift is a rebuild signal (the drift monitor's job), not an
+    append-time adjustment."""
+    from .signq import signq_encode
+
+    spark = df.sparkSession
+    _check_ivf_index_params(spark, path, layout="ivfbin", dim=dim)
+    thr = load_ivfbin_thresholds(spark, path)
+    cents = spark.read.parquet(f"{path}/centroids").withColumn(
+        "__cn", l2_norm("cv", dim)
+    )
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+    ).withColumn("__n", l2_norm("vec", dim))
+    assign = _nearest(e, cents, "vec", "__n", ["vec_id"], dim, 1).select(
+        "vec_id", "vec", F.col("cid").alias("list_id")
+    )
+    encoded = signq_encode(assign, thr)
+    encoded.select("vec_id", "signq_code", "list_id").write.mode(
+        "append"
+    ).partitionBy("list_id").parquet(f"{path}/corpus")

@@ -248,3 +248,51 @@ def test_ivfbin_index_build_search_roundtrip(spark, tmp_path):
         search_ivfbin_index_rerank(
             spark, path, q, _TOPK, 50, _N_PROBES, _DIM // 2, e
         )
+
+
+def test_ivfbin_index_incremental_append(spark, tmp_path):
+    """Build on 80% of the corpus, append the rest: searches equal a
+    one-shot full build row-for-row (assignment against the SAME
+    persisted centroids, codes against the SAME digest-verified
+    thresholds), and the append touched only the batch - the
+    O(batch) lifecycle the IVF/IVF-PQ twins already guarantee."""
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        append_to_ivfbin_index,
+        build_ivfbin_index,
+        search_ivfbin_index_rerank,
+    )
+    from machine_downtime_monitor_on_aws_spark.plans.vectorops import (
+        _DIM,
+        _N_CENTROIDS,
+        _N_PROBES,
+        _N_QUERIES,
+        _TOPK,
+        _emb,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = _emb(spark, sf).select("vec_id", "vec")
+    thr = signq_fit_thresholds(e, _DIM)
+    head = e.filter(F.col("vec_id") % 5 != 0)
+    tail = e.filter(F.col("vec_id") % 5 == 0)
+
+    inc = str(tmp_path / "inc")
+    # centroids must come from the FULL id range so both paths pin
+    # the identical coarse table (first-N of `head` would differ)
+    cents = e.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+    )
+    build_ivfbin_index(head, inc, _N_CENTROIDS, _DIM, thr, centroids=cents)
+    append_to_ivfbin_index(tail, inc, _DIM)
+
+    full = str(tmp_path / "full")
+    build_ivfbin_index(e, full, _N_CENTROIDS, _DIM, thr, centroids=cents)
+
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    a = sorted(map(tuple, search_ivfbin_index_rerank(
+        spark, inc, q, _TOPK, 50, _N_PROBES, _DIM, e).collect()))
+    b = sorted(map(tuple, search_ivfbin_index_rerank(
+        spark, full, q, _TOPK, 50, _N_PROBES, _DIM, e).collect()))
+    assert a == b and a
