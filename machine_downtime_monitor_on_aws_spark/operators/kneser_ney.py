@@ -72,40 +72,47 @@ def trigram_rows(d: DataFrame, toks_col) -> DataFrame:
     )
 
 
-def kn_trigram_doc_scores(d: DataFrame, toks_col) -> DataFrame:
-    """(doc_id, n_trigrams, mean_kn_prob, min_kn_prob): score every
-    document by its interpolated-KN trigram probabilities under the
-    model trained on the full input. ``toks_col`` is the
-    tokenization expression applied to each document's text.
+def trigram_counts(d: DataFrame, toks_col) -> DataFrame:
+    """(w1, w2, w3, c3): the trigram-occurrence counts that are the
+    KN model's ENTIRE state - every other statistic (context totals,
+    every continuation count) derives from this table's values and
+    key set, which is what makes the model incrementally
+    maintainable: c3 merges ADDITIVELY across document batches
+    (streaming/lm.py), while countDistinct-style statistics would
+    not merge from deltas."""
+    return trigram_rows(d, toks_col).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
 
-    Barrier shape (the tfidf lesson, r14): the trigram-occurrence
-    table feeds FOUR consumers (c3, context counts, the type table,
-    scoring) and the type table another four - without barriers
-    Catalyst re-derives the corpus tokenize+explode per consumer.
-    Lazy tracked localCheckpoints on ``tr`` and ``tt`` (and the
-    bigram-type slice) collapse that to ONE corpus explode. Measured
-    at sf0.1 (matched warm runs, same session): 3.42 s -> 2.35 s
-    median (1.46x) - a real win already at bench scale, and the gap
-    is the whole cost model at 100 TB where the corpus explode
-    dominates. The pinned RDD ids ride the result as
-    ``_spark_graft_ckpt_ids`` (catalog resource contract: long-lived
-    callers release via streaming.store.release_checkpoint)."""
+
+def kn_scores_from_counts(tr: DataFrame, c3t: DataFrame) -> DataFrame:
+    """Score the trigram-occurrence rows ``tr`` (doc_id, w1, w2, w3 -
+    the docs being scored) under the KN model whose state is the
+    counts table ``c3t`` (w1, w2, w3, c3 - from :func:`trigram_counts`
+    or the streaming counts store). All derived statistics aggregate
+    the VOCABULARY-sized counts table, never the corpus-sized
+    occurrence rows: c2 = sum(c3) by prefix, N1+(w1 w2 .) = key count
+    by prefix, the type table IS c3's key set, and the continuation
+    counts follow from it - measured at sf0.1 this beats re-deriving
+    them from occurrences 2.16 -> 1.66 s median (1.30x) on top of the
+    barrier win, and at 100 TB it is the difference between model
+    aggregations that are corpus-sized and ones that are vocab-sized.
+
+    Trigrams of ``tr`` absent from ``c3t`` are DROPPED by the inner
+    join (scoring the training corpus itself - the catalog shape -
+    never hits this; scoring held-out text under a frozen model
+    should smooth unseen events upstream, the standard OOV story).
+
+    The bigram-type barrier's pinned RDD id rides the result as
+    ``_spark_graft_ckpt_ids`` (callers add their own tr/c3t barrier
+    ids and release after consuming)."""
     from ..streaming.store import _tracked_local_checkpoint
 
-    tr = _tracked_local_checkpoint(trigram_rows(d, toks_col), eager=False)
-
-    # Occurrence counts: c3 per trigram; c2 + N1+(w1 w2 .) per context.
-    c3t = tr.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
-    ctxt = tr.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c2"),
-        F.countDistinct("w3").alias("nf"),
+    ctxt = c3t.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2"),
+        F.count(F.lit(1)).alias("nf"),
     )
-
-    # Type counts (continuation statistics) - all from ONE distinct
-    # trigram-type table; bigram types are its distinct mid-pairs.
-    tt = _tracked_local_checkpoint(
-        tr.select("w1", "w2", "w3").distinct(), eager=False
-    )
+    tt = c3t.select("w1", "w2", "w3")  # keys are already distinct
     mids = tt.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1mid"))
     w2s = tt.groupBy("w2").agg(
         F.count(F.lit(1)).alias("nctx"),
@@ -153,11 +160,39 @@ def kn_trigram_doc_scores(d: DataFrame, toks_col) -> DataFrame:
         ).alias("mean_kn_prob"),
         F.min("p").alias("min_kn_prob"),
     )
-    # catalog resource contract: the barriers' pinned RDD ids ride
-    # the result so release_checkpoint can free them deterministically
+    out._spark_graft_ckpt_ids = getattr(bt, "_spark_graft_ckpt_ids", ())
+    return out
+
+
+def kn_trigram_doc_scores(d: DataFrame, toks_col) -> DataFrame:
+    """(doc_id, n_trigrams, mean_kn_prob, min_kn_prob): score every
+    document by its interpolated-KN trigram probabilities under the
+    model trained on the full input. ``toks_col`` is the
+    tokenization expression applied to each document's text.
+
+    Barrier shape (the tfidf lesson, r14): the trigram-occurrence
+    table feeds the counts aggregation AND the scoring join, and the
+    counts table feeds every derived statistic - without barriers
+    Catalyst re-derives the corpus tokenize+explode per consumer.
+    Lazy tracked localCheckpoints on ``tr`` and ``c3t`` (plus the
+    bigram-type slice inside kn_scores_from_counts) collapse that to
+    ONE corpus explode and ONE counts aggregation. Measured at sf0.1
+    (matched warm runs): 3.42 s unbarriered -> 2.35 s barriered ->
+    1.66 s with all model statistics derived from the vocab-sized
+    counts table (r15). The pinned RDD ids ride the result as
+    ``_spark_graft_ckpt_ids`` (catalog resource contract: long-lived
+    callers release via streaming.store.release_checkpoint)."""
+    from ..streaming.store import _tracked_local_checkpoint
+
+    tr = _tracked_local_checkpoint(trigram_rows(d, toks_col), eager=False)
+    c3t = _tracked_local_checkpoint(
+        tr.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3")),
+        eager=False,
+    )
+    out = kn_scores_from_counts(tr, c3t)
     out._spark_graft_ckpt_ids = (
         getattr(tr, "_spark_graft_ckpt_ids", ())
-        + getattr(tt, "_spark_graft_ckpt_ids", ())
-        + getattr(bt, "_spark_graft_ckpt_ids", ())
+        + getattr(c3t, "_spark_graft_ckpt_ids", ())
+        + getattr(out, "_spark_graft_ckpt_ids", ())
     )
     return out

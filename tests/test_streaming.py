@@ -2366,3 +2366,76 @@ def test_decontam_null_text_never_rereads_as_new(spark):
     # nothing is new (the NULL row cannot resurface either)
     seen2 = spark.createDataFrame([(g,) for g in first], "g string")
     assert benchmark_gram_deltas(b, seen2, 3).count() == 0
+
+
+def test_streaming_kn_counts_loop(spark, tmp_path):
+    """The incremental KN trainer: counts stream in over three
+    epochs, the folded store equals a full batch retrain exactly,
+    and scoring from the store is bit-identical to the one-shot
+    kn_trigram_doc_scores over the accumulated corpus - the additive
+    merge IS the model, so no statistic can drift. Restart with no
+    new data is a no-op."""
+    from machine_downtime_monitor_on_aws_spark.operators.kneser_ney import (
+        kn_scores_from_counts,
+        kn_trigram_doc_scores,
+        trigram_counts,
+        trigram_rows,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.lm import (
+        kn_counts_from_store,
+        run_kn_counts_stream,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.store import (
+        release_checkpoint,
+    )
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    counts_path = str(tmp_path / "kn_counts")
+    os.makedirs(src)
+
+    docs = [
+        (i, " ".join(f"w{(i * 3 + j) % 5}" for j in range(8)))
+        for i in range(9)
+    ]
+
+    def run():
+        q = run_kn_counts_stream(
+            spark.readStream.schema("doc_id long, text string").json(src),
+            counts_path,
+            ckpt,
+            lambda: F.split(F.col("text"), " "),
+        )
+        q.awaitTermination(120)
+
+    for ep in range(3):
+        with open(os.path.join(src, f"b{ep}.jsonl"), "w") as f:
+            f.write("\n".join(
+                json.dumps({"doc_id": i, "text": t})
+                for i, t in docs[ep * 3 : ep * 3 + 3]
+            ))
+        run()
+
+    full = spark.createDataFrame(docs, "doc_id long, text string")
+    got_counts = sorted(map(tuple,
+        kn_counts_from_store(spark, counts_path).collect()))
+    want_counts = sorted(map(tuple,
+        trigram_counts(full, F.split(F.col("text"), " ")).collect()))
+    assert got_counts == want_counts and got_counts
+
+    # scoring from the store == the one-shot batch operator
+    tr = trigram_rows(full, F.split(F.col("text"), " "))
+    from_store = kn_scores_from_counts(
+        tr, kn_counts_from_store(spark, counts_path)
+    )
+    batch = kn_trigram_doc_scores(full, F.split(F.col("text"), " "))
+    a = sorted(map(tuple, from_store.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    release_checkpoint(from_store)
+    release_checkpoint(batch)
+    assert a == b and len(a) == len(docs)
+
+    run()  # no new data: marker + checkpoint make it a no-op
+    again = sorted(map(tuple,
+        kn_counts_from_store(spark, counts_path).collect()))
+    assert again == want_counts
