@@ -83,7 +83,19 @@ def signq_encode(
     2^(j mod 32) inside word j//32. Thresholds ride as ONE array
     literal through zip_with (the sq_encode plan-size lesson); the
     packing is an integer dot product with a constant weight array -
-    pure scan expression, no shuffle, no UDF."""
+    pure scan expression, no shuffle, no UDF.
+
+    Dimension guard (r15 ADVICE): zip_with NULL-pads a short vector
+    and the when().otherwise(0) would map the NULL comparisons to
+    0-bits - a wrong-dim (or NULL) vector would get a
+    plausible-but-wrong code whose Hamming distances silently
+    poison every scan of the touched lists. An in-expression
+    assert_true raises at encode time instead - fail-loudly, the
+    index-params discipline applied to the row itself. The assert
+    rides inside the code expression (a separate projected column
+    would be pruned away) and its values/NULL-passthrough are the
+    identity on every correct-dim row, so oracle bit-exactness is
+    untouched."""
     dim = len(thresholds)
     n_words = (dim + _WORD - 1) // _WORD
     pad = n_words * _WORD - dim
@@ -107,7 +119,16 @@ def signq_encode(
         )
         for w in range(n_words)
     ]
-    return df.withColumn(code_col, F.array(*words))
+    guard = F.assert_true(
+        F.size(F.col(vec_col)) == F.lit(dim),
+        F.concat_ws(
+            " ",
+            F.lit("signq_encode: vector length"),
+            F.size(F.col(vec_col)).cast("string"),
+            F.lit(f"!= thresholds dim {dim}"),
+        ),
+    )
+    return df.withColumn(code_col, F.when(guard.isNull(), F.array(*words)))
 
 
 def hamming_distance(a: Column, b: Column) -> Column:

@@ -91,13 +91,15 @@ def _reorder_for_driver_evidence() -> None:
         # (hash-exact r14 row) all expired with their post-rewire
         # driver rows.
         #
-        # r15: minute_grid's end-boundary filter changed from
-        # `minute_start < end` to `minute_start + 1min <= end`,
-        # matching the reference's fully-elapsed-minute loop guard
-        # (machine-detail.ts:22, r14 ADVICE medium). The catalog
-        # caller's end is minute-aligned, so output is identical,
-        # but the executed expression changed.
-        "minute_chart_grid": 15,
+        # Pruned r16: minute_chart_grid's r15 entry expired with its
+        # hash-exact r15 row on the fully-elapsed-grid code.
+        #
+        # r16: signq_encode grew the wrong-dim assert_true guard
+        # (r15 ADVICE - a short/NULL vector now fails loudly instead
+        # of minting a plausible-but-wrong code). Output on every
+        # correct-dim row is identical, but the executed code
+        # expression changed.
+        "signq_rerank_top5": 16,
         # r15: exactsubstr adjacency ordering moved from space-joined
         # extension strings to the token ARRAY itself on both the
         # Spark and oracle sides (r14 ADVICE: exact token-sequence

@@ -1274,7 +1274,7 @@ def signq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     next-round #1a, the missing cheapest point on the SQ/PQ/OPQ
     compression curve): threshold each dimension at its
     quantized-integer corpus mean, pack the sign bits 32 per BIGINT
-    word (64 dims -> 16 bytes), shortlist 20 candidates per query by
+    word (64 dims -> 16 bytes), shortlist {sl} candidates per query by
     XOR+popcount Hamming distance, then re-rank the sliver by exact
     squared L2 over the raw vectors - the ivfpq_rerank_top5 shortlist
     contract at 1 bit per dimension. Every stage is exact integer or
@@ -1283,7 +1283,7 @@ def signq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: fit is one map-side-combining aggregation (dim
     BIGINTs to the driver); encoding is scan expression; stage 1
     broadcasts only the 10 query codes and cuts per-query windows -
-    the corpus never shuffles; stage 2 touches queries x 20 rows."""
+    the corpus never shuffles; stage 2 touches queries x {sl} rows."""
     from ..operators.signq import signq_fit_thresholds, signq_topk_rerank
 
     e = _emb(spark, sf_dir).select("vec_id", "vec")
@@ -1292,6 +1292,11 @@ def signq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("vec").alias("qv")
     )
     return signq_topk_rerank(q, e, thr, _TOPK, _SIGNQ_SHORTLIST)
+
+
+signq_rerank_top5.__doc__ = signq_rerank_top5.__doc__.format(
+    sl=_SIGNQ_SHORTLIST
+)
 
 
 _PERM_PQ_ORACLE = f"""

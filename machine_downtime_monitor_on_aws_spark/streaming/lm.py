@@ -44,6 +44,7 @@ from pyspark.sql.streaming import StreamingQuery
 from .. import fsio
 from ..operators.kneser_ney import trigram_counts
 from .ingest import _checkpoint_sink_token
+from .store import _tracked_local_checkpoint, release_checkpoint
 
 KN_DELTA_SCHEMA = "w1 string, w2 string, w3 string, c3 long, __epoch_id string"
 
@@ -71,23 +72,35 @@ def run_kn_counts_stream(
         marker = f"{marker_dir}/{epoch_val}"
         if fsio.exists(spark, marker):
             return
-        delta = trigram_counts(batch_df, toks_col_factory())
-        if delta.count() > 0:
-            delta.withColumn("__epoch_id", F.lit(epoch_val)).write.mode(
-                "overwrite"
-            ).option("partitionOverwriteMode", "dynamic").partitionBy(
-                "__epoch_id"
-            ).parquet(counts_path)
-        fsio.write_text_atomic(spark, marker, epoch_val)
-        for old in fsio.list_names(spark, marker_dir):
-            if old == epoch_val or old.endswith(".tmp") or old.startswith("."):
-                continue
-            old_tok, _, old_eid = old.rpartition("-")
-            stale = old_tok != token or (
-                old_eid.isdigit() and int(old_eid) < epoch_id
-            )
-            if stale:
-                fsio.delete(spark, f"{marker_dir}/{old}", recursive=False)
+        # pin the batch's counts once: count() and write would each
+        # re-derive the explode+aggregate otherwise (the sibling
+        # decontam/shards loops' barrier discipline)
+        delta = _tracked_local_checkpoint(
+            trigram_counts(batch_df, toks_col_factory())
+        )
+        try:
+            if delta.count() > 0:
+                delta.withColumn("__epoch_id", F.lit(epoch_val)).write.mode(
+                    "overwrite"
+                ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                    "__epoch_id"
+                ).parquet(counts_path)
+            fsio.write_text_atomic(spark, marker, epoch_val)
+            for old in fsio.list_names(spark, marker_dir):
+                if (
+                    old == epoch_val
+                    or old.endswith(".tmp")
+                    or old.startswith(".")
+                ):
+                    continue
+                old_tok, _, old_eid = old.rpartition("-")
+                stale = old_tok != token or (
+                    old_eid.isdigit() and int(old_eid) < epoch_id
+                )
+                if stale:
+                    fsio.delete(spark, f"{marker_dir}/{old}", recursive=False)
+        finally:
+            release_checkpoint(delta)
 
     return (
         doc_stream.writeStream.foreachBatch(process_batch)

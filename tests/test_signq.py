@@ -134,6 +134,26 @@ def test_shortlist_smaller_than_k_raises(spark):
         signq_topk_rerank(q, df, [0.0] * 4, 5, 3)
 
 
+def test_encode_wrong_dim_raises(spark):
+    """r15 ADVICE: zip_with NULL-pads a short vector and the 0-bit
+    fallback would mint a plausible-but-wrong code - e.g. a wrong-dim
+    vector appended via append_to_ivfbin_index would get silently
+    meaningless Hamming distances. The in-expression guard raises at
+    encode time instead, for short, long, and NULL vectors alike;
+    correct-dim rows are untouched (pinned by
+    test_encode_matches_python_model)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    for bad in ([0.5, 0.2], [0.1] * 6, None):
+        df = spark.createDataFrame(
+            [(7, bad)], "vec_id long, vec array<double>"
+        )
+        with pytest.raises(
+            SparkRuntimeException, match="signq_encode"
+        ):
+            signq_encode(df, [0.4] * 4).collect()
+
+
 def test_signq_plan_broadcasts_queries_not_corpus(spark):
     """The catalog query's plan: query codes and the 500-row
     shortlist broadcast (never the corpus), both rank cuts are
