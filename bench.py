@@ -50,7 +50,9 @@ HEADLINE_R3 = [
     # lang_id_agreement); the n-gram heuristic proper is the headline
     # language-ID representative from r14 on.
     "lang_id_ngram_predictions",
-    "minhash_lsh_buckets",
+    # r16 swap: the bucket dump left the catalog; the suffix-pass
+    # terminal removal is the dedup family's new headline entry
+    "exactsubstr_deduped_docs",
     "neardup_candidate_pairs",
     "knn_bruteforce_top5",
     "lsh_neardup_embeddings",
@@ -65,7 +67,9 @@ HEADLINE = HEADLINE_R3 + [
     "neardup_jaccard_verified",
     "neardup_duplicate_clusters",
     "embedding_dup_clusters",
-    "ivf_knn_top5",
+    # r16 swap: the inline IVF demo left the catalog; the persisted
+    # IVF-binary serve path is the family's headline representative
+    "ivfbin_rerank_top5",
 ]
 
 

@@ -187,3 +187,54 @@ def exactsubstr_coverage(
         F.sum("__clen").cast("long").alias("covered_tokens"),
         F.max("__max_rep").alias("max_repeat_tokens"),
     )
+
+
+def exactsubstr_removed(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    anchor_tokens: int = 8,
+) -> DataFrame:
+    """The REMOVAL half of the suffix pass (r15 verdict next-round
+    #4a - :func:`exactsubstr_coverage` reports what the paper's pass
+    WOULD cut; this cuts it): every token position whose
+    ``anchor_tokens``-gram occurs >= 2 times corpus-wide is
+    duplicated, and the union of the [pos, pos+anchor) intervals of
+    those positions is removed from the text. Returns one row per
+    input doc - ``(doc_id, n_tokens, n_removed, dedup_text)``, the
+    :func:`~.spans.remove_duplicated_spans` contract - with
+    ``n_removed`` equal BY CONSTRUCTION to the coverage operator's
+    ``covered_tokens`` (the intervals are the same set; test-pinned).
+
+    Occurrence semantics: the k-gram removal is pair-aware and keeps
+    the earliest copy (it only cuts ``doc_b`` sides); the suffix
+    pass never materializes pairs - every duplicated occurrence is
+    cut, matching the per-position duplicated test it is built on
+    (and the released ExactSubstr implementation of Lee et al. 2022,
+    which likewise drops all copies of a duplicated substring;
+    keep-one corpora route through the spans operators).
+
+    Scale shape: the suffix table is O(corpus tokens) rows of
+    (doc_id, pos, 32-hex bucket) - no extension column at all, the
+    duplicated test needs only the per-bucket count, so the one
+    shuffle is even narrower than coverage's. Duplicated positions
+    then merge per doc and cut through the SHARED terminal stage
+    (:func:`~.spans.remove_duplicated_spans` - gaps-and-islands
+    range merge, one doc_id join of a span-derived sliver, nested
+    higher-order token filter): document text shuffles exactly once,
+    boilerplate stays O(W log W) per hot gram, no recall valve."""
+    from .spans import remove_duplicated_spans
+
+    suf = suffix_rows(
+        docs, id_col, text_col, anchor_tokens, ext_tokens=0
+    ).select("doc_id", "pos", "bucket")
+    bucket_w = Window.partitionBy("bucket")
+    dup = suf.withColumn("__cnt", F.count(F.lit(1)).over(bucket_w)).filter(
+        F.col("__cnt") >= 2
+    )
+    cut = dup.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("start_b"),
+        F.lit(anchor_tokens).cast("long").alias("span_tokens"),
+    )
+    return remove_duplicated_spans(docs, cut, id_col, text_col, anchor_tokens)

@@ -638,7 +638,12 @@ SELECT doc_id, CAST(b.band_id AS INT) AS band_id, b.band_hash AS band_hash FROM 
 """
 
 
-@register("minhash_lsh_buckets", oracle=_bucket_sql())
+# RETIRED from the catalog (r16 swap, funds exactsubstr_deduped_docs):
+# the bucket assignment re-derives VERBATIM inside
+# neardup_candidate_pairs' / neardup_jaccard_verified's oracles
+# (`WITH buckets AS ({_bucket_sql()})`) and those registered queries
+# run the same operator pipeline live every round - the r15
+# lsh_bucket_assignments precedent. Builder stays importable.
 def minhash_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH bucket assignment: shingle -> K-permutation minhash
     signature -> banded bucket hashes. Permutations are
@@ -2080,7 +2085,14 @@ def _bigram_lm_counts(
     return bc, pc, int(params["vocab"])
 
 
-@register("bigram_lm_doc_scores", oracle=_BIGRAM_LM_ORACLE)
+# RETIRED from the catalog (r16 swap, funds kn_stream_replay): the
+# bigram scorer's full semantics live VERBATIM inside
+# ccnet_perplexity_buckets' oracle (`scores AS ({_BIGRAM_LM_ORACLE})`)
+# and this builder still runs live inside that registered query every
+# round - train/persist/load and the scoring math stay
+# machine-checked. The KN trigram family (kn_trigram_doc_scores +
+# the streaming trainer's replay row) is the n-gram-LM production
+# surface.
 def bigram_lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical-LM quality scoring: train an add-one-smoothed
     bigram model on the corpus itself (p(w2|w1) =
@@ -2208,6 +2220,98 @@ def kn_trigram_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kneser_ney import kn_trigram_doc_scores as _kn
 
     return _kn(_docs(spark, sf_dir), tokens(F.col("text")))
+
+
+@register("kn_stream_replay", oracle=_KN_TRIGRAM_ORACLE)
+def kn_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental streaming KN trainer's end state, driver-
+    verified (streaming/lm.py - r15 verdict next-round #1b, the last
+    test-pinned-only streaming loop): the corpus ARRIVES in three
+    availableNow epochs (by doc_id % 3) through run_kn_counts_stream,
+    each micro-batch landing its own trigram-count deltas in an
+    epoch-partitioned feed; the returned view folds the feed by key
+    (kn_counts_from_store) and scores every document from that
+    folded model state (kn_scores_from_counts over the accumulated
+    corpus's occurrence rows). The oracle is _KN_TRIGRAM_ORACLE
+    UNCHANGED - the one-shot batch trainer's SQL - so the hash match
+    machine-checks the loop's whole value proposition:
+
+    - ADDITIVE-STATE INVARIANT: folded per-key delta sums equal a
+      full retrain's trigram counts exactly (integer sums are
+      epoch/partition-order independent), and every KN statistic
+      (context totals, continuation counts) derives from that one
+      table, so the folded-store scores are BIT-identical to
+      kn_trigram_doc_scores on the accumulated corpus;
+    - EXACTLY-ONCE: a replayed or double-written epoch would inflate
+      c3 and shift every derived probability - the hash catches one
+      duplicated count anywhere in the feed;
+    - O(delta) TRAINING: no batch ever re-reads earlier documents;
+      the feed holds vocab-sized delta rows per epoch (the
+      decontamination loop's crash protocol: epoch-keyed dynamic
+      overwrites, marker-gated replays).
+
+    Replay runs once per corpus (build-if-absent under _REPLAY_DONE;
+    single-writer assumed, crash-partial builds wiped); warm
+    invocations fold the persisted feed - the serve path IS the
+    production read. Epoch inputs stage through a distributed JSON
+    write + rename; the corpus never collects to the driver."""
+    import hashlib
+    import os
+
+    from ..operators.kneser_ney import kn_scores_from_counts, trigram_rows
+    from ..streaming.lm import kn_counts_from_store, run_kn_counts_stream
+
+    pin_utc(spark)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    ident = f"{src}:{st.st_mtime_ns}:{st.st_size}:knreplay:v1:3"
+    from .. import fsio
+
+    root = fsio.tmp_store_path("knreplay", ident)
+    counts_path = f"{root}/counts"
+    done = f"{root}/_REPLAY_DONE"
+
+    if not fsio.exists(spark, done):
+        if fsio.exists(spark, root):
+            fsio.delete(spark, root)
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        in_dir = f"{root}/in"
+        fsio.mkdirs(spark, in_dir)
+        for ep in range(3):
+            stage = f"{root}/stage_e{ep}"
+            d.filter(F.col("doc_id") % 3 == ep).coalesce(1).write.mode(
+                "overwrite"
+            ).json(stage)
+            parts = sorted(
+                p
+                for p in fsio.list_files_recursive(spark, stage)
+                if "/part-" in p and not p.endswith(".crc")
+            )
+            for i, p in enumerate(parts):
+                fsio.rename(spark, p, f"{in_dir}/e{ep}_{i}.json")
+            q = run_kn_counts_stream(
+                spark.readStream.schema("doc_id long, text string").json(
+                    in_dir
+                ),
+                counts_path,
+                f"{root}/ckpt",
+                lambda: tokens(F.col("text")),
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(
+                    "replay epoch did not terminate within 600s"
+                )
+        fsio.write_text_atomic(spark, done, "ok")
+    c3t = kn_counts_from_store(spark, counts_path)
+    tr = trigram_rows(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        tokens(F.col("text")),
+    )
+    # the internal bigram-type barrier's pinned ids ride the frame
+    # (_spark_graft_ckpt_ids) - the kn_trigram_doc_scores caller
+    # contract: long-lived consumers release after collecting
+    return kn_scores_from_counts(tr, c3t)
 
 
 @register(
@@ -2447,6 +2551,75 @@ def exactsubstr_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exactsubstr_coverage(
         _docs(spark, sf_dir), "doc_id", "text", _XS_A, _XS_E
     )
+
+
+_XS_DEDUP_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS t FROM documents),
+suf AS (
+  SELECT doc_id, unnest(range(0, len(t) - {_XS_A} + 1)) AS pos, t
+  FROM toks WHERE len(t) >= {_XS_A}
+),
+keyed AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(t[pos + 1 : pos + {_XS_A}], ' ')) AS bucket
+  FROM suf
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY bucket) AS cnt
+    FROM keyed) WHERE cnt >= 2
+),
+ds AS (SELECT doc_id, list(pos ORDER BY pos) AS starts FROM dup GROUP BY doc_id),
+marked AS (
+  SELECT toks.doc_id, len(t) AS n_tokens,
+         list_transform(range(1, len(t) + 1),
+           i -> CASE WHEN starts IS NOT NULL
+                      AND len(list_filter(starts,
+                            s -> s <= i - 1 AND i - 1 < s + {_XS_A})) > 0
+                     THEN NULL ELSE t[CAST(i AS INT)] END) AS m
+  FROM toks LEFT JOIN ds ON ds.doc_id = toks.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - len(list_filter(m, x -> x IS NOT NULL)) AS BIGINT)
+         AS n_removed,
+       -- a fully-removed doc: DuckDB's array_to_string([]) is NULL,
+       -- Spark's array_join is '' - pin the Spark semantics
+       coalesce(array_to_string(list_filter(m, x -> x IS NOT NULL), ' '), '')
+         AS dedup_text
+FROM marked
+"""
+
+
+@register("exactsubstr_deduped_docs", oracle=_XS_DEDUP_SQL)
+def exactsubstr_deduped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The suffix pass's terminal REMOVAL stage
+    (operators/suffix.exactsubstr_removed - r15 verdict next-round
+    #4a): exactsubstr_doc_coverage reports the duplicated token mass;
+    this query CUTS it, returning the full deduplicated corpus - one
+    row per document with its token count, tokens removed, and the
+    edited text. A position is cut iff its 8-token anchor gram occurs
+    >= 2 times anywhere in the corpus; the removed set is the union
+    of the [pos, pos+8) intervals, so n_removed equals the coverage
+    query's covered_tokens by construction (test-pinned). Every
+    duplicated OCCURRENCE is cut (the per-position test has no
+    pairing; the released Lee et al. 2022 implementation drops all
+    copies too) - keep-one corpora route through span_deduped_docs,
+    whose pair-aware spans keep the earliest doc's copy.
+
+    Scale shape: the suffix table is O(corpus tokens) skinny rows
+    (doc_id, pos, 32-hex digest) - NO extension column, the
+    duplicated test needs only per-bucket counts, so the one
+    content-keyed shuffle is narrower than coverage's; hot
+    boilerplate grams cost O(W) bucket rows, never O(W^2) join rows
+    (no recall valve). The cut itself is the shared
+    remove_duplicated_spans terminal: ranges merge per doc
+    (gaps-and-islands, per-key windows), ride back as ONE array
+    column on a doc_id join, and tokens filter through a nested
+    higher-order expression - document text shuffles exactly once,
+    and only for docs being edited plus the pass-through join."""
+    from ..operators.suffix import exactsubstr_removed
+
+    return exactsubstr_removed(_docs(spark, sf_dir), "doc_id", "text", _XS_A)
 
 
 _ULM_MAXW = 12

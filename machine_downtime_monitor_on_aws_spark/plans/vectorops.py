@@ -338,7 +338,13 @@ FROM ranked WHERE rnk <= {_TOPK}
 """
 
 
-@register("ivf_knn_top5", oracle=_IVF_ORACLE)
+# RETIRED from the catalog (r16 swap, funds ivfbin_rerank_top5):
+# the inline IVF demo's full semantics live VERBATIM inside
+# ivf_recall_at5's oracle (`iv AS ({_IVF_ORACLE})`) and this builder
+# still runs live inside that registered query every round - the
+# probe semantics stay machine-checked. The persisted production
+# twins (ivfpq_rerank_top5, ivfbin_rerank_top5) carry the
+# index-lifecycle evidence, exactly the r9 ivfpq_knn_top5 precedent.
 def ivf_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: deterministic centroids (first C vectors),
     inverted lists by nearest centroid, queries probe their top-P
@@ -1209,7 +1215,11 @@ _SIGNQ_WORDS = (_DIM + 31) // 32
 # pins the floor).
 _SIGNQ_SHORTLIST = 50
 
-_SIGNQ_ORACLE = f"""
+# shared by _SIGNQ_ORACLE (flat corpus scan) and
+# _IVFBIN_RERANK_ORACLE (coarse-list-pruned scan): corpus-mean
+# thresholds, sign bits, packed BIGINT words - the encode both
+# queries' Spark paths run through operators/signq.signq_encode.
+_SIGNQ_CTE_PREFIX = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 st AS (
   SELECT t.j,
@@ -1235,7 +1245,11 @@ codes AS (
                        * (CAST(1 AS BIGINT) << CAST(j AS INT))))
                 AS BIGINT)) AS code
   FROM bl
-),
+)"""
+
+_SIGNQ_ORACLE = (
+    _SIGNQ_CTE_PREFIX
+    + f""",
 q AS (SELECT vec_id AS qid, code AS qcode FROM codes
       WHERE vec_id < {_N_QUERIES}),
 scored AS (
@@ -1266,6 +1280,7 @@ ranked AS (
 SELECT qid, neighbor_id, hamming, sq_dist, CAST(rnk AS INT) AS rnk
 FROM ranked WHERE rnk <= {_TOPK}
 """
+)
 
 
 @register("signq_rerank_top5", oracle=_SIGNQ_ORACLE)
@@ -1296,6 +1311,122 @@ def signq_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 signq_rerank_top5.__doc__ = signq_rerank_top5.__doc__.format(
     sl=_SIGNQ_SHORTLIST
+)
+
+
+_IVFBIN_RERANK_ORACLE = (
+    _SIGNQ_CTE_PREFIX
+    + f""",
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_N_CENTROIDS}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e, cents c) WHERE rn = 1
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+qc AS (SELECT q.qid, codes.code AS qcode
+       FROM q JOIN codes ON codes.vec_id = q.qid),
+qprobe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, c.cid) AS rn
+    FROM q, cents c) WHERE rn <= {_N_PROBES}
+),
+scored AS (
+  SELECT p.qid, a.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(qc.qcode, c.code),
+              x -> bit_count(xor(x[1], x[2])))) AS BIGINT) AS hamming
+  FROM qprobe p
+  JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN qc ON qc.qid = p.qid
+),
+cand AS (
+  SELECT qid, neighbor_id, hamming FROM (
+    SELECT qid, neighbor_id, hamming,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY hamming ASC, neighbor_id ASC) AS rn
+    FROM scored) WHERE rn <= {_SIGNQ_SHORTLIST}
+),
+exact AS (
+  SELECT cand.qid, cand.neighbor_id, cand.hamming,
+         {_sq_l2_sql('qe.v', 'ne.v')} AS sq_dist
+  FROM cand JOIN e qe ON qe.vec_id = cand.qid
+            JOIN e ne ON ne.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT qid, neighbor_id, hamming, sq_dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY sq_dist ASC, neighbor_id ASC) AS rnk
+  FROM exact
+)
+SELECT qid, neighbor_id, hamming, sq_dist, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= {_TOPK}
+"""
+)
+
+
+@register("ivfbin_rerank_top5", oracle=_IVFBIN_RERANK_ORACLE)
+def ivfbin_rerank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF-binary serve path (operators/ivf.py:946+,
+    r15 verdict next-round #1a - the FAISS IVF+binary combo, until
+    now test-pinned only): build_ivfbin_index persists coarse
+    centroids + 1-bit sign codes partitioned by list_id (thresholds
+    stored IN-index and digest-stamped - the PQ-codebook drift guard
+    applied to the sign quantizer; the index holds NO raw vectors,
+    16 bytes per 64-dim vector), then search_ivfbin_index_rerank
+    (stage 1) probes each query's top-{np} coarse lists - a
+    dynamic-partition-pruned scan of packed BIGINT words scored by
+    XOR+popcount Hamming, shortlisting {sl} candidates - and (stage
+    2) re-ranks only that sliver by exact squared L2 against the raw
+    vector source. This composes the two cheapest scan reductions
+    the family offers: coarse pruning cuts WHICH rows are read
+    ({np}/{nc} of the corpus), sign codes cut HOW MUCH each read row
+    costs (64x less I/O than raw doubles) - at 100 TB this tier is
+    the first-pass ANN filter, with exactness restored by the
+    re-rank. Built once per corpus (build-if-absent, identity-keyed
+    like ivfpq_rerank_top5); warm calls re-open the index and load
+    digest-verified thresholds - the serve path IS the query. Every
+    stage is exact integer or fixed-order IEEE arithmetic (cosine
+    probe, integer Hamming, left-fold sqL2), so the DuckDB oracle
+    re-derives thresholds, codes, coarse assignment, probe, pruned
+    shortlist, and re-rank end to end, hash-exact."""
+    import os
+
+    from ..operators.ivf import build_ivfbin_index, search_ivfbin_index_rerank
+    from ..operators.signq import signq_fit_thresholds
+
+    e = _emb(spark, sf_dir).select("vec_id", "vec")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    ident = (
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:ivfbin:v1:"
+        f"{_N_CENTROIDS}:{_DIM}"
+    )
+    from .. import fsio
+
+    path = fsio.tmp_store_path("ivfbin_idx", ident)
+    if not fsio.exists(spark, f"{path}/params.json"):
+        import uuid
+
+        staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
+        thr = signq_fit_thresholds(e, _DIM)
+        build_ivfbin_index(e, staged, _N_CENTROIDS, _DIM, thr)
+        fsio.publish_dir(spark, staged, path, ok_name="params.json")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    return search_ivfbin_index_rerank(
+        spark, path, q, _TOPK, _SIGNQ_SHORTLIST, _N_PROBES, _DIM,
+        vector_source=e, query_vec_col="qvec",
+    )
+
+
+ivfbin_rerank_top5.__doc__ = ivfbin_rerank_top5.__doc__.format(
+    sl=_SIGNQ_SHORTLIST, np=_N_PROBES, nc=_N_CENTROIDS
 )
 
 

@@ -152,8 +152,18 @@ def test_fingerprint_pipelines_single_shuffle(spark):
     (doc_id, text) projection BY doc_id before exploding; Generate
     preserves that hash partitioning, so the per-doc aggregation needs
     no second exchange. Exactly ONE shuffle in each plan."""
-    for name in ("simhash_fingerprints", "minhash_lsh_buckets"):
-        plan = plan_of(spark, name)
+    # minhash buckets pinned on the builder directly since the r16
+    # swap retired its catalog row (semantics stay oracle-checked
+    # through neardup_candidate_pairs / neardup_jaccard_verified)
+    from machine_downtime_monitor_on_aws_spark.plans.textops import (
+        minhash_lsh_buckets_q,
+    )
+
+    plans = {
+        "simhash_fingerprints": plan_of(spark, "simhash_fingerprints"),
+        "minhash_lsh_buckets": explain(minhash_lsh_buckets_q(spark, SF_ORACLE)),
+    }
+    for name, plan in plans.items():
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, name
 
 
@@ -446,6 +456,62 @@ def test_r15_catalog_swap_executed():
         "quality_weighted_sample",
     ):
         assert n in catalog.REGISTRY, f"swap replacement/twin {n} missing"
+    assert math.ceil(len(catalog.REGISTRY) / 50) <= 3
+
+
+def test_r16_catalog_swap_executed():
+    """r15 verdict next-round #1 + #4: three retirements fund the two
+    test-pinned r15 lifecycles' driver rows plus the round's new
+    surface. Retired: the inline IVF demo (its oracle lives verbatim
+    inside ivf_recall_at5's - `iv AS ({_IVF_ORACLE})` - and the
+    builder still runs live inside that registered query; the
+    persisted twins ivfpq_rerank_top5 / ivfbin_rerank_top5 carry the
+    index-lifecycle evidence, the r9 ivfpq_knn_top5 precedent), the
+    bigram-LM scorer (its oracle lives verbatim inside
+    ccnet_perplexity_buckets' - `scores AS ({_BIGRAM_LM_ORACLE})` -
+    and the builder runs live inside it; the KN trigram family is
+    the n-gram-LM production surface), and the MinHash bucket dump
+    (buckets re-derive verbatim inside neardup_candidate_pairs' /
+    neardup_jaccard_verified's oracles and the operator pipeline
+    runs live inside them; the r15 lsh_bucket_assignments
+    precedent). Builders stay importable; all replacements are
+    oracle-paired; the staleness bound holds at 3."""
+    import math
+
+    from machine_downtime_monitor_on_aws_spark.plans import textops, vectorops
+
+    retired = {
+        "ivf_knn_top5": (vectorops, "ivf_knn_top5"),
+        "bigram_lm_doc_scores": (textops, "bigram_lm_doc_scores"),
+        "minhash_lsh_buckets": (textops, "minhash_lsh_buckets_q"),
+    }
+    for n, (mod, attr) in retired.items():
+        assert n not in catalog.REGISTRY, f"{n} should be retired"
+        assert callable(getattr(mod, attr))  # evidence stays importable
+    for n in (
+        "ivfbin_rerank_top5",
+        "kn_stream_replay",
+        "exactsubstr_deduped_docs",
+        "ivf_recall_at5",
+        "ccnet_perplexity_buckets",
+        "neardup_candidate_pairs",
+        "neardup_jaccard_verified",
+        "kn_trigram_doc_scores",
+        "exactsubstr_doc_coverage",
+    ):
+        assert n in catalog.REGISTRY, f"swap replacement/twin {n} missing"
+        assert catalog.REGISTRY[n].oracle is not None
+    # the retired oracles' semantics really are embedded verbatim in
+    # the surviving rows' oracles
+    assert vectorops._IVF_ORACLE in catalog.REGISTRY["ivf_recall_at5"].oracle
+    assert (
+        textops._BIGRAM_LM_ORACLE
+        in catalog.REGISTRY["ccnet_perplexity_buckets"].oracle
+    )
+    assert (
+        textops._bucket_sql()
+        in catalog.REGISTRY["neardup_candidate_pairs"].oracle
+    )
     assert math.ceil(len(catalog.REGISTRY) / 50) <= 3
 
 

@@ -270,6 +270,41 @@ def test_ivfbin_index_build_search_roundtrip(spark, tmp_path):
         )
 
 
+def test_ivfbin_catalog_query_plan(spark, tmp_path, monkeypatch):
+    """The registered ivfbin_rerank_top5 serve path: the corpus scan
+    carries a dynamic partition-pruning filter on list_id (the P/C
+    I/O story over 1-bit codes), the probe/shortlist sides broadcast
+    (the corpus never shuffles), and warm calls serve from the
+    persisted index without rebuilding (build poisoned after the
+    first call)."""
+    import contextlib
+    import io
+    import tempfile
+
+    from machine_downtime_monitor_on_aws_spark.operators import ivf
+    from machine_downtime_monitor_on_aws_spark.plans import catalog
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    fn = catalog.REGISTRY["ivfbin_rerank_top5"].fn
+    got = fn(spark, sf)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan
+    assert "BroadcastExchange" in plan
+    rows1 = sorted(map(tuple, got.collect()))
+    assert rows1
+
+    def _boom(*a, **k):
+        raise AssertionError("warm path rebuilt the index")
+
+    monkeypatch.setattr(ivf, "build_ivfbin_index", _boom)
+    rows2 = sorted(map(tuple, fn(spark, sf).collect()))
+    assert rows2 == rows1
+
+
 def test_ivfbin_index_incremental_append(spark, tmp_path):
     """Build on 80% of the corpus, append the rest: searches equal a
     one-shot full build row-for-row (assignment against the SAME

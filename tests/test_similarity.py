@@ -117,7 +117,6 @@ def test_ivf_index_build_search_roundtrip(spark, tmp_path):
         build_ivf_index,
         search_ivf_index,
     )
-    from machine_downtime_monitor_on_aws_spark.plans.catalog import REGISTRY
     from machine_downtime_monitor_on_aws_spark.plans.vectorops import (
         _DIM,
         _N_CENTROIDS,
@@ -125,6 +124,7 @@ def test_ivf_index_build_search_roundtrip(spark, tmp_path):
         _N_QUERIES,
         _TOPK,
         _emb,
+        ivf_knn_top5,
     )
 
     sf = "/root/testdata/sf0.001"
@@ -142,7 +142,9 @@ def test_ivf_index_build_search_roundtrip(spark, tmp_path):
         got.explain("formatted")
     assert "dynamicpruning" in buf.getvalue()
 
-    inline = REGISTRY["ivf_knn_top5"].fn(spark, sf)
+    # pinned on the builder directly since the r16 swap retired its
+    # catalog row (semantics stay oracle-checked via ivf_recall_at5)
+    inline = ivf_knn_top5(spark, sf)
     a = {(r.qid, r.neighbor_id, r.rnk) for r in got.collect()}
     b = {(r.qid, r.neighbor_id, r.rnk) for r in inline.collect()}
     assert a == b and a

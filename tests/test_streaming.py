@@ -2439,3 +2439,34 @@ def test_streaming_kn_counts_loop(spark, tmp_path):
     again = sorted(map(tuple,
         kn_counts_from_store(spark, counts_path).collect()))
     assert again == want_counts
+
+
+def test_kn_stream_replay_equals_one_shot_catalog_row(
+    spark, tmp_path, monkeypatch
+):
+    """The registered kn_stream_replay (r16): three streamed epochs,
+    then scores served from the folded counts store - bit-identical
+    to the one-shot kn_trigram_doc_scores catalog row on the same
+    corpus (they share _KN_TRIGRAM_ORACLE verbatim), and the warm
+    path folds the persisted feed without re-streaming (the replay
+    builder poisoned after the first call)."""
+    import tempfile
+
+    from machine_downtime_monitor_on_aws_spark.plans import catalog, textops
+    from machine_downtime_monitor_on_aws_spark.streaming import lm
+
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    replay = catalog.REGISTRY["kn_stream_replay"]
+    one_shot = catalog.REGISTRY["kn_trigram_doc_scores"]
+    assert replay.oracle == one_shot.oracle
+    a = sorted(map(tuple, replay.fn(spark, sf).collect()))
+    b = sorted(map(tuple, one_shot.fn(spark, sf).collect()))
+    assert a == b and a
+
+    def _boom(*args, **kwargs):
+        raise AssertionError("warm path re-streamed the corpus")
+
+    monkeypatch.setattr(lm, "run_kn_counts_stream", _boom)
+    again = sorted(map(tuple, replay.fn(spark, sf).collect()))
+    assert again == a

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from machine_downtime_monitor_on_aws_spark.operators.suffix import (
     exactsubstr_coverage,
+    exactsubstr_removed,
     suffix_rows,
     token_lcp,
 )
@@ -155,6 +156,109 @@ def test_suffix_rows_shape(spark):
         (1, True, ["d"]),
         (2, True, []),
     ]
+
+
+def _removal_model(docs: list[tuple[int, str]], a: int):
+    """Definitional removal ground truth: a position is cut iff it
+    lies in [p, p+a) of ANY anchor start p whose gram occurs >= 2
+    times corpus-wide - every occurrence cut, matching the
+    per-position duplicated test (and the released Lee et al. 2022
+    implementation)."""
+    toks = {i: t.split() for i, t in docs}
+    grams = defaultdict(list)
+    for i, t in toks.items():
+        for p in range(len(t) - a + 1):
+            grams[tuple(t[p : p + a])].append((i, p))
+    cut = defaultdict(set)
+    for occ in grams.values():
+        if len(occ) < 2:
+            continue
+        for i, p in occ:
+            cut[i].update(range(p, p + a))
+    out = {}
+    for i, t in toks.items():
+        rm = cut.get(i, set())
+        kept = [w for j, w in enumerate(t) if j not in rm]
+        out[i] = (len(t), len(t) - len(kept), " ".join(kept))
+    return out
+
+
+def test_exactsubstr_removed_matches_model_randomized(spark):
+    """Terminal removal stage vs the definitional model: planted
+    cross-doc copies (every copy cut), overlapping self-repeats, a
+    fully-duplicated doc (dedup_text becomes ''), untouched and
+    too-short docs passing through with n_removed = 0."""
+    rng = random.Random(4321)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(24):
+        docs.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        )
+    long_copy = " ".join(rng.choice(vocab) for _ in range(20))
+    docs.append((100, long_copy + " tailA tailB"))
+    docs.append((101, "headX headY " + long_copy))
+    docs.append((102, long_copy))  # fully duplicated -> empty text
+    docs.append((103, " ".join(["rep"] * 9)))  # self-overlap
+    docs.append((104, "short doc"))
+    a = 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.dedup_text)
+        for r in exactsubstr_removed(df, "doc_id", "text", a).collect()
+    }
+    want = _removal_model(docs, a)
+    assert got == want
+    assert got[102][2] == ""  # all copies cut, including the "first"
+    assert got[104] == (2, 0, "short doc")
+
+
+def test_exactsubstr_removed_coverage_invariant(spark):
+    """n_removed equals exactsubstr_coverage's covered_tokens for
+    every doc (0 where coverage reports nothing): the two operators
+    derive the SAME duplicated-interval union, one reporting it, one
+    cutting it."""
+    rng = random.Random(77)
+    vocab = [f"v{i}" for i in range(12)]  # small vocab: many repeats
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30))))
+        for i in range(30)
+    ]
+    a = 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    removed = {
+        r.doc_id: r.n_removed
+        for r in exactsubstr_removed(df, "doc_id", "text", a).collect()
+    }
+    cov = {
+        r.doc_id: r.covered_tokens
+        for r in exactsubstr_coverage(df, "doc_id", "text", a, 4).collect()
+    }
+    assert set(removed) == {i for i, _ in docs}
+    for i in removed:
+        assert removed[i] == cov.get(i, 0), i
+    assert any(v > 0 for v in removed.values())  # non-trivial corpus
+
+
+def test_exactsubstr_removed_plan_shape(spark):
+    """No single-partition stage anywhere (bucketed count, per-doc
+    windows, doc_id join), and the dominant shuffle keys on the
+    anchor digest - the coverage pass's discipline carried through
+    the removal."""
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = exactsubstr_removed(df, "doc_id", "text", 4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(bucket" in plan, plan
 
 
 def test_exactsubstr_plan_no_global_sort(spark):

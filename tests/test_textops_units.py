@@ -288,7 +288,9 @@ def test_bigram_lm_serves_from_persisted_counts_store(
 
     monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
     sf = "/root/testdata/sf0.001"
-    fn_lm = catalog.REGISTRY["bigram_lm_doc_scores"].fn
+    # pinned on the builder directly since the r16 swap retired its
+    # catalog row (scoring stays oracle-checked via ccnet's oracle)
+    fn_lm = textops.bigram_lm_doc_scores
     fn_cc = catalog.REGISTRY["ccnet_perplexity_buckets"].fn
     rows1 = sorted(tuple(r) for r in fn_lm(spark, sf).collect())
     stores = glob.glob(str(tmp_path / "spark_graft_bigram_lm_*"))
