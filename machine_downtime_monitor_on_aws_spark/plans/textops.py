@@ -768,6 +768,11 @@ def neardup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_minhash_pairs(spark, sf_dir))
 
 
+# Retirement candidate earmarked for quality_gate_from_sketch's r17
+# registration: two trivial integer aggregations over the SAME
+# recursive-CC clauses neardup_duplicate_clusters' oracle carries
+# verbatim (_CC_SQL), over the same persisted labels store that
+# registered query's family populates and probes live every round.
 @register(
     "duplicate_cluster_sizes",
     oracle=f"""
@@ -1659,6 +1664,104 @@ def adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("distinct_ratio") >= F.col("cutoff"))
         .select("doc_id", "source", "distinct_ratio", "cutoff")
     )
+
+
+_QS_BINS = 4096  # 2^12 cells over [0, 1]: the rescale multiply is a
+# power-of-two scaling (exact in IEEE), so quantization is the
+# identical floor on every engine; cutoff error < 2^-12 of the range
+
+_QS_GATE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, source, {_DRATIO_SQL} AS r
+  FROM documents WHERE len({_TOKENS_SQL}) > 0
+),
+b AS (
+  SELECT doc_id, source, r,
+         CAST(floor(r * {_QS_BINS}.0) AS BIGINT) AS score_bin
+  FROM s
+),
+h AS (SELECT source, score_bin, count(*) AS cnt FROM b
+      GROUP BY source, score_bin),
+c AS (
+  SELECT source, min(score_bin) AS cutoff_bin FROM (
+    SELECT source, score_bin,
+           sum(cnt) OVER (PARTITION BY source ORDER BY score_bin) AS cum,
+           sum(cnt) OVER (PARTITION BY source) AS n
+    FROM h) WHERE cum >= (n + 3) // 4 GROUP BY source
+)
+SELECT b.doc_id, b.source, b.r AS distinct_ratio, b.score_bin, c.cutoff_bin
+FROM b JOIN c USING (source) WHERE b.score_bin >= c.cutoff_bin
+"""
+
+
+# Built, oracle-written, and test-pinned in r16; REGISTERS in r17
+# (paired with a retirement per the swap discipline - the r15
+# ivfbin/KN-trainer cadence). Why deferred: the r16 driver window is
+# exactly consumed - the r13 cohort (46 queries) sits AT the
+# ceil(146/50)=3 staleness bound and must take its slots this round,
+# the round's three registered newcomers take three more, and the
+# 50th goes to exactsubstr_doc_coverage's post-rewire row (r15
+# verdict #2). A fourth newcomer would displace one of those
+# bound-critical rows. tests/test_qsketch.py pins the oracle match
+# ahead of registration.
+def quality_gate_from_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive quality gate served from the MERGEABLE percentile
+    store (operators/qsketch.py - r15 verdict next-round #4b): the
+    per-source lexical-diversity distribution lives as fixed-grid bin
+    counts (4096 cells over [0, 1] - bounded at 4097 rows per source
+    regardless of corpus size, additive across batches), the
+    25th-percentile cutoff reads off the sketch by the inverted-CDF
+    rule (smallest bin whose cumulative count reaches ceil(N/4) -
+    integer arithmetic), and a document passes iff its own grid cell
+    is at or above the cutoff cell. This is the t-digest/KLL role
+    (Dunning 2019; Karnin-Lang-Liberty 2016) filled deterministically:
+    no compaction, no randomness, and quantization is order-
+    preserving, so the sketch's cutoff bin EQUALS the bin of the
+    exact type-1 quantile (test-pinned) - error is bounded by one
+    grid cell by theorem, and the whole derivation hash-matches a
+    relational DuckDB re-derivation. adaptive_quality_filter is the
+    frozen-corpus twin (interpolated exact percentile); THIS shape is
+    what the streaming curation loop maintains in O(delta)
+    (streaming/qsketch.py - per-epoch delta counts, the KN-counts
+    crash protocol, fold == one-shot exactly).
+
+    Scale shape: scoring and quantization are scan expressions over
+    ONE barriered derivation of the token stats; the histogram is one
+    map-side-combining aggregation to source x occupied-bin rows; the
+    cutoff window runs over <= 4097 rows per source; cutoffs
+    broadcast back - the corpus never shuffles for the gate."""
+    from ..operators.qsketch import quantize_score, sketch_quantile_bins
+    from ..streaming.store import _tracked_local_checkpoint
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    n_tok = token_count(t)
+    ratio = distinct_token_count(t).cast("double") / n_tok.cast("double")
+    # the scored sliver feeds BOTH the histogram and the gate join -
+    # barrier it so tokenization runs once (the tfidf/KN lesson)
+    scored = _tracked_local_checkpoint(
+        d.filter(n_tok > 0).select(
+            "doc_id", "source", ratio.alias("distinct_ratio")
+        ),
+        eager=False,
+    )
+    binned = scored.withColumn(
+        "score_bin",
+        quantize_score(F.col("distinct_ratio"), 0.0, 1.0, _QS_BINS),
+    )
+    bins = binned.groupBy("source", "score_bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cuts = sketch_quantile_bins(bins, ["source"], 1, 4)
+    out = (
+        binned.join(F.broadcast(cuts), "source")
+        .filter(F.col("score_bin") >= F.col("cutoff_bin"))
+        .select(
+            "doc_id", "source", "distinct_ratio", "score_bin", "cutoff_bin"
+        )
+    )
+    out._spark_graft_ckpt_ids = getattr(scored, "_spark_graft_ckpt_ids", ())
+    return out
 
 
 # blocklist terms the catalog's masking stage scrubs - chosen to be

@@ -488,6 +488,13 @@ def test_r16_catalog_swap_executed():
     for n, (mod, attr) in retired.items():
         assert n not in catalog.REGISTRY, f"{n} should be retired"
         assert callable(getattr(mod, attr))  # evidence stays importable
+    # the fourth r16 surface (quality_gate_from_sketch) is built and
+    # oracle-pinned but deliberately UNREGISTERED: the r16 window is
+    # exactly consumed by the three newcomers + the bound-critical
+    # r13 cohort + exactsubstr's post-rewire row. It registers r17.
+    assert "quality_gate_from_sketch" not in catalog.REGISTRY
+    assert callable(textops.quality_gate_from_sketch)
+    assert isinstance(textops._QS_GATE_SQL, str)
     for n in (
         "ivfbin_rerank_top5",
         "kn_stream_replay",
