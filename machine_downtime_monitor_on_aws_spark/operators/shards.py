@@ -70,6 +70,128 @@ def assign_training_shards(
     )
 
 
+def assign_balanced_shards(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    n_shards: int,
+    salt_order: str = "order",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Length-balanced deterministic shard assignment: add
+    (shard, order_key, position) to ``df`` such that every shard
+    carries the same TOTAL ``weight_col`` to within a corpus-size-
+    independent constant - the loader step-time-variance bound hash
+    assignment cannot give (hash spreads COUNTS evenly; its weight
+    imbalance grows as sqrt(N) * max_weight).
+
+    Scheme: stratified round-robin. Items stratify by their exact
+    integer weight; within a stratum, items order by the salted-md5
+    order_key (the deterministic shuffle - same coin as
+    :func:`assign_training_shards`) and the item of stratum rank r
+    goes to shard (r - 1) mod n_shards. Within each stratum the
+    per-shard item counts differ by at most 1, so the weight gap
+    contributed by stratum w is at most w - summed over strata the
+    total gap between ANY two shards is bounded by
+    sum(distinct weights), a constant independent of corpus size
+    (the bin-packing-quality theorem the tests pin empirically
+    against hash assignment).
+
+    The stratum rank needs a total order WITHOUT a global sort (the
+    repo-wide no-SinglePartition discipline): the first
+    ``bucket_hex`` hex chars of order_key split each stratum into
+    16^bucket_hex hash buckets; per-(weight, bucket) counts fold to
+    a tiny table (strata x buckets); a window over THAT table turns
+    counts into per-bucket base offsets; offsets broadcast back and
+    rank = base + row_number within (weight, bucket). Because the
+    bucket is a PREFIX of order_key, (bucket, order_key) ordering IS
+    order_key ordering, so the distributed rank equals the oracle's
+    single-window rank exactly.
+
+    Scale shape: two scan expressions, ONE map-side-combining count
+    to the strata x buckets sliver, a window over that sliver
+    (partitioned by weight, never SinglePartition), a broadcast join
+    back, and bounded-partition windows over (weight, bucket) and
+    (shard). Weights must be non-negative integers with a bounded
+    domain (token counts, byte buckets) - the strata sliver is
+    domain x buckets rows."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    w_guard = F.assert_true(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0),
+        F.concat_ws(
+            " ",
+            F.lit(f"assign_balanced_shards: {weight_col}"),
+            F.col(weight_col).cast("string"),
+            F.lit("must be a non-negative integer"),
+        ),
+    )
+    out = (
+        df.withColumn(
+            "order_key", F.md5(F.concat(F.lit(f"{salt_order}:"), key))
+        )
+        .withColumn(
+            "__w",
+            F.when(
+                w_guard.isNull(), F.col(weight_col).cast("long")
+            ),
+        )
+        .withColumn("__bkt", F.substring("order_key", 1, bucket_hex))
+    )
+    counts = out.groupBy("__w", "__bkt").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    off_w = Window.partitionBy("__w").orderBy("__bkt")
+    offsets = counts.withColumn(
+        "__base", F.sum("__cnt").over(off_w) - F.col("__cnt")
+    ).select("__w", "__bkt", "__base")
+    local = Window.partitionBy("__w", "__bkt").orderBy(
+        "order_key", *[F.col(c) for c in key_cols]
+    )
+    ranked = (
+        out.join(F.broadcast(offsets), ["__w", "__bkt"])
+        .withColumn(
+            "__rank", F.col("__base") + F.row_number().over(local)
+        )
+        .withColumn(
+            "shard", ((F.col("__rank") - 1) % n_shards).cast("int")
+        )
+    )
+    pos = Window.partitionBy("shard").orderBy(
+        "order_key", *[F.col(c) for c in key_cols]
+    )
+    return (
+        ranked.withColumn(
+            "position", F.row_number().over(pos).cast("int")
+        )
+        .drop("__w", "__bkt", "__base", "__rank")
+    )
+
+
+def balanced_shard_sql(
+    weight_sql: str,
+    key_sql: str,
+    n_shards: int,
+    salt_order: str = "order",
+) -> str:
+    """DuckDB twin of the balanced shard id: the single-window form
+    ((rank within weight stratum by order_key) - 1) mod n_shards -
+    the distributed prefix-bucket rank equals it exactly because the
+    bucket is a prefix of the rank's own sort key. Emit alongside
+    {order_key_sql(...)} and a per-shard position window to mirror
+    the full operator output."""
+    ok = order_key_sql(key_sql, salt_order)
+    return (
+        f"CAST((row_number() OVER (PARTITION BY {weight_sql} "
+        f"ORDER BY {ok}, {key_sql}) - 1) % {n_shards} AS INT)"
+    )
+
+
 def shard_key_sql(key_sql: str, n_shards: int, salt_shard: str = "shard") -> str:
     """DuckDB twin of the shard expression (for oracle SQL)."""
     return f"CAST(({sample_hash_sql(key_sql, salt_shard)}) % {n_shards} AS INT)"

@@ -24,7 +24,11 @@ from ..operators.sampling import (
     stratified_rate_sql,
     stratified_sample,
 )
-from ..operators.shards import order_key_sql, shard_key_sql
+from ..operators.shards import (
+    balanced_shard_sql,
+    order_key_sql,
+    shard_key_sql,
+)
 from ..session import pin_utc
 from ..tables import load_table
 from .catalog import register
@@ -356,6 +360,60 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard", "position", "order_key",
         "bucket", "pack_id", "n_docs", "pack_tokens",
     )
+
+
+_BSHARD_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         {balanced_shard_sql('n_tokens', 'doc_id', _N_SHARDS)} AS shard,
+         {order_key_sql('doc_id')} AS order_key
+  FROM t
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY order_key, doc_id) AS INT)
+         AS position,
+       order_key, doc_id, n_tokens
+FROM s
+"""
+
+
+# Built, oracle-written, and test-pinned in r16; REGISTERS in r17
+# (the quality_gate_from_sketch cadence - see plans/textops.py for
+# the window arithmetic: r17's window is the 48-query r14 cohort
+# plus these two deferred newcomers, exactly 50). Pinned ahead of
+# registration by tests/test_shards.py::
+# test_balanced_manifest_matches_duckdb_oracle.
+def balanced_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-BALANCED loader shards (operators/shards.py
+    assign_balanced_shards - r15 verdict next-round #4c): documents
+    stratify by exact token count, order within each stratum by the
+    salted-md5 shuffle, and stratum rank r goes to shard (r-1) mod 8
+    - so every shard carries the same token total to within
+    sum(distinct lengths), a constant independent of corpus size,
+    where hash sharding's gap grows as sqrt(N) x max_len. Loader
+    step time tracks the max shard, so the bound is the step-time-
+    variance contract (the training_shard_manifest twin balances
+    COUNTS; this balances WORK). Position stays a per-shard
+    row_number over the same order_key shuffle - reproducible
+    training order, still no global sort: the stratum rank is
+    derived distributed (order-key-prefix buckets -> counts sliver
+    -> broadcast base offsets), exactly equal to the oracle's
+    single-window rank because the bucket is a prefix of the rank's
+    own sort key."""
+    from ..operators.shards import assign_balanced_shards
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    return assign_balanced_shards(
+        d, ["doc_id"], "n_tokens", _N_SHARDS
+    ).select("shard", "position", "order_key", "doc_id", "n_tokens")
 
 
 # ---- Streaming shard-manifest maintenance replay (feed end state)

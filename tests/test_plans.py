@@ -495,6 +495,14 @@ def test_r16_catalog_swap_executed():
     assert "quality_gate_from_sketch" not in catalog.REGISTRY
     assert callable(textops.quality_gate_from_sketch)
     assert isinstance(textops._QS_GATE_SQL, str)
+    # same cadence for the fifth r16 surface (balanced shards):
+    # built + oracle-pinned now, registers r17 alongside the sketch
+    # gate (48-query r14 cohort + 2 newcomers = exactly 50).
+    from machine_downtime_monitor_on_aws_spark.plans import pipelineops
+
+    assert "balanced_shard_manifest" not in catalog.REGISTRY
+    assert callable(pipelineops.balanced_shard_manifest)
+    assert isinstance(pipelineops._BSHARD_SQL, str)
     for n in (
         "ivfbin_rerank_top5",
         "kn_stream_replay",
