@@ -952,6 +952,7 @@ def build_ivfbin_index(
     id_col: str = "vec_id",
     vec_col: str = "vec",
     centroids: DataFrame | None = None,
+    epoch_partitioned: bool = False,
 ) -> None:
     """Build the IVF-binary index: assign each vector to its nearest
     coarse centroid (broadcast K-row table, corpus never shuffles),
@@ -961,7 +962,14 @@ def build_ivfbin_index(
     list_id) partitioned by list_id. The thresholds persist INSIDE
     the index ({path}/thresholds) and the params stamp pins them by
     digest - consumers re-open the index with no out-of-band state,
-    and a torn threshold store fails loudly."""
+    and a torn threshold store fails loudly.
+
+    ``epoch_partitioned=True`` inserts a leading ``__epoch``
+    partition level (the build writes ``__epoch=base``) - the
+    build_ivf_index layout that lets a streaming loop append each
+    micro-batch as an idempotent dynamic overwrite of its own
+    (__epoch, list_id) partitions (streaming/ann.py's exactly-once
+    contract, now available to the binary tier)."""
     from .signq import signq_encode
 
     if len(thresholds) != dim:
@@ -982,9 +990,15 @@ def build_ivfbin_index(
         "vec_id", "vec", F.col("cid").alias("list_id")
     )
     encoded = signq_encode(assign, thresholds)
-    encoded.select("vec_id", "signq_code", "list_id").write.mode(
-        "overwrite"
-    ).partitionBy("list_id").parquet(f"{path}/corpus")
+    codes = encoded.select("vec_id", "signq_code", "list_id")
+    if epoch_partitioned:
+        codes.withColumn("__epoch", F.lit("base")).write.mode(
+            "overwrite"
+        ).partitionBy("__epoch", "list_id").parquet(f"{path}/corpus")
+    else:
+        codes.write.mode("overwrite").partitionBy("list_id").parquet(
+            f"{path}/corpus"
+        )
     df.sparkSession.createDataFrame(
         [(j, float(t)) for j, t in enumerate(thresholds)],
         "j int, thr double",
@@ -997,8 +1011,51 @@ def build_ivfbin_index(
             "dim": dim,
             "n_words": (dim + 31) // 32,
             "thresholds_md5": thresholds_digest(thresholds),
+            "epoch_layout": bool(epoch_partitioned),
         },
     )
+
+
+def compact_ivfbin_index(spark: SparkSession, path: str) -> None:
+    """Fold an epoch-layout IVF-binary corpus back into
+    ``__epoch=base`` so a long-lived ingest loop
+    (streaming/ann.run_incremental_ivfbin_stream) does not grow one
+    directory level per micro-batch forever. The IVF loop gets this
+    for free from its skew-gated rebuild; an IVF-binary index stores
+    codes, not raw vectors, so it can never rebuild from its own
+    contents - but compaction needs no re-assignment at all: codes
+    and list assignments are IMMUTABLE once written, so this is a
+    pure layout rewrite of (vec_id, signq_code, list_id), leaving
+    centroids, thresholds, and the params stamp (digest included)
+    untouched. Swap discipline is rebuild_ivf_index's: write the
+    compacted corpus beside the live one, move the old aside, move
+    the new in, delete the old - a crash mid-swap leaves both copies
+    on disk (recoverable), never a half-updated corpus."""
+    from .. import fsio
+
+    stamped = _check_ivf_index_params(spark, path, layout="ivfbin")
+    if not stamped.get("epoch_layout", False):
+        raise ValueError(
+            f"IVF-binary index {path!r} has a flat corpus layout: "
+            "nothing to compact"
+        )
+    corpus_dir = f"{path.rstrip('/')}/corpus"
+    codes = spark.read.parquet(corpus_dir).select(
+        "vec_id", "signq_code", "list_id"
+    )
+    # the rewrite reads the directory it replaces - pin the rows
+    codes = codes.localCheckpoint(eager=True)
+    tmp = corpus_dir + "__compacting"
+    fsio.delete(spark, tmp)
+    codes.withColumn("__epoch", F.lit("base")).write.mode(
+        "overwrite"
+    ).partitionBy("__epoch", "list_id").parquet(tmp)
+    old = corpus_dir + "__old"
+    if not fsio.rename(spark, corpus_dir, old):
+        raise OSError(f"compact_ivfbin_index: could not move {corpus_dir}")
+    if not fsio.rename(spark, tmp, corpus_dir):
+        raise OSError(f"compact_ivfbin_index: could not publish {tmp}")
+    fsio.delete(spark, old)
 
 
 def load_ivfbin_thresholds(spark: SparkSession, path: str) -> list[float]:
@@ -1110,6 +1167,7 @@ def append_to_ivfbin_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "vec",
+    epoch: str | None = None,
 ) -> None:
     """Steady-state growth of an IVF-binary index: assign the batch
     against the persisted coarse centroids (broadcast, partial-agg
@@ -1121,11 +1179,30 @@ def append_to_ivfbin_index(
     Thresholds stay FROZEN at build time by design: sign codes are
     only mutually comparable under one threshold vector, so corpus
     drift is a rebuild signal (the drift monitor's job), not an
-    append-time adjustment."""
+    append-time adjustment.
+
+    ``epoch`` (epoch-layout indexes only) makes the append an
+    idempotent dynamic overwrite of this batch's own
+    (__epoch, list_id) partitions - a crash-replayed epoch rewrites
+    identical rows instead of duplicating them (the
+    append_to_ivf_index exactly-once contract)."""
     from .signq import signq_encode
 
     spark = df.sparkSession
-    _check_ivf_index_params(spark, path, layout="ivfbin", dim=dim)
+    stamped = _check_ivf_index_params(spark, path, layout="ivfbin", dim=dim)
+    epoch_layout = bool(stamped.get("epoch_layout", False))
+    if epoch_layout and epoch is None:
+        raise ValueError(
+            f"IVF-binary index {path!r} is epoch-partitioned: pass "
+            "epoch= (plain appends would mix partition depths and "
+            "break discovery)"
+        )
+    if not epoch_layout and epoch is not None:
+        raise ValueError(
+            f"IVF-binary index {path!r} has a flat corpus layout: "
+            "epoch= appends require an index built with "
+            "epoch_partitioned=True"
+        )
     thr = load_ivfbin_thresholds(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").withColumn(
         "__cn", l2_norm("cv", dim)
@@ -1137,6 +1214,14 @@ def append_to_ivfbin_index(
         "vec_id", "vec", F.col("cid").alias("list_id")
     )
     encoded = signq_encode(assign, thr)
-    encoded.select("vec_id", "signq_code", "list_id").write.mode(
-        "append"
-    ).partitionBy("list_id").parquet(f"{path}/corpus")
+    codes = encoded.select("vec_id", "signq_code", "list_id")
+    if epoch is not None:
+        codes.withColumn("__epoch", F.lit(epoch)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "__epoch", "list_id"
+        ).parquet(f"{path}/corpus")
+    else:
+        codes.write.mode("append").partitionBy("list_id").parquet(
+            f"{path}/corpus"
+        )

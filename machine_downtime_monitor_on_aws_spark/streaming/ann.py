@@ -337,3 +337,109 @@ def run_incremental_ann_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_incremental_ivfbin_stream(
+    vec_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    n_centroids: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    train_iters: int = 2,
+    bootstrap_centroids: DataFrame | None = None,
+    bootstrap_thresholds: list[float] | None = None,
+) -> StreamingQuery:
+    """The binary tier's ingest loop: keep a persisted IVF-binary
+    index (operators/ivf.build_ivfbin_index - 16-byte codes, coarse
+    partition pruning) current with O(batch) work per micro-batch,
+    under the run_incremental_ann_stream crash contract (epoch
+    markers; per-epoch idempotent dynamic overwrite of the batch's
+    own (__epoch, touched-list) partitions; malformed-vector
+    quarantine so a poison batch cannot wedge the loop).
+
+    Bootstrap freezes BOTH model artifacts on the first committed
+    build - coarse centroids (trained on the batch via hash-init
+    k-means, or passed in from an offline store) AND the sign
+    thresholds (fit on the batch, or passed): sign codes are only
+    mutually comparable under one threshold vector, so thresholds
+    can never be append-time adjusted. params.json is the
+    bootstrap-commit signal, exactly as in the IVF loop.
+
+    Deliberately NO in-loop rebuild gate: the index stores codes,
+    not raw vectors (the compression is the point), so it cannot be
+    re-assigned from its own contents - list skew or population
+    drift (operators/drift.py over the embedding stream) is a
+    REBUILD SIGNAL served by re-running build_ivfbin_index over a
+    retained vector source, the documented ivfbin lifecycle stance
+    (thresholds frozen at build; drift -> rebuild)."""
+    from ..operators.ivf import append_to_ivfbin_index, build_ivfbin_index
+    from ..operators.signq import signq_fit_thresholds
+
+    spark = vec_stream.sparkSession
+    token = _checkpoint_sink_token(spark, checkpoint_dir)
+    marker_dir = checkpoint_dir.rstrip("/") + "/ivfbin_epochs"
+    fsio.mkdirs(spark, marker_dir)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_val = f"{token}-{epoch_id}"
+        marker = f"{marker_dir}/{epoch_val}"
+        if fsio.exists(spark, marker):
+            return
+        e = batch_df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        )
+        # quarantine before the encode: signq_encode fails loudly on
+        # wrong-dim vectors (right for offline callers), but inside
+        # foreachBatch that raise lands before the marker and every
+        # restart replays the same poison batch - the wedged-loop
+        # failure the ANN loop already designs out.
+        ok = F.col("vec").isNotNull() & (F.size("vec") == dim)
+        bad = e.filter(~ok)
+        if bad.limit(1).count() > 0:
+            bad.withColumn("__epoch", F.lit(epoch_val)).write.mode(
+                "overwrite"
+            ).option("partitionOverwriteMode", "dynamic").partitionBy(
+                "__epoch"
+            ).json(checkpoint_dir.rstrip("/") + "/ivfbin_rejects")
+        e = e.filter(ok)
+        if not read_ivf_index_params(spark, index_path):
+            avail = e.limit(max(n_centroids, 1)).count()
+            if avail == 0:
+                return  # nothing to bootstrap from yet
+            if bootstrap_thresholds is not None:
+                thr = list(bootstrap_thresholds)
+            else:
+                thr = signq_fit_thresholds(e, dim)
+            if bootstrap_centroids is not None:
+                cents = bootstrap_centroids.select("cid", "cv")
+            else:
+                from ..operators.kmeans import kmeans_fit_centroids_df
+
+                cents = kmeans_fit_centroids_df(
+                    e, min(n_centroids, avail), dim,
+                    iters=train_iters, init="hash",
+                ).select("cid", "cv")
+            build_ivfbin_index(
+                e.limit(0), index_path, n_centroids, dim, thr,
+                centroids=cents, epoch_partitioned=True,
+            )
+        append_to_ivfbin_index(e, index_path, dim, epoch=epoch_val)
+        fsio.write_text_atomic(spark, marker, epoch_val)
+        for old in fsio.list_names(spark, marker_dir):
+            if old == epoch_val or old.endswith(".tmp") or old.startswith("."):
+                continue
+            old_tok, _, old_eid = old.rpartition("-")
+            stale = old_tok != token or (
+                old_eid.isdigit() and int(old_eid) < epoch_id
+            )
+            if stale:
+                fsio.delete(spark, f"{marker_dir}/{old}", recursive=False)
+
+    return (
+        vec_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
