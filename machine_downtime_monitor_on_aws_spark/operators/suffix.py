@@ -214,27 +214,56 @@ def exactsubstr_removed(
     which likewise drops all copies of a duplicated substring;
     keep-one corpora route through the spans operators).
 
-    Scale shape: the suffix table is O(corpus tokens) rows of
-    (doc_id, pos, 32-hex bucket) - no extension column at all, the
-    duplicated test needs only the per-bucket count, so the one
-    shuffle is even narrower than coverage's. Duplicated positions
-    then merge per doc and cut through the SHARED terminal stage
+    Scale shape (r16 verdict next-round #4 - the duplicated test is
+    an aggregate + broadcast probe, NOT a bucket window): the suffix
+    table is O(corpus tokens) rows of (doc_id, pos, 32-hex bucket) -
+    no extension column at all - barriered ONCE via a tracked
+    localCheckpoint so its two consumers never re-derive it. The
+    per-bucket count is a groupBy aggregate (map-side combine folds
+    every hot gram to one row per map partition before the
+    counts-only shuffle), the >= 2 filter shrinks it to the
+    duplicated-gram sliver, and the sliver joins back over the
+    checkpoint blocks - AQE broadcasts it at runtime when it fits
+    (the probe then keeps the blocks' own uniform partitioning and
+    a pathological boilerplate 8-gram at 100 TB never concentrates
+    anywhere) and falls back to a skew-SPLITTABLE sort-merge join
+    when a boilerplate-heavy corpus makes the sliver itself large -
+    whereas WindowExec would always sort the whole suffix table by
+    bucket into one unsplittable hot-bucket partition (AQE cannot
+    split a window). Measured A/B
+    at sf0.1/sf1 in SCALE.md: the barrier makes this shape match
+    the window's local time while deleting its skew ceiling. (The
+    coverage twin keeps its window: adjacent-suffix LCP genuinely
+    needs lag/lead.) Duplicated positions then merge per doc and cut
+    through the SHARED terminal stage
     (:func:`~.spans.remove_duplicated_spans` - gaps-and-islands
     range merge, one doc_id join of a span-derived sliver, nested
     higher-order token filter): document text shuffles exactly once,
-    boilerplate stays O(W log W) per hot gram, no recall valve."""
+    boilerplate stays O(W) bucket rows per hot gram, no recall
+    valve. Resource contract: the returned frame carries the
+    barrier's ``_spark_graft_ckpt_ids``; long-lived callers release
+    via ``streaming.store.release_checkpoint``."""
+    from ..streaming.store import _tracked_local_checkpoint
     from .spans import remove_duplicated_spans
 
-    suf = suffix_rows(
-        docs, id_col, text_col, anchor_tokens, ext_tokens=0
-    ).select("doc_id", "pos", "bucket")
-    bucket_w = Window.partitionBy("bucket")
-    dup = suf.withColumn("__cnt", F.count(F.lit(1)).over(bucket_w)).filter(
-        F.col("__cnt") >= 2
+    suf = _tracked_local_checkpoint(
+        suffix_rows(
+            docs, id_col, text_col, anchor_tokens, ext_tokens=0
+        ).select("doc_id", "pos", "bucket"),
+        eager=False,
     )
+    dup_buckets = (
+        suf.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("bucket")
+    )
+    dup = suf.join(dup_buckets, "bucket")
     cut = dup.select(
         F.col("doc_id").alias("doc_b"),
         F.col("pos").alias("start_b"),
         F.lit(anchor_tokens).cast("long").alias("span_tokens"),
     )
-    return remove_duplicated_spans(docs, cut, id_col, text_col, anchor_tokens)
+    out = remove_duplicated_spans(docs, cut, id_col, text_col, anchor_tokens)
+    out._spark_graft_ckpt_ids = getattr(suf, "_spark_graft_ckpt_ids", ())
+    return out

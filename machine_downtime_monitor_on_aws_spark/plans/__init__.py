@@ -94,18 +94,21 @@ def _reorder_for_driver_evidence() -> None:
         # Pruned r16: minute_chart_grid's r15 entry expired with its
         # hash-exact r15 row on the fully-elapsed-grid code.
         #
+        # Pruned r17: exactsubstr_doc_coverage's r15 entry (token-
+        # array adjacency rewire) expired with its hash-exact r16
+        # row on the rewired code (r16 verdict #2).
+        #
         # r16: signq_encode grew the wrong-dim assert_true guard
         # (r15 ADVICE - a short/NULL vector now fails loudly instead
         # of minting a plausible-but-wrong code). Output on every
         # correct-dim row is identical, but the executed code
         # expression changed.
         "signq_rerank_top5": 16,
-        # r15: exactsubstr adjacency ordering moved from space-joined
-        # extension strings to the token ARRAY itself on both the
-        # Spark and oracle sides (r14 ADVICE: exact token-sequence
-        # order with no separator assumption). Output identical on
-        # control-char-free corpora like the testdata.
-        "exactsubstr_doc_coverage": 15,
+        # r17: exactsubstr_deduped_docs' removal counting moved from
+        # a per-bucket window count to an AQE-skew-splittable
+        # aggregate+join (r16 verdict #4). Output identical (oracle
+        # unchanged), but the executed plan changed.
+        "exactsubstr_deduped_docs": 17,
     }
     # A typo'd or renamed key would silently drop its prioritization
     # (r10 ADVICE #2) - fail loudly instead.

@@ -289,9 +289,19 @@ _N_SHARDS = 8
 _SHARD_KEY_SQL = "CAST(bucket AS VARCHAR) || '|' || CAST(pack_id AS VARCHAR)"
 
 
-@register(
-    "training_shard_manifest",
-    oracle=f"""
+# RETIRED from the catalog (r17 swap, funding
+# balanced_shard_manifest's registration): the count-balanced pack
+# manifest. Its evidence stays live three ways - the SAME
+# shard_key/order_key md5 functions and per-shard row_number
+# position are inside shard_manifest_stream_replay's hash-exact
+# oracle every round (epoch-major/hash-minor position over the same
+# pack table), pack_utilization_stats re-derives the identical pack
+# assignment, and training_corpus_pipeline runs pack_sequences as
+# its final stage. Builder and oracle stay importable;
+# tests/test_plans.py::test_r17_catalog_swap_executed pins the swap
+# and tests/test_shards.py keeps the no-global-sort plan contract on
+# the builder directly.
+_TRAINING_SHARD_SQL = f"""
 WITH t AS (
   SELECT doc_id,
          CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
@@ -324,8 +334,9 @@ SELECT shard,
             AS INT) AS position,
        order_key, bucket, pack_id, n_docs, pack_tokens
 FROM sh
-""",
-)
+"""
+
+
 def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle + shard assignment
     (operators/shards.py - r14 verdict next-round #1c, the assembly
@@ -382,12 +393,13 @@ FROM s
 """
 
 
-# Built, oracle-written, and test-pinned in r16; REGISTERS in r17
-# (the quality_gate_from_sketch cadence - see plans/textops.py for
-# the window arithmetic: r17's window is the 48-query r14 cohort
-# plus these two deferred newcomers, exactly 50). Pinned ahead of
-# registration by tests/test_shards.py::
-# test_balanced_manifest_matches_duckdb_oracle.
+# Registered r17 (built, oracle-written, and test-pinned in r16;
+# the quality_gate_from_sketch cadence). The paired retirement is
+# training_shard_manifest above - tests/test_plans.py::
+# test_r17_catalog_swap_executed pins the swap; tests/test_shards.py
+# ::test_balanced_manifest_matches_duckdb_oracle pinned the oracle
+# match ahead of registration.
+@register("balanced_shard_manifest", oracle=_BSHARD_SQL)
 def balanced_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-BALANCED loader shards (operators/shards.py
     assign_balanced_shards - r15 verdict next-round #4c): documents

@@ -768,21 +768,25 @@ def neardup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_minhash_pairs(spark, sf_dir))
 
 
-# Retirement candidate earmarked for quality_gate_from_sketch's r17
-# registration: two trivial integer aggregations over the SAME
-# recursive-CC clauses neardup_duplicate_clusters' oracle carries
-# verbatim (_CC_SQL), over the same persisted labels store that
-# registered query's family populates and probes live every round.
-@register(
-    "duplicate_cluster_sizes",
-    oracle=f"""
+# RETIRED from the catalog (r17 swap, funding
+# quality_gate_from_sketch's registration - the earmark chosen in
+# r16): two trivial integer aggregations over the SAME recursive-CC
+# clauses neardup_duplicate_clusters' oracle carries verbatim
+# (_CC_SQL), over the same persisted labels store that registered
+# query's family populates and probes live every round. Builder and
+# its oracle SQL stay importable;
+# tests/test_plans.py::test_r17_catalog_swap_executed pins the swap
+# and tests/test_textops_units.py keeps the store-reuse contract on
+# the builder directly.
+_CLUSTER_SIZES_SQL = f"""
 WITH RECURSIVE {_cc_clauses()},
 cc AS (SELECT node, min(reach) AS component FROM walk GROUP BY node),
 sizes AS (SELECT component, count(*) AS cluster_size FROM cc GROUP BY component)
 SELECT CAST(cluster_size AS INT) AS cluster_size, count(*) AS n_clusters
 FROM sizes GROUP BY cluster_size
-""",
-)
+"""
+
+
 def duplicate_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster size histogram - the dedup QA metric a
     pipeline reports per snapshot (dup-rate, boilerplate blow-ups:
@@ -1694,16 +1698,13 @@ FROM b JOIN c USING (source) WHERE b.score_bin >= c.cutoff_bin
 """
 
 
-# Built, oracle-written, and test-pinned in r16; REGISTERS in r17
-# (paired with a retirement per the swap discipline - the r15
-# ivfbin/KN-trainer cadence). Why deferred: the r16 driver window is
-# exactly consumed - the r13 cohort (46 queries) sits AT the
-# ceil(146/50)=3 staleness bound and must take its slots this round,
-# the round's three registered newcomers take three more, and the
-# 50th goes to exactsubstr_doc_coverage's post-rewire row (r15
-# verdict #2). A fourth newcomer would displace one of those
-# bound-critical rows. tests/test_qsketch.py pins the oracle match
-# ahead of registration.
+# Registered r17 (built, oracle-written, and test-pinned in r16;
+# deferred one round because the r16 driver window was exactly
+# consumed by the r13 staleness cohort + the round's three
+# newcomers). The paired retirement is duplicate_cluster_sizes (the
+# earmark chosen in r16) - tests/test_plans.py::
+# test_r17_catalog_swap_executed pins the swap.
+@register("quality_gate_from_sketch", oracle=_QS_GATE_SQL)
 def quality_gate_from_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The adaptive quality gate served from the MERGEABLE percentile
     store (operators/qsketch.py - r15 verdict next-round #4b): the

@@ -444,7 +444,9 @@ def test_r15_catalog_swap_executed():
     for n in (
         "signq_rerank_top5",
         "kn_trigram_doc_scores",
-        "training_shard_manifest",
+        # training_shard_manifest was the r15 replacement here; the
+        # r17 swap retired it in favor of balanced_shard_manifest
+        # (test_r17_catalog_swap_executed pins that chain)
         "decontam_stream_replay",
         "shard_manifest_stream_replay",
         "lsh_neardup_embeddings",
@@ -488,21 +490,11 @@ def test_r16_catalog_swap_executed():
     for n, (mod, attr) in retired.items():
         assert n not in catalog.REGISTRY, f"{n} should be retired"
         assert callable(getattr(mod, attr))  # evidence stays importable
-    # the fourth r16 surface (quality_gate_from_sketch) is built and
-    # oracle-pinned but deliberately UNREGISTERED: the r16 window is
-    # exactly consumed by the three newcomers + the bound-critical
-    # r13 cohort + exactsubstr's post-rewire row. It registers r17.
-    assert "quality_gate_from_sketch" not in catalog.REGISTRY
-    assert callable(textops.quality_gate_from_sketch)
-    assert isinstance(textops._QS_GATE_SQL, str)
-    # same cadence for the fifth r16 surface (balanced shards):
-    # built + oracle-pinned now, registers r17 alongside the sketch
-    # gate (48-query r14 cohort + 2 newcomers = exactly 50).
-    from machine_downtime_monitor_on_aws_spark.plans import pipelineops
-
-    assert "balanced_shard_manifest" not in catalog.REGISTRY
-    assert callable(pipelineops.balanced_shard_manifest)
-    assert isinstance(pipelineops._BSHARD_SQL, str)
+    # the fourth and fifth r16 surfaces (quality_gate_from_sketch,
+    # balanced_shard_manifest) were built + oracle-pinned in r16 but
+    # deliberately unregistered (the r16 window was exactly
+    # consumed); they registered in the r17 swap -
+    # test_r17_catalog_swap_executed pins that.
     for n in (
         "ivfbin_rerank_top5",
         "kn_stream_replay",
@@ -527,6 +519,61 @@ def test_r16_catalog_swap_executed():
         textops._bucket_sql()
         in catalog.REGISTRY["neardup_candidate_pairs"].oracle
     )
+    assert math.ceil(len(catalog.REGISTRY) / 50) <= 3
+
+
+def test_r17_catalog_swap_executed():
+    """r16 verdict next-round #1: two retirements fund the two
+    deferred r16 surfaces' registrations. Retired:
+    duplicate_cluster_sizes (the r16 earmark - two trivial integer
+    aggregations over the SAME recursive-CC clauses
+    neardup_duplicate_clusters' oracle carries verbatim, over the
+    same persisted labels store that family probes live every round)
+    and training_shard_manifest (the count-balanced pack manifest -
+    its shard_key/order_key md5 functions and per-shard row_number
+    position live inside shard_manifest_stream_replay's hash-exact
+    oracle every round, pack_utilization_stats re-derives the
+    identical pack assignment, and balanced_shard_manifest is the
+    work-balanced production form). Builders stay importable; both
+    replacements are oracle-paired; the staleness bound holds."""
+    import math
+
+    from machine_downtime_monitor_on_aws_spark.plans import (
+        pipelineops,
+        textops,
+    )
+
+    retired = {
+        "duplicate_cluster_sizes": textops,
+        "training_shard_manifest": pipelineops,
+    }
+    for n, mod in retired.items():
+        assert n not in catalog.REGISTRY, f"{n} should be retired"
+        assert callable(getattr(mod, n))  # evidence stays importable
+    for n in (
+        "quality_gate_from_sketch",
+        "balanced_shard_manifest",
+        "neardup_duplicate_clusters",
+        "shard_manifest_stream_replay",
+        "pack_utilization_stats",
+        "adaptive_quality_filter",
+    ):
+        assert n in catalog.REGISTRY, f"swap replacement/twin {n} missing"
+        assert catalog.REGISTRY[n].oracle is not None
+    # the retired oracles' semantics really are carried by survivors:
+    # the CC clauses of the cluster-sizes oracle sit verbatim inside
+    # neardup_duplicate_clusters'; the retired manifest's shard/order
+    # functions sit inside the stream replay's oracle
+    assert textops._cc_clauses() in catalog.REGISTRY[
+        "neardup_duplicate_clusters"
+    ].oracle
+    from machine_downtime_monitor_on_aws_spark.operators.shards import (
+        order_key_sql,
+    )
+
+    assert order_key_sql(pipelineops._SHARD_KEY_SQL) in catalog.REGISTRY[
+        "shard_manifest_stream_replay"
+    ].oracle
     assert math.ceil(len(catalog.REGISTRY) / 50) <= 3
 
 

@@ -88,17 +88,18 @@ def test_validation(spark):
 
 
 def test_manifest_plan_no_global_sort(spark):
-    """The catalog query plans per-shard windows only: no
-    SinglePartition anywhere (a global training order would funnel
-    the manifest through one partition), shard/order_key stay scan
-    expressions, and the window cut partitions on shard."""
+    """The manifest plans per-shard windows only: no SinglePartition
+    anywhere (a global training order would funnel the manifest
+    through one partition), shard/order_key stay scan expressions,
+    and the window cut partitions on shard. (Pinned on the builder
+    directly since the r17 swap retired the catalog row - the same
+    shard/order_key functions stay driver-verified inside
+    shard_manifest_stream_replay's oracle.)"""
     from conftest import SF_ORACLE
-    from machine_downtime_monitor_on_aws_spark.plans import catalog
+    from machine_downtime_monitor_on_aws_spark.plans import pipelineops
     from test_plans import explain
 
-    plan = explain(
-        catalog.REGISTRY["training_shard_manifest"].fn(spark, SF_ORACLE)
-    )
+    plan = explain(pipelineops.training_shard_manifest(spark, SF_ORACLE))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(shard" in plan
 

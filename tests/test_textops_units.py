@@ -386,13 +386,14 @@ def test_incremental_clusters_serve_from_history_store(
     assert rows2 == rows1 and rows1
     # feed consumers ride the SAME store (pairs + labels_full):
     # rollups/audits work with the pair pipeline poisoned, and no
-    # second store appears
+    # second store appears (duplicate_cluster_sizes called on the
+    # builder directly since the r17 swap retired its catalog row)
     for consumer in (
-        "duplicate_cluster_sizes",
-        "split_leakage_pairs",
-        "neardup_keep_best_quality",
+        textops.duplicate_cluster_sizes,
+        catalog.REGISTRY["split_leakage_pairs"].fn,
+        catalog.REGISTRY["neardup_keep_best_quality"].fn,
     ):
-        assert catalog.REGISTRY[consumer].fn(spark, sf).count() >= 0
+        assert consumer(spark, sf).count() >= 0
     assert len(glob.glob(str(tmp_path / "spark_graft_mh_hist_*"))) == 1
 
 
