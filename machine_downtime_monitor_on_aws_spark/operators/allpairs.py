@@ -41,22 +41,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles
-from .dedup import jaccard_verified_pairs
 
 
-def allpairs_candidates(
+def _allpairs_doc_sets(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float,
-    shingle_n: int = 5,
+    shingle_n: int,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs guaranteed to contain every
-    pair with shingle-set Jaccard >= threshold (and usually few
-    others: prefix filtering + the size-ratio filter)."""
-    if not (0.0 < threshold <= 1.0):
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    """(id, __sh, sz) per document: the distinct shingle set as an
+    array in the GLOBAL (document frequency asc, shingle asc) order,
+    plus its size - the one table both the prefix-filter candidate
+    generation and the exact verification read (r17: the former
+    structure re-shingled the corpus a second time inside
+    jaccard_verified_pairs; deriving verification sets from the same
+    arrays the prefixes slice removes that whole pass)."""
     # spread the narrow projection BEFORE the explode (the minhash /
     # symbolized_words shape): a single-file corpus would otherwise
     # shingle, count, and join on one core. The explode stays FUSED
@@ -81,16 +81,24 @@ def allpairs_candidates(
     # struct comparison is lexicographic by field, and shingles are
     # distinct within a doc, so the sort is total and deterministic
     # regardless of collect_list's arrival order.
-    per_doc = (
+    return (
         sh_rows.join(dfreq, "shingle")
         .groupBy("id")
         .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("sdf"), F.col("shingle")))
-            ).alias("ordered"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sdf"), F.col("shingle")))
+                ),
+                lambda x: x["shingle"],
+            ).alias("__sh"),
             F.count(F.lit(1)).alias("sz"),
         )
     )
+
+
+def _prefix_candidates(doc_sets: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from a ``_allpairs_doc_sets``
+    frame - the prefix-filter equi-join + size-ratio filter."""
     # overlap bound o >= t*|d| underestimated as floor(t*|d|) ->
     # prefix one longer than strictly needed at integer boundaries,
     # never shorter.
@@ -99,16 +107,12 @@ def allpairs_candidates(
         - F.floor(F.lit(threshold) * F.col("sz").cast("double")).cast("long")
         + F.lit(1)
     )
-    prefix = per_doc.select(
+    prefix = doc_sets.select(
         "id",
         "sz",
-        F.explode(
-            F.slice(
-                F.transform(F.col("ordered"), lambda x: x["shingle"]),
-                F.lit(1),
-                p_len.cast("int"),
-            )
-        ).alias("shingle"),
+        F.explode(F.slice(F.col("__sh"), F.lit(1), p_len.cast("int"))).alias(
+            "shingle"
+        ),
     )
     a = prefix.selectExpr("id AS doc_a", "sz AS sz_a", "shingle")
     b = prefix.selectExpr("id AS doc_b", "sz AS sz_b", "shingle")
@@ -127,6 +131,25 @@ def allpairs_candidates(
     )
 
 
+def allpairs_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int = 5,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs guaranteed to contain every
+    pair with shingle-set Jaccard >= threshold (and usually few
+    others: prefix filtering + the size-ratio filter)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    return _prefix_candidates(
+        _allpairs_doc_sets(df, id_col, text_col, shingle_n, parallelism),
+        threshold,
+    )
+
+
 def allpairs_jaccard_join(
     df: DataFrame,
     id_col: str,
@@ -137,15 +160,50 @@ def allpairs_jaccard_join(
     """(doc_a, doc_b, jaccard): EXACTLY the pairs with shingle-set
     Jaccard >= threshold - prefix-filtered candidates verified with
     exact integer set arithmetic. No false negatives by the prefix
-    theorem; no false positives by verification."""
-    # jaccard_verified_pairs consumes the pairs THREE times (two
-    # candidate-id semi-join legs + the scored join); materialize the
-    # candidate pipeline once (measured 17s -> ~2s at sf0.1).
-    cands = allpairs_candidates(
-        df, id_col, text_col, threshold, shingle_n
+    theorem; no false positives by verification.
+
+    One shingle derivation end to end (r17): the per-doc ordered
+    shingle arrays behind the prefix slices ARE the exact sets the
+    verification needs (array_intersect is order-insensitive, and
+    ``sz`` already carries each set's size), so the doc-set table
+    materializes once behind a lazy localCheckpoint and feeds the
+    prefix explode AND both verification join legs. The former shape
+    re-ran tokenize+shingle over the corpus for verification
+    (jaccard_verified_pairs' semi-join + re-shingle) - a whole second
+    corpus scan+explode, deleted here; candidate pairs are consumed
+    exactly once, so their own barrier is gone too."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    doc_sets = _allpairs_doc_sets(
+        df, id_col, text_col, shingle_n
     ).localCheckpoint(eager=False)
-    return jaccard_verified_pairs(
-        df, cands, id_col, text_col, threshold, shingle_n
+    cands = _prefix_candidates(doc_sets, threshold)
+    pa = cands.join(
+        doc_sets.select(
+            F.col("id").alias("doc_a"),
+            F.col("__sh").alias("sh_a"),
+            F.col("sz").alias("sz_a"),
+        ),
+        "doc_a",
+    )
+    pab = pa.join(
+        doc_sets.select(
+            F.col("id").alias("doc_b"),
+            F.col("__sh").alias("sh_b"),
+            F.col("sz").alias("sz_b"),
+        ),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # same integer values as jaccard_verified_pairs' size() arithmetic
+    # (sz == size(__sh) by construction), so the double divides - and
+    # the hash - are bit-identical.
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pab.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

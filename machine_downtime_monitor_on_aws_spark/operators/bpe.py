@@ -156,10 +156,14 @@ def bpe_train_merges(
     held: DataFrame | None = None
     try:
         for it in range(1, n_merges + 1):
-            cur = _tracked_local_checkpoint(cur)
-            if held is not None:
-                release_checkpoint(held)
-            held = cur
+            # LAZY barrier: the argmax collect below materializes the
+            # symbol state and computes the pair counts in ONE job
+            # (eager cost two jobs per iteration). The previous
+            # state's blocks are released only AFTER that collect -
+            # this iteration's lazy checkpoint reads them while
+            # materializing, and a truncated-lineage localCheckpoint
+            # cannot be recomputed once unpersisted.
+            cur = _tracked_local_checkpoint(cur, eager=False)
             top = (
                 cur.select(
                     F.explode(adjacent_pairs(F.col("sym"))).alias("pair"),
@@ -171,6 +175,9 @@ def bpe_train_merges(
                 .limit(1)
                 .collect()
             )
+            if held is not None:
+                release_checkpoint(held)
+            held = cur
             if not top:
                 break
             pair, cnt = top[0]["pair"], int(top[0]["cnt"])

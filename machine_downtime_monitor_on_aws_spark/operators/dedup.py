@@ -125,16 +125,27 @@ def _minhash_signature_frame(
         F.when(F.size("__toks") < F.lit(shingle_n), F.col("__t0")).alias("__t"),
     )
     if parallelism:
-        # Keyed by doc_id: the signature groupBy below then needs no
-        # second exchange (Generate preserves hash partitioning), and
-        # the exchange still moves tokens exactly once.
+        # Keyed by doc_id: deterministic placement, and the exchange
+        # moves tokens exactly once (the md5 work below then runs on
+        # every core even when the corpus arrives in few splits).
         toked = toked.repartition(parallelism, "doc_id")
     # Shingles from the materialized token array (same semantics as
     # functions.text.shingles: docs with < n tokens get one whole-text
-    # shingle). Explode to (doc_id, shingle) rows: each shingle row
-    # hashes K times, and an element-wise min aggregation (one shuffle
-    # on doc_id, map-side partials) builds the signature. Shingle rows
-    # parallelize across executors regardless of document sizes.
+    # shingle), hashed and min-reduced PER DOCUMENT as one fused
+    # projection: m_k = array_min(md5('k:' || shingle)). r17 swap
+    # from the explode + groupBy(doc_id).min formulation: min(string)
+    # cannot hash-aggregate (string is not a mutable fixed-width
+    # buffer type), so the old shape ran as Sort + two SortAggregates
+    # over the exploded corpus-shingle rows - sorting K 32-hex
+    # columns per shingle - on BOTH sides of the band self-join.
+    # array_min is the same byte-wise UTF8 ordering as min(), so the
+    # signatures (and every downstream band hash) are bit-identical;
+    # per-doc work is bounded by document length, which is the same
+    # bound the per-shingle explode had per row group, and documents
+    # spread across cores via the repartition above. Measured at
+    # sf0.1: the whole signature stage loses its Sort+SortAggregate
+    # (plan diff in plans/r17/), every minhash consumer drops ~2
+    # stages.
     n_sh = F.size("__toks") - F.lit(shingle_n - 1)
     sh = F.when(
         n_sh >= 1,
@@ -143,16 +154,22 @@ def _minhash_signature_frame(
             lambda i: F.array_join(F.slice(F.col("__toks"), i, shingle_n), " "),
         ),
     ).otherwise(F.array(F.col("__t")))
-    sh_rows = toked.select("doc_id", F.explode(sh).alias("s"))
-    hashed = sh_rows.select(
+    shingled = toked.select("doc_id", sh.alias("__sh"))
+
+    def perm_min(k: int):
+        # NB: the lambda must be unary - pyspark dispatches a
+        # two-parameter lambda (even with a default) to the
+        # (element, index) higher-order form.
+        prefix = f"{k}:"
+        return F.array_min(
+            F.transform(
+                F.col("__sh"), lambda s: F.md5(F.concat(F.lit(prefix), s))
+            )
+        )
+
+    return shingled.select(
         "doc_id",
-        *[
-            F.md5(F.concat(F.lit(f"{k}:"), F.col("s"))).alias(f"h{k}")
-            for k in range(num_perms)
-        ],
-    )
-    return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{k}").alias(f"m{k}") for k in range(num_perms)]
+        *[perm_min(k).alias(f"m{k}") for k in range(num_perms)],
     )
 
 
@@ -264,6 +281,16 @@ def candidate_pairs_exact(
     filtered where they are produced and never move. At 100 TB the
     pair set is orders of magnitude larger than the corpus, so this
     is the difference between shuffling gigabytes and terabytes."""
+    from ..streaming.store import _tracked_local_checkpoint
+
+    # Both self-join sides derive from the SAME band table; without a
+    # barrier the whole signature pipeline (tokenize + K md5 per
+    # shingle) runs once per side - the r17 plan audit found no
+    # ReusedExchange because the planner broadcasts one side, so
+    # nothing was shared. The (doc_id, __bands) sliver is doc-count
+    # sized - exactly what a lazy barrier should hold. Pinned ids
+    # ride the result (catalog resource contract).
+    band_arrays = _tracked_local_checkpoint(band_arrays, eager=False)
     banded = band_arrays.select(
         "doc_id", "__bands", F.posexplode("__bands").alias("band_id", "band_hash")
     )
@@ -278,12 +305,14 @@ def candidate_pairs_exact(
         lambda k: F.col("__ba")[k],
         lambda k: F.col("__bb")[k],
     )
-    return (
+    out = (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(first)
         .select("doc_a", "doc_b")
     )
+    out._spark_graft_ckpt_ids = getattr(band_arrays, "_spark_graft_ckpt_ids", ())
+    return out
 
 
 def candidate_pairs(

@@ -1058,6 +1058,43 @@ def compact_ivfbin_index(spark: SparkSession, path: str) -> None:
     fsio.delete(spark, old)
 
 
+def _guard_ivfbin_corpus(spark: SparkSession, path: str) -> None:
+    """Refuse to serve or grow an IVF-binary index whose compaction
+    swap was interrupted (r16 ADVICE #1): a crash between
+    compact_ivfbin_index's two renames leaves ``corpus__old`` (and
+    possibly no live ``corpus``) behind, and a later epoch append
+    would silently RECREATE the corpus dir holding only new epochs -
+    the index would then serve a truncated corpus with nothing
+    failing. Leftover side dirs or a missing corpus on a stamped
+    index are therefore hard errors with the recovery spelled out."""
+    from .. import fsio
+
+    corpus = f"{path.rstrip('/')}/corpus"
+    old = corpus + "__old"
+    tmp = corpus + "__compacting"
+    if fsio.exists(spark, old):
+        raise RuntimeError(
+            f"ivfbin index {path!r}: {old} exists - a compaction swap "
+            "was interrupted. Recover: if corpus/ is missing, rename "
+            "corpus__old back to corpus/; if corpus/ exists and is "
+            "complete, delete corpus__old. Refusing to read or append "
+            "until resolved."
+        )
+    if fsio.exists(spark, tmp):
+        raise RuntimeError(
+            f"ivfbin index {path!r}: {tmp} exists - a compaction was "
+            "interrupted before its swap. Delete corpus__compacting "
+            "(the live corpus is authoritative) and re-run compaction."
+        )
+    if not fsio.exists(spark, corpus):
+        raise RuntimeError(
+            f"ivfbin index {path!r} is stamped (params.json) but has "
+            "no corpus/ directory - appending would recreate a "
+            "truncated corpus. Restore the corpus (or rebuild the "
+            "index) first."
+        )
+
+
 def load_ivfbin_thresholds(spark: SparkSession, path: str) -> list[float]:
     """The sign thresholds an IVF-binary index was built with, read
     from the store and re-verified against the stamped digest (the
@@ -1114,6 +1151,7 @@ def search_ivfbin_index_rerank(
     if shortlist < k:
         raise ValueError(f"shortlist={shortlist} must be >= k={k}")
     _check_ivf_index_params(spark, path, layout="ivfbin", dim=dim)
+    _guard_ivfbin_corpus(spark, path)
     thr = load_ivfbin_thresholds(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").withColumn(
         "__cn", l2_norm("cv", dim)
@@ -1190,6 +1228,7 @@ def append_to_ivfbin_index(
 
     spark = df.sparkSession
     stamped = _check_ivf_index_params(spark, path, layout="ivfbin", dim=dim)
+    _guard_ivfbin_corpus(spark, path)
     epoch_layout = bool(stamped.get("epoch_layout", False))
     if epoch_layout and epoch is None:
         raise ValueError(

@@ -112,17 +112,25 @@ def kn_scores_from_counts(tr: DataFrame, c3t: DataFrame) -> DataFrame:
         F.sum("c3").alias("c2"),
         F.count(F.lit(1)).alias("nf"),
     )
-    tt = c3t.select("w1", "w2", "w3")  # keys are already distinct
-    mids = tt.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1mid"))
-    w2s = tt.groupBy("w2").agg(
-        F.count(F.lit(1)).alias("nctx"),
-        F.countDistinct("w3").alias("nfol2"),
+    # Every continuation statistic folds from the (w2, w3) type-count
+    # table, aggregated ONCE from the counts table's (already
+    # distinct) key set: n1mid is its value, nctx = sum of n1mid per
+    # w2 (= trigram types per w2), nfol2 = its row count per w2
+    # (= distinct w3 per w2), n1uni = its row count per w3, and the
+    # bigram-type total is its row count. Identical integers to the
+    # former per-statistic re-aggregations of the type table (one
+    # groupBy + one countDistinct + one distinct), at one shuffle of
+    # the strictly smaller mids table instead of three of tt.
+    mids = _tracked_local_checkpoint(
+        c3t.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1mid")),
+        eager=False,
     )
-    bt = _tracked_local_checkpoint(
-        tt.select("w2", "w3").distinct(), eager=False
+    w2s = mids.groupBy("w2").agg(
+        F.sum("n1mid").alias("nctx"),
+        F.count(F.lit(1)).alias("nfol2"),
     )
-    uni = bt.groupBy("w3").agg(F.count(F.lit(1)).alias("n1uni"))
-    b_total = bt.count()  # scalar, one row to the driver (the V pattern)
+    uni = mids.groupBy("w3").agg(F.count(F.lit(1)).alias("n1uni"))
+    b_total = mids.count()  # scalar, one row to the driver (the V pattern)
 
     p1 = F.col("n1uni").cast("double") / F.lit(float(b_total))
     p2 = (
@@ -160,7 +168,7 @@ def kn_scores_from_counts(tr: DataFrame, c3t: DataFrame) -> DataFrame:
         ).alias("mean_kn_prob"),
         F.min("p").alias("min_kn_prob"),
     )
-    out._spark_graft_ckpt_ids = getattr(bt, "_spark_graft_ckpt_ids", ())
+    out._spark_graft_ckpt_ids = getattr(mids, "_spark_graft_ckpt_ids", ())
     return out
 
 

@@ -141,9 +141,16 @@ def sketch_quantile_bins(
     tot = Window.partitionBy(*key_cols)
     cum = F.sum(cnt_col).over(w)
     n = F.sum(cnt_col).over(tot)
+    # integer ceil(N * q / den), exact at ANY N: Spark's `/` on
+    # integral types is IEEE double division (exact only below 2^53),
+    # so route the divide through decimal(38,0), whose division +
+    # floor are integer-exact - matching the DuckDB oracle's true
+    # integer division and the documented "integer arithmetic end to
+    # end" claim (r16 ADVICE #2).
     k = F.floor(
-        (n * F.lit(q_num) + F.lit(q_den - 1)) / F.lit(q_den)
-    )  # integer ceil(N * q / den)
+        (n.cast("decimal(38,0)") * F.lit(q_num) + F.lit(q_den - 1))
+        / F.lit(q_den)
+    )
     return (
         bins.withColumn("__cum", cum)
         .withColumn("__k", k)

@@ -123,7 +123,16 @@ def assign_balanced_shards(
         raise ValueError(f"bucket_hex must be in [1, 8], got {bucket_hex}")
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     w_guard = F.assert_true(
-        F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0),
+        F.col(weight_col).isNotNull()
+        & (F.col(weight_col) >= 0)
+        # non-integral weights would silently truncate in the long
+        # cast below while the DuckDB oracle strata on the raw value
+        # (r16 ADVICE #4) - fail loudly instead; integral types pass
+        # trivially (floor(x) == x)
+        & (
+            F.col(weight_col).cast("double")
+            == F.floor(F.col(weight_col)).cast("double")
+        ),
         F.concat_ws(
             " ",
             F.lit(f"assign_balanced_shards: {weight_col}"),

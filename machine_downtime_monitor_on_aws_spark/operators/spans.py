@@ -42,7 +42,8 @@ from ..functions.text import tokens
 
 
 def kgram_windows(
-    docs: DataFrame, id_col: str, text_col: str, k: int
+    docs: DataFrame, id_col: str, text_col: str, k: int,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Every overlapping k-token window of every document:
     (doc_id, pos, g) with pos the 0-based token offset and g the md5
@@ -50,12 +51,22 @@ def kgram_windows(
     emit nothing - they cannot contain a k-token span (deliberately
     NOT the whole-text fallback shingles() uses: a short doc's
     degenerate gram would fabricate spans of inflated token length).
+
+    ``parallelism``: optional repartition width for the narrow
+    (doc_id, tokens) projection before the md5-heavy explode (the
+    minhash/allpairs discipline): a corpus arriving in few input
+    splits would otherwise hash every window on a fraction of the
+    cores. Keyed by doc_id, so the two sides of the batch self-join
+    share ONE exchange (ReusedExchange) and only the parallel
+    Generate runs per side.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     d = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
     ).filter(F.size("__t") >= k)
+    if parallelism:
+        d = d.repartition(parallelism, "doc_id")
     grams = F.transform(
         F.sequence(F.lit(1), F.size("__t") - F.lit(k - 1)),
         lambda i: F.md5(F.array_join(F.slice("__t", i, k), " ")),
@@ -72,6 +83,7 @@ def duplicated_spans(
     k: int,
     min_span_tokens: int | None = None,
     max_gram_occurrences: int | None = None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Maximal cross-document duplicated spans of >= ``k`` (or
     ``min_span_tokens``) consecutive tokens, one row per
@@ -96,7 +108,7 @@ def duplicated_spans(
             f"min_span_tokens={min_span_tokens} below window size k={k}: "
             "spans shorter than k are undetectable by construction"
         )
-    w = kgram_windows(docs, id_col, text_col, k)
+    w = kgram_windows(docs, id_col, text_col, k, parallelism)
     if max_gram_occurrences is not None:
         w = (
             w.withColumn(

@@ -80,13 +80,22 @@ def suffix_rows(
     text_col: str,
     anchor_tokens: int,
     ext_tokens: int,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """One row per token suffix: ``(doc_id, pos, bucket, ext)`` with
     ``bucket`` the md5 of the space-joined first ``anchor_tokens``
     tokens and ``ext`` the following ``ext_tokens`` tokens (shorter
     near document end, empty past it). Documents shorter than
     ``anchor_tokens`` emit nothing - they cannot host an
-    anchor-length duplicate (same rule as spans.kgram_windows)."""
+    anchor-length duplicate (same rule as spans.kgram_windows).
+
+    ``parallelism``: optional repartition width for the narrow
+    (doc_id, tokens) projection before the md5-heavy explode - the
+    minhash/allpairs discipline: a corpus arriving in few input
+    splits would otherwise hash its every suffix on a fraction of
+    the cores. The exchange moves the token arrays once, nothing
+    downstream changes (the bucket window / count aggregate
+    re-exchanges by bucket either way)."""
     if anchor_tokens < 1:
         raise ValueError(f"anchor_tokens must be >= 1, got {anchor_tokens}")
     if ext_tokens < 0:
@@ -94,6 +103,8 @@ def suffix_rows(
     d = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
     ).filter(F.size("__t") >= anchor_tokens)
+    if parallelism:
+        d = d.repartition(parallelism, "doc_id")
     entries = F.transform(
         F.sequence(F.lit(1), F.size("__t") - F.lit(anchor_tokens - 1)),
         lambda i: F.struct(
@@ -115,6 +126,7 @@ def exactsubstr_coverage(
     text_col: str,
     anchor_tokens: int = 8,
     ext_tokens: int = 24,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document ExactSubstr dedup statistics:
     ``(doc_id, dup_starts, covered_tokens, max_repeat_tokens)`` for
@@ -138,7 +150,9 @@ def exactsubstr_coverage(
     DuckDB's list comparison is identical, so the oracle shares the
     order), with (doc_id, pos) tiebreak. Equal-extension ties give
     equal LCPs, so the reported values are tie-order-independent."""
-    suf = suffix_rows(docs, id_col, text_col, anchor_tokens, ext_tokens)
+    suf = suffix_rows(
+        docs, id_col, text_col, anchor_tokens, ext_tokens, parallelism
+    )
     bucket_w = Window.partitionBy("bucket")
     order_w = bucket_w.orderBy(F.col("ext"), "doc_id", "pos")
     prev_ext = F.lag("ext").over(order_w)
@@ -194,6 +208,7 @@ def exactsubstr_removed(
     id_col: str,
     text_col: str,
     anchor_tokens: int = 8,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """The REMOVAL half of the suffix pass (r15 verdict next-round
     #4a - :func:`exactsubstr_coverage` reports what the paper's pass
@@ -248,7 +263,8 @@ def exactsubstr_removed(
 
     suf = _tracked_local_checkpoint(
         suffix_rows(
-            docs, id_col, text_col, anchor_tokens, ext_tokens=0
+            docs, id_col, text_col, anchor_tokens, ext_tokens=0,
+            parallelism=parallelism,
         ).select("doc_id", "pos", "bucket"),
         eager=False,
     )

@@ -159,16 +159,21 @@ def wordpiece_train_merges(
     held: DataFrame | None = None
     try:
         for it in range(1, n_merges + 1):
-            cur = _tracked_local_checkpoint(cur)
-            if held is not None:
-                release_checkpoint(held)
-            held = cur
+            # LAZY barrier (the bpe_train_merges shape): the argmax
+            # collect materializes the symbol state and scores the
+            # pairs in ONE job; the previous state releases only
+            # after that collect, since this checkpoint reads its
+            # blocks while materializing.
+            cur = _tracked_local_checkpoint(cur, eager=False)
             top = (
                 _scored_pairs(cur)
                 .orderBy(F.col("score").desc(), F.col("pair").asc())
                 .limit(1)
                 .collect()
             )
+            if held is not None:
+                release_checkpoint(held)
+            held = cur
             if not top:
                 break
             row = top[0]

@@ -2565,7 +2565,10 @@ def duplicated_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     start offsets, and the maximal span length."""
     from ..operators.spans import duplicated_spans
 
-    return duplicated_spans(_docs(spark, sf_dir), "doc_id", "text", _SPAN_K)
+    return duplicated_spans(
+        _docs(spark, sf_dir), "doc_id", "text", _SPAN_K,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 _XS_A = 8  # anchor tokens: the L of "duplicated iff LCP >= L"
@@ -2653,7 +2656,8 @@ def exactsubstr_doc_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.suffix import exactsubstr_coverage
 
     return exactsubstr_coverage(
-        _docs(spark, sf_dir), "doc_id", "text", _XS_A, _XS_E
+        _docs(spark, sf_dir), "doc_id", "text", _XS_A, _XS_E,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -2723,7 +2727,10 @@ def exactsubstr_deduped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only for docs being edited plus the pass-through join."""
     from ..operators.suffix import exactsubstr_removed
 
-    return exactsubstr_removed(_docs(spark, sf_dir), "doc_id", "text", _XS_A)
+    return exactsubstr_removed(
+        _docs(spark, sf_dir), "doc_id", "text", _XS_A,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 _ULM_MAXW = 12
@@ -2867,13 +2874,15 @@ def unigram_lm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_multi_cap=_ULM_SEED_CAP, prune_multi_cap=_ULM_PRUNE_CAP,
         max_piece=_ULM_MAXP,
     )
-    return seg.select(
+    out = seg.select(
         F.col("w").alias("word"),
         "freq",
         "best_prob",
         "n_pieces",
         F.array_join("seg", " ").alias("seg_str"),
     )
+    out._spark_graft_ckpt_ids = getattr(seg, "_spark_graft_ckpt_ids", ())
+    return out
 
 
 _SPAN_DEDUP_SQL = f"""
@@ -2958,7 +2967,10 @@ def span_deduped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.spans import duplicated_spans, remove_duplicated_spans
 
     d = _docs(spark, sf_dir)
-    spans = duplicated_spans(d, "doc_id", "text", _SPAN_K)
+    spans = duplicated_spans(
+        d, "doc_id", "text", _SPAN_K,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
     return remove_duplicated_spans(d, spans, "doc_id", "text", _SPAN_K)
 
 
@@ -3020,6 +3032,9 @@ def unigram_doc_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_piece=_ULM_MAXP,
         )
         save_unigram_vocab(spark, staged, trained, _ULM_MAXP)
+        from ..streaming.store import release_checkpoint
+
+        release_checkpoint(_seg)  # the trainer's words/seed barriers
         fsio.publish_dir(spark, staged, path, ok_name="params.json")
     vocab, _params = load_unigram_vocab(spark, path)
     seg = viterbi_segment_words(wf, vocab, _ULM_MAXP)
@@ -3146,18 +3161,26 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the bigram query's three keyed token-sized exchanges; the
     thresholds are a per-source aggregate (S rows broadcast back);
     no global sort."""
+    from ..streaming.store import _tracked_local_checkpoint
+
     d = _docs(spark, sf_dir).select("doc_id", "source")
     scores = bigram_lm_doc_scores(spark, sf_dir).select(
         "doc_id", F.col("mean_bigram_prob").alias("lm_score")
     )
-    j = scores.join(d, "doc_id")
+    # the scored table feeds the per-source threshold aggregate AND
+    # the final bucket join; without a barrier the whole store-served
+    # scoring pipeline (three keyed joins over the token explode)
+    # evaluates twice (r17: measured 1.24 s -> see OPTIMIZATION_r17
+    # - the doc-sized (doc_id, source, lm_score) sliver is the right
+    # thing to materialize, the kn/tfidf barrier lesson).
+    j = _tracked_local_checkpoint(scores.join(d, "doc_id"), eager=False)
     third = F.lit(1.0) / F.lit(3.0)
     two_thirds = F.lit(2.0) / F.lit(3.0)
     th = j.groupBy("source").agg(
         F.percentile(F.col("lm_score"), third).alias("t1"),
         F.percentile(F.col("lm_score"), two_thirds).alias("t2"),
     )
-    return j.join(F.broadcast(th), "source").select(
+    out = j.join(F.broadcast(th), "source").select(
         "doc_id",
         "source",
         "lm_score",
@@ -3166,6 +3189,8 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+    out._spark_graft_ckpt_ids = getattr(j, "_spark_graft_ckpt_ids", ())
+    return out
 
 
 # ---- DSIR importance weights

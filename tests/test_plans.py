@@ -909,16 +909,19 @@ def test_store_idents_carry_version_tokens():
     assert not bad, f"store idents missing a version token: {bad}"
 
 
-def test_exactsubstr_plan_single_pass_two_exchanges(spark):
+def test_exactsubstr_plan_single_pass_three_exchanges(spark):
     """The suffix table + bucket windows (the dominant cost) execute
-    once: one documents scan, exactly two hash exchanges (anchor
-    digest, doc_id), no broadcast/join, no SinglePartition - the
-    stats fold through the island aggregation instead of a
-    stats-join-coverage self-join that would run the windows twice."""
+    once: one documents scan, exactly three hash exchanges (the r17
+    parallelism spreader on the narrow (doc_id, tokens) projection -
+    suffix md5s hash on every core even from a few-split corpus -
+    then anchor digest, then doc_id), no broadcast/join, no
+    SinglePartition - the stats fold through the island aggregation
+    instead of a stats-join-coverage self-join that would run the
+    windows twice."""
     plan = plan_of(spark, "exactsubstr_doc_coverage")
     assert "SinglePartition" not in plan
     assert "BroadcastExchange" not in plan
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 3
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
