@@ -45,13 +45,27 @@ def _positions(value: Column, n_hashes: int, modulus: int, salt: str) -> Column:
 
 
 def cms_build(
-    df: DataFrame, value_col: str, depth: int, width: int, salt: str = "cms"
+    df: DataFrame,
+    value_col: str,
+    depth: int,
+    width: int,
+    salt: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build a count-min sketch over ``df[value_col]`` occurrences:
     every occurrence increments one cell per hash row, and a cell is
     (r, c, ct). Returns at most ``depth * width`` rows however large
     the input - the exchange carries (r, c) pairs with map-side
     combining, and the result is meant to be broadcast to probes.
+
+    ``weight_col``: when the input is ALREADY an aggregated count
+    table (value, count), pass the count column and each value
+    increments its cells by that weight - sum(ct) per cell is then
+    bit-identical to counting the raw occurrence rows (integer
+    addition is associative/commutative), at vocabulary-sized work
+    instead of corpus-sized (r17: cms_token_heavy_hitters folds its
+    sketch from the exact count table it already computes, deleting
+    a whole corpus explode).
 
     ``width`` must be <= 2**24 (positions come from 24-bit hashes);
     estimates are upward-biased by collisions, never downward - the
@@ -61,10 +75,16 @@ def cms_build(
     if not (0 < width <= 1 << 24):
         raise ValueError(f"width must be in 1..2^24, got {width}")
     v = F.col(value_col).cast("string")
+    if weight_col is None:
+        cells = df.select(
+            F.posexplode(_positions(v, depth, width, salt)).alias("r", "c")
+        )
+        return cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("ct"))
     cells = df.select(
-        F.posexplode(_positions(v, depth, width, salt)).alias("r", "c")
+        F.col(weight_col).cast("long").alias("__w"),
+        F.posexplode(_positions(v, depth, width, salt)).alias("r", "c"),
     )
-    return cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("ct"))
+    return cells.groupBy("r", "c").agg(F.sum("__w").alias("ct"))
 
 
 def cms_estimate(

@@ -891,18 +891,35 @@ def cms_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cell table and the comparison is hash-exact."""
     from ..functions.text import tokens
     from ..operators.sketch import cms_build, cms_estimate
+    from ..streaming.store import _tracked_local_checkpoint
 
     d = _docs(spark, sf_dir)
     toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_ct"))
-    cells = cms_build(toks, "tok", _CMS_DEPTH, _CMS_WIDTH, salt="cms")
+    # ONE corpus explode (r17; formerly three): the exact count table
+    # is vocabulary-sized, so barrier it lazily and fold the sketch
+    # cells FROM it (weight_col - sum of per-token counts per cell is
+    # bit-identical to counting raw occurrence rows); the probe leg
+    # and the final join read the same barriered table. The sketch
+    # build is then vocab-sized work instead of corpus-sized - the
+    # shape a real multi-pass pipeline uses when it materializes
+    # exact counts anyway.
+    exact = _tracked_local_checkpoint(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_ct")),
+        eager=False,
+    )
+    cells = cms_build(
+        exact, "tok", _CMS_DEPTH, _CMS_WIDTH, salt="cms",
+        weight_col="exact_ct",
+    )
     est = cms_estimate(exact, "tok", cells, _CMS_DEPTH, _CMS_WIDTH, salt="cms")
-    return (
+    out = (
         exact.join(est, "tok")
         .select("tok", "exact_ct", "cms_ct")
         .orderBy(F.desc("cms_ct"), F.asc("tok"))
         .limit(_CMS_TOPN)
     )
+    out._spark_graft_ckpt_ids = getattr(exact, "_spark_graft_ckpt_ids", ())
+    return out
 
 
 _BLOOM_BITS = 2048

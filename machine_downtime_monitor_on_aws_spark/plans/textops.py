@@ -2727,10 +2727,14 @@ def exactsubstr_deduped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and only for docs being edited plus the pass-through join."""
     from ..operators.suffix import exactsubstr_removed
 
-    return exactsubstr_removed(
-        _docs(spark, sf_dir), "doc_id", "text", _XS_A,
-        parallelism=spark.sparkContext.defaultParallelism,
-    )
+    # NO parallelism spreader here, deliberately (r17 interleaved A/B:
+    # 0.63 s vs 0.76 s median without/with at sf0.1): the removal pass
+    # runs suffix_rows with ext_tokens=0 - token arrays but no
+    # extension payload - and its groupBy(bucket) count aggregate is
+    # map-side-combining, so the explode is too cheap to amortize an
+    # extra exchange of the token arrays. The coverage twin keeps the
+    # spreader: its ext arrays make the explode md5/struct-heavy.
+    return exactsubstr_removed(_docs(spark, sf_dir), "doc_id", "text", _XS_A)
 
 
 _ULM_MAXW = 12
@@ -3540,12 +3544,22 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab-sized - broadcastable), two scalar-aggregate crossJoins
     (1-row broadcast slivers), and a TakeOrdered top-20 - the corpus
     text never shuffles."""
+    from ..streaming.store import _tracked_local_checkpoint
+
     d = _docs(spark, sf_dir)
     toked = d.select("doc_id", tokens(F.col("text")).alias("__toks"))
-    uni = (
+    # Barriers on BOTH count tables (r17): ``uni`` feeds three
+    # consumers (left join, right join, n_uni total) and ``bi_all``
+    # two (support filter, n_bi total) - without them Catalyst
+    # re-derives the corpus tokenize+explode+aggregate per consumer
+    # (the r17 plan audit counted five documents scans; the barriered
+    # plan runs two). Both tables are vocabulary-sized - exactly what
+    # a lazy localCheckpoint should hold; corpus rows never persist.
+    uni = _tracked_local_checkpoint(
         toked.select(F.explode("__toks").alias("tok"))
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("c")),
+        eager=False,
     )
     big = toked.filter(F.size("__toks") >= 2)
     bigrams = F.transform(
@@ -3556,10 +3570,11 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("__toks"), i + F.lit(1)),
         ),
     )
-    bi_all = (
+    bi_all = _tracked_local_checkpoint(
         big.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .agg(F.count(F.lit(1)).alias("pair_count")),
+        eager=False,
     )
     bi = bi_all.filter(F.col("pair_count") >= _PMI_MIN_COUNT)
     nu = uni.agg(F.sum("c").alias("n_uni"))
@@ -3586,9 +3601,13 @@ def pmi_top_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi_ratio"),
         )
     )
-    return scored.orderBy(
+    out = scored.orderBy(
         F.col("pmi_ratio").desc(), F.col("bigram").asc()
     ).limit(_PMI_TOPK)
+    out._spark_graft_ckpt_ids = getattr(
+        uni, "_spark_graft_ckpt_ids", ()
+    ) + getattr(bi_all, "_spark_graft_ckpt_ids", ())
+    return out
 
 
 # ---- Exact all-pairs Jaccard join (prefix filtering)
