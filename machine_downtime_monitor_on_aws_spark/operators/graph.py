@@ -61,46 +61,84 @@ def pagerank_unrolled(
     each iteration deterministic, so semantics are unchanged; each
     new eager checkpoint releases the superseded one immediately, so
     storage holds ONE pinned node-table copy at a time, and only the
-    live (final) checkpoint's RDD id rides the result as
+    live (final) checkpoint's RDD id rides the result (together with
+    the three static graph-table barrier ids, r17) as
     ``_spark_graft_ckpt_ids`` for release_checkpoint. None (default)
-    keeps the fully lazy unrolled plan - right for the catalog's
-    few-iteration oracle-paired use."""
+    keeps the rank table's unrolled plan fully lazy - right for the
+    catalog's few-iteration oracle-paired use; the static
+    edges/deg/nodes tables are always lazily barriered (r17) so the
+    per-iteration consumers stop re-deriving the pair scan + union,
+    degree aggregation, and distinct."""
     # validate before ANY Spark action (and before the empty-graph
     # early return) so bad args fail fast without paying a job
     if checkpoint_every is not None and checkpoint_every < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
-    edges = pairs.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).union(pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    from ..streaming.store import _tracked_local_checkpoint
+
+    # Lazy barriers on the three STATIC graph tables (r17, guide
+    # §2.4/§5): edges is consumed once per iteration, deg once per
+    # iteration + the final join, nodes iters+1 times - without
+    # barriers the unrolled plan re-derives the pair scan + union
+    # (edges), the degree aggregation, and the distinct per consumer,
+    # so the shuffle count grows with iters^2-ish re-derivations.
+    # The nodes.count() below materializes all three in one job.
+    # Values are untouched (a localCheckpoint is a plan barrier, not
+    # a transformation); the pinned RDD ids ride the result for
+    # release_checkpoint.
+    edges = _tracked_local_checkpoint(
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")).union(
+            pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+        ),
+        eager=False,
+    )
+    deg = _tracked_local_checkpoint(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")),
+        eager=False,
+    )
+    nodes = _tracked_local_checkpoint(
+        edges.select(F.col("src").alias("node")).distinct(), eager=False
+    )
+    static_ckpt_ids = (
+        getattr(edges, "_spark_graft_ckpt_ids", ())
+        + getattr(deg, "_spark_graft_ckpt_ids", ())
+        + getattr(nodes, "_spark_graft_ckpt_ids", ())
+    )
     n = nodes.count()
     if n == 0:
-        return nodes.select(
+        out = nodes.select(
             "node",
             F.lit(0).cast("long").alias("degree"),
             F.lit(0.0).alias("pagerank"),
         )
+        out._spark_graft_ckpt_ids = static_ckpt_ids
+        return out
     pr = nodes.withColumn("pr", F.lit(1.0 / float(n)))
     base = (1.0 - damping) / float(n)
     prev_ckpt: DataFrame | None = None
     for it in range(iters):
-        contrib = (
-            edges.join(pr, edges["src"] == pr["node"])
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.floor(
-                    F.col("pr")
-                    / F.col("degree").cast("double")
-                    * F.lit(_QUANT)
-                    + F.lit(0.5)
-                )
-                .cast("long")
-                .alias("__q"),
+        # Per-NODE quantized contribution rate, computed once on the
+        # node-sized rank x degree join, THEN attached to edges (r17,
+        # guide §2.3/§3): floor(pr/degree*Q+0.5) depends only on the
+        # node, so evaluating it per edge row (the previous shape:
+        # edges⋈pr then ⋈deg, both edge-sized joins) repeated the
+        # division/floor per edge and paid TWO edge-sized joins per
+        # iteration. Identical doubles in, identical longs out -
+        # bit-exact contributions, one edge-sized join instead of two.
+        rates = pr.join(deg, pr["node"] == deg["src"]).select(
+            F.col("src"),
+            F.floor(
+                F.col("pr")
+                / F.col("degree").cast("double")
+                * F.lit(_QUANT)
+                + F.lit(0.5)
             )
+            .cast("long")
+            .alias("__q"),
+        )
+        contrib = edges.join(rates, "src").select(
+            F.col("dst").alias("node"), F.col("__q")
         )
         summed = contrib.groupBy("node").agg(F.sum("__q").alias("__s"))
         pr = (
@@ -136,7 +174,7 @@ def pagerank_unrolled(
     # only the LIVE (final) checkpoint rides the result for the
     # caller's release_checkpoint (when the last iterations ran past
     # a boundary, pr is derived FROM prev_ckpt, whose pin must stay)
-    out._spark_graft_ckpt_ids = (
+    out._spark_graft_ckpt_ids = static_ckpt_ids + (
         getattr(prev_ckpt, "_spark_graft_ckpt_ids", ())
         if prev_ckpt is not None
         else ()

@@ -124,15 +124,19 @@ def test_pagerank_checkpointed_identical_and_releasable(spark):
     got = {r.node: (r.degree, r.pagerank) for r in ck.collect()}
     assert got == plain
     ids = ck._spark_graft_ckpt_ids
-    # superseded checkpoints (iterations 2 and 4) are released as
-    # soon as their successor materializes (r14 ADVICE); only the
-    # live final checkpoint rides the result
-    assert len(ids) == 1
+    # superseded rank checkpoints (iterations 2 and 4) are released
+    # as soon as their successor materializes (r14 ADVICE); what
+    # rides the result is the three static graph-table barriers
+    # (edges/deg/nodes, r17) plus ONLY the live final rank checkpoint
+    assert len(ids) == 4
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    assert jmap.get(ids[0]) is not None  # live until the caller frees
+    assert all(
+        jmap.get(rid) is not None for rid in ids
+    )  # live until the caller frees
     release_checkpoint(ck)
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     assert all(jmap.get(rid) is None for rid in ids)
+    release_checkpoint(pagerank_unrolled(df, iters=1))  # static-only path
 
     import pytest
 
