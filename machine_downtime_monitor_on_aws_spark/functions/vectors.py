@@ -10,6 +10,7 @@ similarity queries carry exact oracles.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -125,6 +126,34 @@ def l2_norm(a: Column | str, dim: int | None = None) -> Column:
 
 def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+
+
+def lit_double_array(vals: list[float]) -> Column:
+    """``array<double>`` literal built as ONE SQL expression string
+    parsed JVM-side (r17): ``F.lit(list)`` walks every element
+    through py4j collection converters (~2 ms/element of driver
+    time - a 64-dim literal costs ~150 ms, and quantizer/codebook
+    paths build several per query), where one ``F.expr`` parse is
+    ~1 ms regardless of length. ``repr(float)`` is the shortest
+    round-trip decimal and Spark parses ``...D`` literals with
+    Java's Double.parseDouble, so values are BIT-IDENTICAL to the
+    F.lit form (pinned in tests incl. -0.0, subnormals, DBL_MAX).
+    Non-finite values have no SQL literal; empty arrays type as
+    array<string> under ``F.expr`` - both fall back to F.lit."""
+    vals = [float(x) for x in vals]
+    if vals and all(math.isfinite(x) for x in vals):
+        return F.expr("array(" + ", ".join(repr(x) + "D" for x in vals) + ")")
+    return F.lit(vals)
+
+
+def lit_long_array(vals: list[int]) -> Column:
+    """``array<bigint>`` literal as ONE JVM-parsed SQL string - same
+    py4j rationale as :func:`lit_double_array`; int literals are
+    exact in both shapes."""
+    vals = [int(x) for x in vals]
+    if vals and all(-(2**63) <= x < 2**63 for x in vals):
+        return F.expr("array(" + ", ".join(f"{x}L" for x in vals) + ")")
+    return F.lit(vals)
 
 
 def hyperplanes(num_planes: int, dim: int) -> list[list[int]]:

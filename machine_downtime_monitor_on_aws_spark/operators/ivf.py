@@ -547,10 +547,17 @@ def search_ivfpq_index(
         if residual
         else F.col("qv")
     )
+    # recon depends only on pq_code - project it BELOW the probe join
+    # (r17, guide §2.3/§8): each corpus row decodes its code ONCE,
+    # where the post-join placement re-evaluated the m element_at
+    # lookups + flatten once per (candidate, probing-query) pair.
+    # Identical expression, identical doubles - approx_l2 and the
+    # shortlist are bit-unchanged (oracle parity re-verified).
     scored = (
-        corpus.join(F.broadcast(probe), "list_id")
+        corpus.withColumn("__recon", recon)
+        .join(F.broadcast(probe), "list_id")
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("approx_l2", sq_l2(target, recon))
+        .withColumn("approx_l2", sq_l2(target, F.col("__recon")))
     )
     ranked = top_k_per_group(
         scored, ["qid"], [F.col("approx_l2").asc(), F.col("vec_id").asc()], k

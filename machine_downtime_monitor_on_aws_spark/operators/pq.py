@@ -26,6 +26,8 @@ check."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -39,13 +41,24 @@ def _literal_subcodebook(
     """Subspace j's codebook as a literal array<array<double>> -
     embedded in the plan, so encoding needs no join and the same
     values can be re-derived by the oracle from the table. Built as
-    ONE nested F.lit (identical doubles, identical plan semantics):
-    the unrolled K x sub F.lit form spent ~75 ms of py4j round trips
-    per subspace, >1 s of driver time per query build at the
-    catalog's K=16/m=8."""
-    return F.lit(
-        [[float(c[j * sub + i]) for i in range(sub)] for c in centroids]
-    )
+    ONE SQL expression string parsed JVM-side (r17): even the nested
+    F.lit form walks the K x sub Python list through py4j collection
+    converters (~120-220 ms per subspace, >1 s of driver time per
+    warm serve-path query build at the catalog's K=16/m=8), where
+    one ``F.expr("array(array(...D, ...), ...)")`` parse is ~1 ms.
+    ``repr(float)`` emits the shortest round-trip decimal and Spark
+    parses double literals with Java's Double.parseDouble, so the
+    embedded doubles are BIT-IDENTICAL to the F.lit form (verified
+    incl. -0.0, subnormals, and DBL_MAX; pinned in tests). Non-finite
+    values have no SQL literal - fall back to F.lit for them."""
+    vals = [[float(c[j * sub + i]) for i in range(sub)] for c in centroids]
+    if all(math.isfinite(x) for row in vals for x in row):
+        rows = ", ".join(
+            "array(" + ", ".join(repr(x) + "D" for x in row) + ")"
+            for row in vals
+        )
+        return F.expr(f"array({rows})")
+    return F.lit(vals)
 
 
 def pq_encode_reconstruct(

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import sq_l2
+from ..functions.vectors import lit_double_array, lit_long_array, sq_l2
 from .topk import top_k_per_group
 
 _WORD = 32  # bits packed per BIGINT word: keeps every word in
@@ -101,14 +101,14 @@ def signq_encode(
     pad = n_words * _WORD - dim
     bits = F.zip_with(
         F.col(vec_col),
-        F.lit(list(thresholds)),
+        lit_double_array(list(thresholds)),
         lambda v, t: F.when(v > t, F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
     if pad:
         bits = F.concat(
             bits, F.array_repeat(F.lit(0).cast("long"), pad)
         )
-    weights = F.lit([1 << j for j in range(_WORD)])
+    weights = lit_long_array([1 << j for j in range(_WORD)])
     words = [
         F.aggregate(
             F.zip_with(

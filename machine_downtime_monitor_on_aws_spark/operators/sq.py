@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import sq_l2
+from ..functions.vectors import lit_double_array, sq_l2
 from .topk import top_k_per_group
 
 
@@ -87,8 +87,8 @@ def sq_encode(
     py4j and bloated the plan toward the JIT-bytecode cliff; the
     arithmetic per element is IEEE-identical either way (and the
     oracle parity run pins it)."""
-    mns = F.lit([mn for mn, _mx in stats])
-    scales = F.lit(_scales(stats, levels))
+    mns = lit_double_array([mn for mn, _mx in stats])
+    scales = lit_double_array(_scales(stats, levels))
     lvl = levels - 1
     shifted = F.zip_with(F.col(vec_col), mns, lambda x, m: x - m)
     codes = F.zip_with(
@@ -117,8 +117,8 @@ def sq_recon(
     against. Same zip_with-over-array-literal shape as sq_encode
     (same plan-size/py4j rationale), same IEEE step order as the
     unrolled form: (code * scale) then + mn."""
-    mns = F.lit([mn for mn, _mx in stats])
-    scales = F.lit(_scales(stats, levels))
+    mns = lit_double_array([mn for mn, _mx in stats])
+    scales = lit_double_array(_scales(stats, levels))
     scaled = F.zip_with(
         F.col(code_col), scales, lambda c, s: c.cast("double") * s
     )

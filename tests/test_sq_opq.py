@@ -311,3 +311,43 @@ def test_sq_rerank_recovers_exact_ranks(spark):
             nid, dist = got[(qid, rnk)]
             assert nid == i, (qid, rnk, nid, i)
             assert dist == pytest.approx(d, rel=1e-12)
+
+
+def test_lit_array_helpers_bit_identical_to_flit(spark):
+    """r17: lit_double_array / lit_long_array build the literal as one
+    JVM-parsed SQL string (py4j round-trip elimination); the embedded
+    values must be BIT-identical to the F.lit path, including the
+    nasty doubles (negative zero, subnormal, DBL_MAX, shortest-repr
+    tails), and the fallbacks must engage for empty / non-finite."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from machine_downtime_monitor_on_aws_spark.functions.vectors import (
+        lit_double_array,
+        lit_long_array,
+    )
+
+    vals = [
+        -0.0, 0.0, 1.0 / 3.0, 2.0**-1074, 1.7976931348623157e308,
+        -1e-9, 0.1, 123456789.123456789, -2.2250738585072014e-308,
+    ]
+    row = (
+        spark.range(1)
+        .select(
+            lit_double_array(vals).alias("a"),
+            F.lit([float(x) for x in vals]).alias("b"),
+            lit_long_array([1 << j for j in range(63)]).alias("c"),
+            F.lit([1 << j for j in range(63)]).alias("d"),
+        )
+        .collect()[0]
+    )
+    assert [struct.pack("<d", x) for x in row.a] == [
+        struct.pack("<d", x) for x in row.b
+    ]
+    assert row.c == row.d
+    # fallbacks: empty and non-finite route through F.lit unchanged
+    nf = [1.0, float("inf")]
+    got = spark.range(1).select(lit_double_array(nf).alias("x")).collect()[0].x
+    assert got[0] == 1.0 and math.isinf(got[1])
