@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -153,6 +154,28 @@ def lit_long_array(vals: list[int]) -> Column:
     vals = [int(x) for x in vals]
     if vals and all(-(2**63) <= x < 2**63 for x in vals):
         return F.expr("array(" + ", ".join(f"{x}L" for x in vals) + ")")
+    return F.lit(vals)
+
+
+# the fast string-literal path only engages for strings the SQL
+# parser cannot possibly reinterpret: printable ASCII with the quote
+# and the escape character themselves excluded - anything else
+# (control chars, non-ASCII, quotes, backslashes) falls back to
+# F.lit, which is slow but escaping-proof
+_LIT_SAFE_ASCII = re.compile(r"[ -&(-\[\]-~]*\Z")
+
+
+def lit_string_array(vals: list[str]) -> Column:
+    """``array<string>`` literal as ONE JVM-parsed SQL string when
+    every element is plain printable ASCII without ``'`` or ``\\``
+    (the unigram/wordpiece vocab case - F.lit of a few-hundred-piece
+    vocab costs ~0.5-2 s of py4j per call, and the EM loop rebuilds
+    it per iteration); any other content falls back to F.lit rather
+    than trusting hand-rolled SQL escaping. Bit-identity of the fast
+    path is pinned in tests against adversarial near-misses."""
+    vals = [str(x) for x in vals]
+    if vals and all(_LIT_SAFE_ASCII.match(v) for v in vals):
+        return F.expr("array(" + ", ".join("'" + v + "'" for v in vals) + ")")
     return F.lit(vals)
 
 

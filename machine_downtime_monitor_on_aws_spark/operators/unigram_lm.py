@@ -44,6 +44,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
+from ..functions.vectors import lit_double_array, lit_string_array
 
 MAX_WLEN = 12
 MAX_PIECE = 3
@@ -121,7 +122,14 @@ def viterbi_state(
     sentinel -1.0, always below the guaranteed single-char path.
     Returns the final struct (p=best likelihood, n=piece count,
     seg=the segmentation)."""
-    m = F.map_from_arrays(F.lit(list(pieces)), F.lit(list(probs)))
+    # r17: both vocab arrays build as single JVM-parsed SQL strings
+    # when safe (the EM loop re-enters here per iteration; F.lit of a
+    # capped vocab cost ~0.3-0.6 s of py4j per call) - the helpers
+    # fall back to F.lit for non-ASCII/quote/backslash pieces or
+    # non-finite probs, and their bit-identity is test-pinned
+    m = F.map_from_arrays(
+        lit_string_array(list(pieces)), lit_double_array(list(probs))
+    )
     empty_seg = F.array().cast("array<string>")
     init = F.array(
         F.struct(

@@ -351,3 +351,38 @@ def test_lit_array_helpers_bit_identical_to_flit(spark):
     nf = [1.0, float("inf")]
     got = spark.range(1).select(lit_double_array(nf).alias("x")).collect()[0].x
     assert got[0] == 1.0 and math.isinf(got[1])
+
+
+def test_lit_string_array_bit_identical_and_guarded(spark):
+    """r17: lit_string_array's fast path must produce exactly the
+    F.lit values for plain-ASCII vocab pieces, and must FALL BACK to
+    F.lit for anything the SQL parser could reinterpret (quotes,
+    backslashes, control chars, non-ASCII, empty list)."""
+    from pyspark.sql import functions as F
+
+    from machine_downtime_monitor_on_aws_spark.functions.vectors import (
+        lit_string_array,
+    )
+
+    safe = ["a", "Zz9", "_he-llo.", "~!@#$%^&*()", "[x]", '"dq"', " sp ", ""]
+    row = (
+        spark.range(1)
+        .select(
+            lit_string_array(safe).alias("a"),
+            F.lit(list(safe)).alias("b"),
+        )
+        .collect()[0]
+    )
+    assert list(row.a) == list(row.b) == safe
+    # adversarial near-misses must round-trip through the F.lit
+    # fallback unchanged (we cannot see which path ran, so assert the
+    # CONTRACT: output equals input for every nasty string)
+    for nasty in ["it's", "back\\slash", "new\nline", "tab\tx",
+                  "unié", "中文", "emoji\U0001f600", "nul\x00"]:
+        got = (
+            spark.range(1)
+            .select(lit_string_array([nasty, "ok"]).alias("a"))
+            .collect()[0]
+            .a
+        )
+        assert list(got) == [nasty, "ok"], repr(nasty)
