@@ -79,8 +79,19 @@ def symbol_word_frequencies(
     )
 
 
-def adjacent_pairs(sym_col: Column) -> Column:
-    """Array of adjacent symbol pairs ("x y") of one symbol string."""
+def adjacent_pairs(sym_col: Column | str) -> Column:
+    """Array of adjacent symbol pairs ("x y") of one symbol string.
+    Given a column NAME the whole expression parses JVM-side in one
+    call (the zip_with lambda alone costs ~15 py4j round-trips per
+    construction, and the trainers rebuild it every iteration); the
+    Column form stays for composed expressions. Both build the same
+    zip_with(slice, slice, concat) tree."""
+    if isinstance(sym_col, str):
+        s = f"split({sym_col}, ' ')"
+        return F.expr(
+            f"zip_with(slice({s}, 1, size({s}) - 1), "
+            f"slice({s}, 2, size({s}) - 1), (a, b) -> concat(a, ' ', b))"
+        )
     s = F.split(sym_col, " ")
     return F.zip_with(
         F.slice(s, 1, F.size(s) - 1),
@@ -154,6 +165,9 @@ def bpe_train_merges(
     cur = symbol_word_frequencies(df, text_col)
     out: list[dict] = []
     held: DataFrame | None = None
+    # loop-invariant pair-explode expression built ONCE (r17 verdict
+    # #2: per-iteration Column rebuilds are pure driver py4j cost)
+    pair_col = F.explode(adjacent_pairs("sym")).alias("pair")
     try:
         for it in range(1, n_merges + 1):
             # LAZY barrier: the argmax collect below materializes the
@@ -165,10 +179,7 @@ def bpe_train_merges(
             # cannot be recomputed once unpersisted.
             cur = _tracked_local_checkpoint(cur, eager=False)
             top = (
-                cur.select(
-                    F.explode(adjacent_pairs(F.col("sym"))).alias("pair"),
-                    F.col("wcnt"),
-                )
+                cur.select(pair_col, F.col("wcnt"))
                 .groupBy("pair")
                 .agg(F.sum("wcnt").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), F.col("pair").asc())
@@ -197,6 +208,13 @@ def bpe_train_merges(
     finally:
         if held is not None:
             release_checkpoint(held)
+        # if the argmax collect raised, the in-flight lazy checkpoint
+        # `cur` is not yet `held` - release it too or its registered
+        # blocks leak on the exception path (r17 ADVICE #5). After a
+        # clean loop `cur` is a plain .select() with no tracked ids,
+        # so this is a no-op there.
+        if cur is not None and cur is not held:
+            release_checkpoint(cur)
     return out
 
 

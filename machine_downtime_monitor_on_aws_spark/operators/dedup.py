@@ -95,11 +95,15 @@ def minhash_band_arrays(
     sig = _minhash_signature_frame(
         df, id_col, text_col, num_perms, shingle_n, parallelism
     )
-    band_cols = []
-    for b in range(num_bands):
-        parts = [F.col(f"m{b * rows + r}") for r in range(rows)]
-        band_cols.append(F.md5(F.concat_ws("|", *parts)))
-    return sig.select("doc_id", F.array(*band_cols).alias("__bands"))
+    # one JVM-parsed expression (construction cost; same md5/concat_ws
+    # tree as the former Column loop - bit-identical band hashes)
+    band_cols = [
+        "md5(concat_ws('|', {}))".format(
+            ", ".join(f"m{b * rows + r}" for r in range(rows))
+        )
+        for b in range(num_bands)
+    ]
+    return sig.selectExpr("doc_id", f"array({', '.join(band_cols)}) AS __bands")
 
 
 def _minhash_signature_frame(
@@ -111,7 +115,15 @@ def _minhash_signature_frame(
     parallelism: int | None,
 ) -> DataFrame:
     """(doc_id, m0..m{K-1}) signature columns - the shared core of
-    :func:`minhash_band_arrays` and :func:`minhash_signatures`."""
+    :func:`minhash_band_arrays` and :func:`minhash_signatures`.
+
+    PRECONDITION: ``id_col`` must be unique - one row per document
+    (every corpus/batch source in this package is). The r17 fused
+    array_min form emits one signature row PER INPUT ROW; the
+    pre-r17 explode + groupBy(doc_id).min shape would instead have
+    merged duplicate-id rows into one signature, so for non-unique
+    ids the two shapes diverge (r17 ADVICE #4). Dedupe ids upstream
+    if a source cannot guarantee it."""
     toked = df.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("__toks"),
@@ -146,30 +158,28 @@ def _minhash_signature_frame(
     # sf0.1: the whole signature stage loses its Sort+SortAggregate
     # (plan diff in plans/r17/), every minhash consumer drops ~2
     # stages.
-    n_sh = F.size("__toks") - F.lit(shingle_n - 1)
-    sh = F.when(
-        n_sh >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.array_join(F.slice(F.col("__toks"), i, shingle_n), " "),
-        ),
-    ).otherwise(F.array(F.col("__t")))
-    shingled = toked.select("doc_id", sh.alias("__sh"))
-
-    def perm_min(k: int):
-        # NB: the lambda must be unary - pyspark dispatches a
-        # two-parameter lambda (even with a default) to the
-        # (element, index) higher-order form.
-        prefix = f"{k}:"
-        return F.array_min(
-            F.transform(
-                F.col("__sh"), lambda s: F.md5(F.concat(F.lit(prefix), s))
-            )
-        )
-
-    return shingled.select(
+    # Built as SQL expression strings, not Column-object chains: each
+    # py4j Column operation is a driver JVM round-trip, and the K
+    # transform-lambda builders below were the largest remaining
+    # construction cost after r17's lit-array work (the "construction
+    # is half the bench" finding; guide §4's boundary-cost rule
+    # applied to the driver). One selectExpr parses JVM-side in a
+    # single call to the SAME expression tree: CASE WHEN == when/
+    # otherwise, sequence/slice/array_join/transform/array_min are
+    # the identical builtins, so signatures are bit-identical.
+    n_sh = f"(size(__toks) - {shingle_n - 1})"
+    sh = (
+        f"CASE WHEN {n_sh} >= 1 THEN transform(sequence(1, {n_sh}), "
+        f"i -> array_join(slice(__toks, i, {shingle_n}), ' ')) "
+        "ELSE array(__t) END AS __sh"
+    )
+    shingled = toked.selectExpr("doc_id", sh)
+    return shingled.selectExpr(
         "doc_id",
-        *[perm_min(k).alias(f"m{k}") for k in range(num_perms)],
+        *[
+            f"array_min(transform(__sh, s -> md5(concat('{k}:', s)))) AS m{k}"
+            for k in range(num_perms)
+        ],
     )
 
 
@@ -189,8 +199,11 @@ def minhash_signatures(
     sig = _minhash_signature_frame(
         df, id_col, text_col, num_perms, shingle_n, parallelism
     )
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"m{k}") for k in range(num_perms)]).alias("__sig")
+    return sig.selectExpr(
+        "doc_id",
+        "array({}) AS __sig".format(
+            ", ".join(f"m{k}" for k in range(num_perms))
+        ),
     )
 
 
@@ -209,15 +222,16 @@ def band_arrays_from_signatures(
         raise ValueError("signature length must be divisible by num_bands")
     rows = num_perms // num_bands
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[F.element_at("__sig", b * rows + r + 1) for r in range(rows)],
+        "md5(concat_ws('|', {}))".format(
+            ", ".join(
+                f"element_at(__sig, {b * rows + r + 1})" for r in range(rows)
             )
         )
         for b in range(num_bands)
     ]
-    return signatures.select("doc_id", F.array(*band_cols).alias("__bands"))
+    return signatures.selectExpr(
+        "doc_id", f"array({', '.join(band_cols)}) AS __bands"
+    )
 
 
 def minhash_lsh_buckets(
@@ -247,23 +261,32 @@ def _first_matching_band(num_bands: int, band_a_at, band_b_at):
     each colliding pair exactly once - replacing a DISTINCT (a full
     shuffle of the expanded pair set, the blow-up point of the whole
     pipeline) with a scan-local filter. ``band_a_at(k)``/``band_b_at(k)``
-    return the k-th band value of each side (array index or substring,
-    depending on how the caller carries the payload).
+    return a SQL fragment for the k-th band value of each side (array
+    index or substring, depending on how the caller carries the
+    payload); the whole predicate parses JVM-side as ONE CASE
+    expression - the former nested when/otherwise Column chain cost
+    O(num_bands^2) py4j round-trips per construction, and a nested
+    when-chain IS this CASE (same descending band_id order, same
+    conditions), so the filter is value-identical.
 
     A ``band_id`` outside [0, num_bands) means the caller's num_bands
     drifted from the band generator's - silently dropping those rows
     would under-deduplicate with nothing failing, so the fall-through
     raises instead of defaulting."""
-    first = F.expr(
-        "CAST(raise_error('first_matching_band: band_id >= num_bands "
-        "(caller num_bands does not match the band generator)') AS BOOLEAN)"
+    arms = []
+    for k in range(num_bands - 1, -1, -1):
+        cond = (
+            " AND ".join(
+                f"({band_a_at(bp)} != {band_b_at(bp)})" for bp in range(k)
+            )
+            or "true"
+        )
+        arms.append(f"WHEN band_id = {k} THEN {cond}")
+    return F.expr(
+        "CASE {} ELSE CAST(raise_error('first_matching_band: band_id >= "
+        "num_bands (caller num_bands does not match the band generator)') "
+        "AS BOOLEAN) END".format(" ".join(arms))
     )
-    for k in range(num_bands):
-        cond = F.lit(True)
-        for bp in range(k):
-            cond = cond & (band_a_at(bp) != band_b_at(bp))
-        first = F.when(F.col("band_id") == k, cond).otherwise(first)
-    return first
 
 
 def candidate_pairs_exact(
@@ -281,7 +304,7 @@ def candidate_pairs_exact(
     filtered where they are produced and never move. At 100 TB the
     pair set is orders of magnitude larger than the corpus, so this
     is the difference between shuffling gigabytes and terabytes."""
-    from ..streaming.store import _tracked_local_checkpoint
+    from ..streaming.store import _is_checkpoint_scan, _tracked_local_checkpoint
 
     # Both self-join sides derive from the SAME band table; without a
     # barrier the whole signature pipeline (tokenize + K md5 per
@@ -289,8 +312,14 @@ def candidate_pairs_exact(
     # ReusedExchange because the planner broadcasts one side, so
     # nothing was shared. The (doc_id, __bands) sliver is doc-count
     # sized - exactly what a lazy barrier should hold. Pinned ids
-    # ride the result (catalog resource contract).
-    band_arrays = _tracked_local_checkpoint(band_arrays, eager=False)
+    # ride the result (catalog resource contract). Skip the barrier
+    # when the input is ALREADY a checkpoint scan (the streaming
+    # dedup path hands in an eager tracked checkpoint every
+    # micro-batch): both join sides then read the same persisted
+    # RDD, and a second barrier would be pure cost plus a pinned
+    # RDD per epoch (r17 ADVICE #1).
+    if not _is_checkpoint_scan(band_arrays):
+        band_arrays = _tracked_local_checkpoint(band_arrays, eager=False)
     banded = band_arrays.select(
         "doc_id", "__bands", F.posexplode("__bands").alias("band_id", "band_hash")
     )
@@ -302,8 +331,8 @@ def candidate_pairs_exact(
     )
     first = _first_matching_band(
         num_bands,
-        lambda k: F.col("__ba")[k],
-        lambda k: F.col("__bb")[k],
+        lambda k: f"__ba[{k}]",
+        lambda k: f"__bb[{k}]",
     )
     out = (
         a.join(b, ["band_id", "band_hash"])
@@ -934,25 +963,46 @@ def simhash_md5(
         "CAST(conv(substring(md5(__t), 9, 8), 16, 10) AS BIGINT) AS __lo",
     )
 
-    def vote(b: int) -> str:
+    # r18 (verdict #5): the 64 per-bit vote columns pack PAIRWISE into
+    # 32 longs - vote-bit b (a hex digit of __hi) and vote-bit b+32
+    # (the same digit position of __lo) share one shift amount, so
+    # __p{b} carries bit b in its low 32 bits and bit b+32 in its high
+    # 32. Integer-exact repack of the same votes: the old per-token
+    # vote was bit*2-1 summed per doc, and sign(sum(bit*2-1)) ==
+    # (2*sum(bit) > count) - all integer arithmetic, so the decided
+    # bits (and the hex fingerprint) are bit-identical. Halves the
+    # vote partials the shuffle moves per (task, doc) (512 -> ~264
+    # bytes) and the aggregation state. No carry can cross the packed
+    # boundary: a doc has < 2^31 tokens (array size bound), so the low
+    # field sums below 2^32 and the high field below 2^63.
+    def pack(b: int) -> str:
         j, k = b // 4, b % 4
-        # digit j = hex char j+1 = bits 4*(7-j)..4*(7-j)+3 of hi (j<8)
-        # or of lo (j>=8); bit k of that digit decides the vote.
-        src = "__hi" if j < 8 else "__lo"
-        shift = 4 * (7 - (j % 8)) + k
-        return f"(shiftright({src}, {shift}) & 1) * 2 - 1 AS __v{b}"
+        shift = 4 * (7 - j) + k
+        return (
+            f"(shiftright(__hi, {shift}) & 1) + "
+            f"shiftleft(shiftright(__lo, {shift}) & 1, 32) AS __p{b}"
+        )
 
-    voted = hashed.selectExpr("doc_id", *[vote(b) for b in range(64)])
-    sums = voted.groupBy("doc_id").agg(
-        *[F.expr(f"coalesce(sum(__v{b}), 0)").alias(f"__s{b}") for b in range(64)]
+    packed = hashed.selectExpr("doc_id", *[pack(b) for b in range(32)])
+    sums = packed.groupBy("doc_id").agg(
+        F.expr("count(__p0)").alias("__n"),
+        *[
+            F.expr(f"coalesce(sum(__p{b}), 0)").alias(f"__s{b}")
+            for b in range(32)
+        ],
     )
     chars = []
     for j in range(16):
-        val = " + ".join(
-            f"(CASE WHEN __s{4 * j + k} > 0 THEN {2 ** k} ELSE 0 END)"
-            for k in range(4)
-        )
-        chars.append(f"substring('{_HEX}', 1 + ({val}), 1)")
+        terms = []
+        for k in range(4):
+            b = 4 * j + k
+            ones = (
+                f"(__s{b} & 4294967295)"
+                if b < 32
+                else f"shiftright(__s{b - 32}, 32)"
+            )
+            terms.append(f"(CASE WHEN 2 * {ones} > __n THEN {2 ** k} ELSE 0 END)")
+        chars.append(f"substring('{_HEX}', 1 + ({' + '.join(terms)}), 1)")
     return sums.selectExpr("doc_id", f"concat({', '.join(chars)}) AS simhash")
 
 
@@ -1070,8 +1120,8 @@ def simhash_neardup_pairs(
         )
         first_match = _first_matching_band(
             num_bands,
-            lambda k: F.substring("__sa", 1 + k * width, width),
-            lambda k: F.substring("__sb", 1 + k * width, width),
+            lambda k: f"substring(__sa, {1 + k * width}, {width})",
+            lambda k: f"substring(__sb, {1 + k * width}, {width})",
         )
         return (
             a.join(b, ["band_id", "band_hash"])
@@ -1514,8 +1564,8 @@ def incremental_candidate_pairs(
     )
     first = _first_matching_band(
         num_bands,
-        lambda k: F.col("__ba")[k],
-        lambda k: F.col("__bb")[k],
+        lambda k: f"__ba[{k}]",
+        lambda k: f"__bb[{k}]",
     )
     if max_bucket_size is not None:
         # per-band_key history size + representative, computed WHERE
@@ -1548,7 +1598,12 @@ def incremental_candidate_pairs(
             )
         )
     vs_self = candidate_pairs_exact(new_band_arrays, num_bands)
-    return vs_history.unionByName(vs_self)
+    out = vs_history.unionByName(vs_self)
+    # unionByName drops python-level attrs: re-attach vs_self's
+    # tracked barrier id so the streaming caller's release frees it
+    # (r17 ADVICE #1 - one orphaned pinned RDD per micro-batch).
+    out._spark_graft_ckpt_ids = getattr(vs_self, "_spark_graft_ckpt_ids", ())
+    return out
 
 
 def simhash64(

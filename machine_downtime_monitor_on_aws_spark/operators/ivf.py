@@ -983,6 +983,8 @@ def build_ivfbin_index(
         raise ValueError(
             f"thresholds has {len(thresholds)} entries, expected dim={dim}"
         )
+    # a rebuild changes the directory state the guard cache vouches for
+    _invalidate_ivfbin_guard(path)
     e = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
     ).withColumn("__n", l2_norm("vec", dim))
@@ -1047,6 +1049,10 @@ def compact_ivfbin_index(spark: SparkSession, path: str) -> None:
             "nothing to compact"
         )
     corpus_dir = f"{path.rstrip('/')}/corpus"
+    # the swap below can create exactly the states the serve guard
+    # refuses on - drop cached clean verdicts BEFORE touching anything
+    # so a crash mid-swap is caught by the next serve in this process
+    _invalidate_ivfbin_guard(path)
     codes = spark.read.parquet(corpus_dir).select(
         "vec_id", "signq_code", "list_id"
     )
@@ -1065,6 +1071,30 @@ def compact_ivfbin_index(spark: SparkSession, path: str) -> None:
     fsio.delete(spark, old)
 
 
+# session-scoped guard verdicts: the three existence probes cost a
+# dozen py4j round-trips per ivfbin SERVE and APPEND (r17's worst
+# touched construction regression); a clean verdict is re-usable for
+# the life of the session because the only in-process events that can
+# create the guarded states (compaction swap, index rebuild) funnel
+# through _invalidate_ivfbin_guard below. A CONCURRENT process
+# compacting while this one serves was never protected - the original
+# per-call probes had the same check-then-read window.
+import weakref as _weakref
+
+_IVFBIN_GUARD_OK: "_weakref.WeakKeyDictionary[SparkSession, set[str]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
+def _invalidate_ivfbin_guard(path: str) -> None:
+    """Drop every session's cached clean-guard verdict for ``path`` -
+    called by the in-process mutators (compact, rebuild) so the next
+    serve/append re-probes the directory state."""
+    key = path.rstrip("/")
+    for paths in _IVFBIN_GUARD_OK.values():
+        paths.discard(key)
+
+
 def _guard_ivfbin_corpus(spark: SparkSession, path: str) -> None:
     """Refuse to serve or grow an IVF-binary index whose compaction
     swap was interrupted (r16 ADVICE #1): a crash between
@@ -1073,13 +1103,23 @@ def _guard_ivfbin_corpus(spark: SparkSession, path: str) -> None:
     would silently RECREATE the corpus dir holding only new epochs -
     the index would then serve a truncated corpus with nothing
     failing. Leftover side dirs or a missing corpus on a stamped
-    index are therefore hard errors with the recovery spelled out."""
+    index are therefore hard errors with the recovery spelled out.
+
+    Cost discipline (r17 verdict #4): ONE child listing of the index
+    root replaces three existence probes, and a clean verdict is
+    cached per (session, path) - the serve path re-checks only after
+    an in-process compaction/rebuild invalidates it."""
     from .. import fsio
 
-    corpus = f"{path.rstrip('/')}/corpus"
+    root = path.rstrip("/")
+    ok = _IVFBIN_GUARD_OK.get(spark)
+    if ok is not None and root in ok:
+        return
+    names = set(fsio.list_names(spark, root))
+    corpus = f"{root}/corpus"
     old = corpus + "__old"
     tmp = corpus + "__compacting"
-    if fsio.exists(spark, old):
+    if "corpus__old" in names:
         raise RuntimeError(
             f"ivfbin index {path!r}: {old} exists - a compaction swap "
             "was interrupted. Recover: if corpus/ is missing, rename "
@@ -1087,19 +1127,20 @@ def _guard_ivfbin_corpus(spark: SparkSession, path: str) -> None:
             "complete, delete corpus__old. Refusing to read or append "
             "until resolved."
         )
-    if fsio.exists(spark, tmp):
+    if "corpus__compacting" in names:
         raise RuntimeError(
             f"ivfbin index {path!r}: {tmp} exists - a compaction was "
             "interrupted before its swap. Delete corpus__compacting "
             "(the live corpus is authoritative) and re-run compaction."
         )
-    if not fsio.exists(spark, corpus):
+    if "corpus" not in names:
         raise RuntimeError(
             f"ivfbin index {path!r} is stamped (params.json) but has "
             "no corpus/ directory - appending would recreate a "
             "truncated corpus. Restore the corpus (or rebuild the "
             "index) first."
         )
+    _IVFBIN_GUARD_OK.setdefault(spark, set()).add(root)
 
 
 def load_ivfbin_thresholds(spark: SparkSession, path: str) -> list[float]:

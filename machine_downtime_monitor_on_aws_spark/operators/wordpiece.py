@@ -108,13 +108,16 @@ def _scored_pairs(cur: DataFrame) -> DataFrame:
     )
     pairs = (
         cur.select(
-            F.explode(adjacent_pairs(F.col("sym"))).alias("pair"),
+            F.explode(adjacent_pairs("sym")).alias("pair"),
             F.col("wcnt"),
         )
         .groupBy("pair")
         .agg(F.sum("wcnt").alias("pair_count"))
-        .withColumn("lft", F.split(F.col("pair"), " ").getItem(0))
-        .withColumn("rgt", F.split(F.col("pair"), " ").getItem(1))
+        .selectExpr(
+            "*",
+            "split(pair, ' ')[0] AS lft",
+            "split(pair, ' ')[1] AS rgt",
+        )
     )
     return (
         pairs.join(syms.selectExpr("s AS lft", "c AS left_count"), "lft")
@@ -196,6 +199,11 @@ def wordpiece_train_merges(
     finally:
         if held is not None:
             release_checkpoint(held)
+        # release the in-flight lazy checkpoint when the collect
+        # raised mid-iteration (r17 ADVICE #5; no-op after a clean
+        # loop - see bpe_train_merges)
+        if cur is not None and cur is not held:
+            release_checkpoint(cur)
     return out
 
 

@@ -3703,25 +3703,29 @@ def incremental_exact_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"spark_graft_shx_{tag}"
     d = _docs(spark, sf_dir)
     if not spark.catalog.tableExists(table):
-        # table registrations are SESSION-scoped but the managed
-        # location persists in the warehouse dir: a fresh session
-        # would hit LOCATION_ALREADY_EXISTS on rebuild. Clear the
-        # stale location first - the bucketing metadata (and the
-        # stamped params) lived in the dead session's catalog, so the
-        # files alone are not a usable index anyway.
+        # table registrations are SESSION-scoped but the location (and
+        # the build's full output, sidecar-stamped) persists in the
+        # warehouse dir. A fresh session first tries to RESTORE the
+        # registration over the existing files (one DDL, zero data
+        # movement - r17 verdict #6: the rebuild cost 8s per cold
+        # session); only a location without a complete sidecar is
+        # cleared and rebuilt.
         from .. import fsio
+        from ..sources.lake import reregister_bucketed_table, stamp_bucketspec
 
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = f"{wh.rstrip('/')}/{table}"
-        if fsio.exists(spark, loc):
-            fsio.delete(spark, loc)
-        hist = d.filter(F.col("doc_id") % 10 != 0)
-        write_shingle_index(
-            shingle_postings(hist, "doc_id", "text", _SHINGLE_N),
-            table,
-            num_buckets=16,
-            shingle_n=_SHINGLE_N,
-        )
+        if not reregister_bucketed_table(spark, table):
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            loc = f"{wh.rstrip('/')}/{table}"
+            if fsio.exists(spark, loc):
+                fsio.delete(spark, loc)
+            hist = d.filter(F.col("doc_id") % 10 != 0)
+            write_shingle_index(
+                shingle_postings(hist, "doc_id", "text", _SHINGLE_N),
+                table,
+                num_buckets=16,
+                shingle_n=_SHINGLE_N,
+            )
+            stamp_bucketspec(spark, table)
     batch = d.filter(F.col("doc_id") % 10 == 0)
     return incremental_exact_jaccard(
         spark, batch, "doc_id", "text", table, 0.5, _SHINGLE_N
@@ -4151,16 +4155,19 @@ def incremental_duplicated_spans_query(
     table = f"spark_graft_kgx_{tag}"
     d = _docs(spark, sf_dir)
     if not spark.catalog.tableExists(table):
-        # clear a dead session's managed location (see the shingle
-        # index note above)
+        # restore-over-existing-files first, rebuild only without a
+        # complete sidecar (see the shingle index note above)
         from .. import fsio
+        from ..sources.lake import reregister_bucketed_table, stamp_bucketspec
 
-        wh = spark.conf.get("spark.sql.warehouse.dir")
-        loc = f"{wh.rstrip('/')}/{table}"
-        if fsio.exists(spark, loc):
-            fsio.delete(spark, loc)
-        hist = d.filter(F.col("doc_id") % 10 != 0)
-        write_kgram_index(hist, table, _SPAN_K, num_buckets=16)
+        if not reregister_bucketed_table(spark, table):
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            loc = f"{wh.rstrip('/')}/{table}"
+            if fsio.exists(spark, loc):
+                fsio.delete(spark, loc)
+            hist = d.filter(F.col("doc_id") % 10 != 0)
+            write_kgram_index(hist, table, _SPAN_K, num_buckets=16)
+            stamp_bucketspec(spark, table)
     batch = d.filter(F.col("doc_id") % 10 == 0)
     return incremental_duplicated_spans(spark, batch, table, _SPAN_K)
 

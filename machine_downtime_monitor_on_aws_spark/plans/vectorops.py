@@ -1610,9 +1610,14 @@ def neardup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    return pagerank_unrolled(pairs, _PR_ITERS).select(
-        F.col("node").alias("vec_id"), "degree", "pagerank"
-    )
+    pr = pagerank_unrolled(pairs, _PR_ITERS)
+    out = pr.select(F.col("node").alias("vec_id"), "degree", "pagerank")
+    # .select() drops python-level attrs; without the re-attach the
+    # three static-table checkpoint pins leak per invocation and
+    # release_checkpoint(result) is a no-op (r17 ADVICE #2 - the
+    # textops discipline).
+    out._spark_graft_ckpt_ids = getattr(pr, "_spark_graft_ckpt_ids", ())
+    return out
 
 
 @register("neardup_pagerank_from_store", oracle=_pagerank_oracle(_PR_ITERS))
@@ -1653,9 +1658,14 @@ def neardup_pagerank_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").parquet(staged)
         fsio.publish_dir(spark, staged, path, ok_name="_SUCCESS")
     pairs = spark.read.parquet(path)
-    return pagerank_unrolled(pairs, _PR_ITERS).select(
-        F.col("node").alias("vec_id"), "degree", "pagerank"
-    )
+    pr = pagerank_unrolled(pairs, _PR_ITERS)
+    out = pr.select(F.col("node").alias("vec_id"), "degree", "pagerank")
+    # .select() drops python-level attrs; without the re-attach the
+    # three static-table checkpoint pins leak per invocation and
+    # release_checkpoint(result) is a no-op (r17 ADVICE #2 - the
+    # textops discipline).
+    out._spark_graft_ckpt_ids = getattr(pr, "_spark_graft_ckpt_ids", ())
+    return out
 
 
 # ---- SemDeDup (operators/similarity.semdedup_flags)

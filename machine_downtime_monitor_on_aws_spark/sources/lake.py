@@ -277,6 +277,123 @@ def compact_small_files(
     return oversized
 
 
+# sidecar recording everything needed to re-register a bucketed table
+# in a FRESH session over its existing warehouse files. Underscore
+# prefix: parquet readers ignore _-prefixed files, so it can live
+# inside the table location without affecting scans.
+_BUCKETSPEC_NAME = "_spark_graft_bucketspec.json"
+
+
+def stamp_bucketspec(spark: SparkSession, table_name: str) -> None:
+    """Write the re-registration sidecar into ``table_name``'s
+    location: schema DDL, bucket spec, and the stamped
+    ``spark_graft.*`` properties. Call AFTER the table (and its
+    property stamps) are fully written - the sidecar's presence is
+    the completeness marker :func:`reregister_bucketed_table` trusts,
+    so a build that crashes earlier leaves no sidecar and the next
+    session rebuilds from scratch (today's behavior)."""
+    import json
+
+    from .. import fsio
+
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    info = {r["col_name"].strip(): (r["data_type"] or "").strip() for r in rows}
+    location = info.get("Location", "")
+    n_buckets = int(info.get("Num Buckets", "0") or 0)
+    bucket_cols = [
+        c.strip().strip("`")
+        for c in info.get("Bucket Columns", "").strip("[]").split(",")
+        if c.strip()
+    ]
+    sort_cols = [
+        c.strip().strip("`")
+        for c in info.get("Sort Columns", "").strip("[]").split(",")
+        if c.strip()
+    ]
+    if not location or not n_buckets or not bucket_cols:
+        raise ValueError(
+            f"stamp_bucketspec: {table_name!r} is not a bucketed table "
+            f"with a location (got {info.get('Num Buckets')!r} buckets, "
+            f"columns {bucket_cols!r}, location {location!r})"
+        )
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+        if r["key"].startswith("spark_graft.")
+    }
+    spec = {
+        "version": 1,
+        "table": table_name,
+        "schema_ddl": spark.table(table_name)._jdf.schema().toDDL(),
+        "num_buckets": n_buckets,
+        "bucket_cols": bucket_cols,
+        "sort_cols": sort_cols,
+        "properties": props,
+    }
+    fsio.write_text_atomic(
+        spark, f"{location.rstrip('/')}/{_BUCKETSPEC_NAME}", json.dumps(spec)
+    )
+
+
+def reregister_bucketed_table(spark: SparkSession, table_name: str) -> bool:
+    """Restore a bucketed table registration in a fresh session from
+    the files a previous session left in the warehouse - ONE
+    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL, zero data
+    movement - instead of deleting and rebuilding the index
+    (table registrations are session-scoped without a persistent
+    metastore; the data and the :func:`stamp_bucketspec` sidecar are
+    not). Returns True when the registration was restored; False
+    when there is nothing (or nothing COMPLETE - no sidecar) to
+    restore, in which case the caller rebuilds as before.
+
+    The restored table is EXTERNAL (a LOCATION table): DROP leaves
+    the files for the next session; delete the location to discard
+    the index. Properties (the spark_graft.* param stamps) are
+    restored verbatim, so param validation keeps working."""
+    import json
+
+    from .. import fsio
+
+    if spark.catalog.tableExists(table_name):
+        return True
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = f"{wh.rstrip('/')}/{table_name}"
+    sidecar = f"{loc}/{_BUCKETSPEC_NAME}"
+    if not fsio.exists(spark, sidecar):
+        return False
+    try:
+        spec = json.loads(fsio.read_text(spark, sidecar))
+    except ValueError:
+        return False  # torn sidecar: rebuild
+    if spec.get("version") != 1 or spec.get("table") != table_name:
+        return False
+    sorted_by = (
+        "SORTED BY ({}) ".format(
+            ", ".join(f"`{c}`" for c in spec["sort_cols"])
+        )
+        if spec.get("sort_cols")
+        else ""
+    )
+    props = ""
+    if spec.get("properties"):
+        props = " TBLPROPERTIES ({})".format(
+            ", ".join(
+                "'{}'='{}'".format(k, v) for k, v in spec["properties"].items()
+            )
+        )
+    spark.sql(
+        f"CREATE TABLE {table_name} ({spec['schema_ddl']}) USING parquet "
+        "CLUSTERED BY ({}) {}INTO {} BUCKETS LOCATION '{}'{}".format(
+            ", ".join(f"`{c}`" for c in spec["bucket_cols"]),
+            sorted_by,
+            int(spec["num_buckets"]),
+            loc,
+            props,
+        )
+    )
+    return True
+
+
 def write_bucketed_table(
     df,
     table_name: str,

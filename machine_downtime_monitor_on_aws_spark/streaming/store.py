@@ -66,16 +66,43 @@ def _tracked_local_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     id is still registered at mark time) - for query builders that
     must stay lazy (the catalog contract) while keeping their
     barrier frames releasable."""
+    # Nested barrier ids ride OUTWARD: a frame that itself carries
+    # tracked ids (e.g. candidate_pairs_exact's internal band-array
+    # barrier) must not have them orphaned by an outer checkpoint -
+    # release_checkpoint(outer) frees every pinned RDD in the chain.
+    # Release order is irrelevant (each id is unpersisted
+    # independently) and double-release is a no-op (released ids
+    # vanish from getPersistentRDDs).
+    inner = tuple(getattr(df, "_spark_graft_ckpt_ids", ()))
     out = df.localCheckpoint(eager=eager)
     try:
         rid = int(out._jdf.queryExecution().analyzed().rdd().id())
-        out._spark_graft_ckpt_ids = (rid,)
+        out._spark_graft_ckpt_ids = (rid,) + inner
     except Exception:
         # plan-shape drift in a future Spark: leave the frame
         # untracked (release becomes a no-op; bench/session sweeps
         # still reclaim) rather than risk freeing the wrong RDD
-        out._spark_graft_ckpt_ids = ()
+        out._spark_graft_ckpt_ids = inner
     return out
+
+
+def _is_checkpoint_scan(df: DataFrame) -> bool:
+    """True when the frame's analyzed plan is a bare ``LogicalRDD``
+    scan - a (local)checkpoint, or any other RDD-backed frame
+    (createDataFrame of driver data) - i.e. there is NO upstream
+    expression pipeline that a multi-consumer barrier would protect
+    from double computation. Used to skip redundant barriers on
+    inputs that are already materialized once (the streaming paths
+    checkpoint every micro-batch before fanning out). Conservative
+    on any doubt: False means "add the barrier", which is always
+    safe."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:
+        return False
 
 
 def release_checkpoint(df: DataFrame) -> None:

@@ -1103,3 +1103,184 @@ def test_drop_exact_dups_keeps_min_id_representative(spark):
         for r in drop_exact_dups(df, "doc_id", "text").collect()
     )
     assert got == [(1, "aaa", "y"), (4, "ccc", "q"), (5, "bbb", "p")]
+
+
+def test_minhash_signature_selectexpr_matches_column_reference(spark):
+    """r18: the JVM-parsed selectExpr signature builder must be
+    bit-identical to the Column-object formulation it replaced
+    (same shingle CASE, same array_min(transform(md5)) tree)."""
+    from machine_downtime_monitor_on_aws_spark.functions.text import tokens
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        _minhash_signature_frame,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta"),
+        (2, "short doc"),
+        (3, ""),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    num_perms, shingle_n = 8, 5
+
+    # reference: the pre-r18 Column-object construction, verbatim
+    toked = df.select(
+        F.col("doc_id"),
+        tokens(F.col("text")).alias("__toks"),
+        F.trim(F.col("text")).alias("__t0"),
+    ).select(
+        "doc_id",
+        "__toks",
+        F.when(F.size("__toks") < F.lit(shingle_n), F.col("__t0")).alias("__t"),
+    )
+    n_sh = F.size("__toks") - F.lit(shingle_n - 1)
+    sh = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i, shingle_n), " "),
+        ),
+    ).otherwise(F.array(F.col("__t")))
+    shingled = toked.select("doc_id", sh.alias("__sh"))
+
+    def perm_min(k):
+        prefix = f"{k}:"
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    ref = shingled.select(
+        "doc_id", *[perm_min(k).alias(f"m{k}") for k in range(num_perms)]
+    )
+    got = _minhash_signature_frame(df, "doc_id", "text", num_perms, shingle_n, None)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_candidate_pairs_exact_skips_barrier_on_checkpoint_input(spark):
+    """The streaming dedup path hands candidate_pairs_exact an
+    already-checkpointed band table every micro-batch; a second
+    internal barrier there was pure cost plus one leaked pinned RDD
+    per epoch (r17 ADVICE #1)."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        candidate_pairs_exact,
+        minhash_band_arrays,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.store import (
+        _tracked_local_checkpoint,
+        release_checkpoint,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h") for i in range(6)],
+        "doc_id long, text string",
+    )
+    ba = minhash_band_arrays(df, "doc_id", "text")
+
+    # non-checkpoint input: internal lazy barrier, id rides the result
+    out = candidate_pairs_exact(ba, 4)
+    assert len(getattr(out, "_spark_graft_ckpt_ids", ())) == 1
+    out.count()
+    release_checkpoint(out)
+
+    # checkpointed input: NO extra barrier; the input's own id rides
+    ck = _tracked_local_checkpoint(minhash_band_arrays(df, "doc_id", "text"))
+    out2 = candidate_pairs_exact(ck, 4)
+    assert tuple(out2._spark_graft_ckpt_ids) == tuple(ck._spark_graft_ckpt_ids)
+    out2.count()
+    release_checkpoint(ck)
+
+
+def test_incremental_candidate_pairs_rides_ckpt_ids(spark):
+    """r17 ADVICE #1: unionByName drops python attrs; the streaming
+    caller must still be able to free the self-join leg's barrier."""
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        DEFAULT_NUM_BANDS,
+        incremental_candidate_pairs,
+        minhash_band_arrays,
+        write_minhash_index,
+    )
+    from machine_downtime_monitor_on_aws_spark.streaming.store import (
+        release_checkpoint,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h i j") for i in range(10)],
+        "doc_id long, text string",
+    )
+    table = "t_icp_ids"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_minhash_index(
+            minhash_band_arrays(df.filter("doc_id % 2 = 0"), "doc_id", "text"),
+            table,
+            num_perms=8,
+            num_bands=DEFAULT_NUM_BANDS,
+            shingle_n=5,
+        )
+        batch = minhash_band_arrays(
+            df.filter("doc_id % 2 = 1"), "doc_id", "text"
+        )
+        pairs = incremental_candidate_pairs(
+            spark, batch, table, DEFAULT_NUM_BANDS
+        )
+        # the vs_self leg's lazy barrier id must ride the union
+        assert len(getattr(pairs, "_spark_graft_ckpt_ids", ())) == 1
+        pairs.count()
+        release_checkpoint(pairs)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in pairs._spark_graft_ckpt_ids:
+            assert jmap.get(rid) is None
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_simhash_md5_packed_votes_match_unpacked_reference(spark):
+    """r18 (verdict #5): the 32-packed-long vote aggregation must be
+    bit-identical to the 64-column ±1-vote formulation it replaced
+    (sign(sum(bit*2-1)) == 2*sum(bit) > count, all integers)."""
+    from machine_downtime_monitor_on_aws_spark.functions.text import tokens
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        _HEX,
+        simhash_md5,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta alpha beta"),
+        (2, "one two"),
+        (3, ""),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (5, "alpha alpha alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # reference: the pre-r18 64-column ±1 vote pipeline, verbatim
+    tok_rows = df.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("__t")
+    )
+    hashed = tok_rows.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(__t), 1, 8), 16, 10) AS BIGINT) AS __hi",
+        "CAST(conv(substring(md5(__t), 9, 8), 16, 10) AS BIGINT) AS __lo",
+    )
+
+    def vote(b):
+        j, k = b // 4, b % 4
+        src = "__hi" if j < 8 else "__lo"
+        shift = 4 * (7 - (j % 8)) + k
+        return f"(shiftright({src}, {shift}) & 1) * 2 - 1 AS __v{b}"
+
+    voted = hashed.selectExpr("doc_id", *[vote(b) for b in range(64)])
+    sums = voted.groupBy("doc_id").agg(
+        *[F.expr(f"coalesce(sum(__v{b}), 0)").alias(f"__s{b}") for b in range(64)]
+    )
+    chars = []
+    for j in range(16):
+        val = " + ".join(
+            f"(CASE WHEN __s{4 * j + k} > 0 THEN {2 ** k} ELSE 0 END)"
+            for k in range(4)
+        )
+        chars.append(f"substring('{_HEX}', 1 + ({val}), 1)")
+    ref = sums.selectExpr("doc_id", f"concat({', '.join(chars)}) AS simhash")
+
+    got = simhash_md5(df, "doc_id", "text")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))

@@ -944,3 +944,96 @@ def test_drift_monitor_plan_partial_aggregates(spark):
     plan = plan_of(spark, "embedding_drift_monitor")
     assert len(re.findall(r"partial_sum", plan)) >= 2
     assert "SinglePartition" not in plan
+
+
+def test_reregister_bucketed_table_cold_session(spark, tmp_path):
+    """r17 verdict #6: a fresh session must restore a sidecar-stamped
+    bucketed index over its existing warehouse files with one DDL
+    (zero data movement) - registration, bucketed (zero-Exchange)
+    join layout, and the spark_graft.* property stamps all survive.
+    Simulated cold session: move the table dir aside, DROP the
+    registration (managed drop deletes only what's under the
+    registered location), move the files back."""
+    from pyspark.sql import functions as F
+
+    from machine_downtime_monitor_on_aws_spark import fsio
+    from machine_downtime_monitor_on_aws_spark.operators.allpairs import (
+        shingle_postings,
+        write_shingle_index,
+    )
+    from machine_downtime_monitor_on_aws_spark.operators.dedup import (
+        read_minhash_index_params,
+    )
+    from machine_downtime_monitor_on_aws_spark.sources.lake import (
+        reregister_bucketed_table,
+        stamp_bucketspec,
+    )
+
+    table = "t_rereg_cold"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh0 = spark.conf.get("spark.sql.warehouse.dir")
+    fsio.delete(spark, f"{wh0.rstrip('/')}/{table}")  # stale leftovers
+    docs = spark.createDataFrame(
+        [(i, f"w{i} a b c d e f g h") for i in range(8)],
+        "doc_id long, text string",
+    )
+    write_shingle_index(
+        shingle_postings(docs, "doc_id", "text", 5), table,
+        num_buckets=4, shingle_n=5,
+    )
+    stamp_bucketspec(spark, table)
+    before = sorted(map(tuple, spark.table(table).collect()))
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = f"{wh.rstrip('/')}/{table}"
+    assert fsio.exists(spark, f"{loc}/_spark_graft_bucketspec.json")
+
+    # simulate the session dying: registration gone, files intact
+    aside = loc + "__aside"
+    assert fsio.rename(spark, loc, aside)
+    spark.sql(f"DROP TABLE {table}")
+    assert fsio.rename(spark, aside, loc)
+    assert not spark.catalog.tableExists(table)
+
+    assert reregister_bucketed_table(spark, table) is True
+    assert spark.catalog.tableExists(table)
+    assert sorted(map(tuple, spark.table(table).collect())) == before
+    # property stamps restored -> param validation keeps working
+    assert read_minhash_index_params(spark, table)["shingle_n"] == 5
+    # bucketed layout restored: an aggregation on the bucket key rides
+    # the bucketed scan - zero shuffle Exchange, "Bucketed: true"
+    agg = spark.table(table).groupBy("shingle").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # idempotent: already-registered returns True without DDL
+    assert reregister_bucketed_table(spark, table) is True
+    # EXTERNAL restore: DROP leaves the files for the next session
+    spark.sql(f"DROP TABLE {table}")
+    assert fsio.exists(spark, f"{loc}/_spark_graft_bucketspec.json")
+    assert reregister_bucketed_table(spark, table) is True
+    spark.sql(f"DROP TABLE {table}")
+    fsio.delete(spark, loc)
+
+
+def test_reregister_refuses_without_sidecar(spark):
+    """A location without a COMPLETE sidecar (interrupted build, or a
+    pre-r18 index) is not restorable - the caller must rebuild."""
+    from machine_downtime_monitor_on_aws_spark import fsio
+    from machine_downtime_monitor_on_aws_spark.sources.lake import (
+        reregister_bucketed_table,
+    )
+
+    table = "t_rereg_nosidecar"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = f"{wh.rstrip('/')}/{table}"
+    fsio.delete(spark, loc)
+    assert reregister_bucketed_table(spark, table) is False
+    fsio.mkdirs(spark, loc)
+    try:
+        assert reregister_bucketed_table(spark, table) is False
+        # torn sidecar: also not restorable
+        fsio.write_text(spark, f"{loc}/_spark_graft_bucketspec.json", "{not json")
+        assert reregister_bucketed_table(spark, table) is False
+    finally:
+        fsio.delete(spark, loc)

@@ -128,3 +128,55 @@ def test_keyed_store_first_seen_wins(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         store.plan_upsert(b2, compare_col="ref", keep_existing=True)
+
+
+def test_tracked_checkpoint_merges_nested_ids(spark):
+    """r17 ADVICE #3: checkpointing a frame that itself carries
+    tracked ids must ride them outward - release of the OUTER frame
+    frees every pinned RDD in the chain (and double-release stays a
+    no-op)."""
+    from machine_downtime_monitor_on_aws_spark.streaming.store import (
+        _tracked_local_checkpoint,
+        release_checkpoint,
+    )
+
+    inner = _tracked_local_checkpoint(
+        spark.createDataFrame([(1, "a")], "k int, v string")
+    )
+    assert len(inner._spark_graft_ckpt_ids) == 1
+    outer = _tracked_local_checkpoint(inner)
+    assert set(outer._spark_graft_ckpt_ids) >= set(inner._spark_graft_ckpt_ids)
+    assert len(outer._spark_graft_ckpt_ids) == 2
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in outer._spark_graft_ckpt_ids:
+        assert jmap.get(rid) is not None
+    release_checkpoint(outer)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in outer._spark_graft_ckpt_ids:
+        assert jmap.get(rid) is None
+    # releasing the inner again is a safe no-op
+    release_checkpoint(inner)
+
+
+def test_is_checkpoint_scan_detects_barrier_frames(spark):
+    from machine_downtime_monitor_on_aws_spark.streaming.store import (
+        _is_checkpoint_scan,
+        _tracked_local_checkpoint,
+        release_checkpoint,
+    )
+
+    # a createDataFrame frame is itself a bare RDD scan (no upstream
+    # pipeline a barrier would protect) - True is correct for it too
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    assert _is_checkpoint_scan(df) is True
+    ck = _tracked_local_checkpoint(df)
+    assert _is_checkpoint_scan(ck) is True
+    # a transform on top is no longer a bare checkpoint scan
+    assert _is_checkpoint_scan(ck.select("k")) is False
+    # a storage-backed relation is not an RDD scan
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ck.write.mode("overwrite").parquet(f"{d}/p")
+        assert _is_checkpoint_scan(spark.read.parquet(f"{d}/p")) is False
+    release_checkpoint(ck)

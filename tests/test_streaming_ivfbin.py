@@ -226,3 +226,49 @@ def test_ivfbin_compaction(spark, tmp_path):
     build_ivfbin_index(df, flat, 4, _DIM, thr)
     with pytest.raises(ValueError, match="flat corpus layout"):
         compact_ivfbin_index(spark, flat)
+
+
+def test_ivfbin_guard_cache_and_invalidation(spark, tmp_path):
+    """r17 verdict #4: the interrupted-compaction guard probes the
+    directory ONCE per (session, path) - a clean verdict is cached -
+    and every in-process mutator (compaction, rebuild) invalidates
+    it, so an interrupted compaction is still refused loudly."""
+    from machine_downtime_monitor_on_aws_spark import fsio
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        _guard_ivfbin_corpus,
+        _invalidate_ivfbin_guard,
+        build_ivfbin_index,
+    )
+
+    rows = [(i, [float(i % 4), 1.0, 0.0, 0.0]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    thr = signq_fit_thresholds(df, _DIM)
+    idx = str(tmp_path / "guarded")
+    build_ivfbin_index(df, idx, 4, _DIM, thr, epoch_partitioned=True)
+
+    _guard_ivfbin_corpus(spark, idx)  # clean: caches the verdict
+    # cached: no re-probe (injected corruption unseen until an
+    # in-process mutator invalidates - same TOCTOU window the
+    # per-call probes had between check and read)
+    fsio.mkdirs(spark, f"{idx}/corpus__old")
+    _guard_ivfbin_corpus(spark, idx)
+
+    # any in-process mutator drops the cached verdict -> loud refusal
+    _invalidate_ivfbin_guard(idx)
+    with pytest.raises(RuntimeError, match="compaction swap"):
+        _guard_ivfbin_corpus(spark, idx)
+    fsio.delete(spark, f"{idx}/corpus__old")
+
+    # compact_ivfbin_index invalidates before touching anything: the
+    # guard right after a (successful) compaction re-probes clean
+    from machine_downtime_monitor_on_aws_spark.operators.ivf import (
+        compact_ivfbin_index,
+    )
+
+    _guard_ivfbin_corpus(spark, idx)
+    compact_ivfbin_index(spark, idx)
+    fsio.mkdirs(spark, f"{idx}/corpus__compacting")
+    with pytest.raises(RuntimeError, match="interrupted before its swap"):
+        _guard_ivfbin_corpus(spark, idx)
+    fsio.delete(spark, f"{idx}/corpus__compacting")
+    _guard_ivfbin_corpus(spark, idx)

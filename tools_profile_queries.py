@@ -4,7 +4,7 @@
 For each named catalog query: N warm runs (count-forced, same action
 as bench.py), recording wall time, number of Spark jobs, and total
 task count per run; optionally dumps .explain('formatted') to
-plans/r17/<name>_<tag>.txt.
+plans/r18/<name>_<tag>.txt.
 
 Usage:
   python tools_profile_queries.py [--runs N] [--tag before] \
@@ -37,7 +37,7 @@ def main() -> None:
     from machine_downtime_monitor_on_aws_spark.session import get_spark, unpersist_all_rdds
     from machine_downtime_monitor_on_aws_spark.tables import load_tables
 
-    spark = get_spark("profile_r17")
+    spark = get_spark("profile_r18")
     sc = spark.sparkContext
     for df in load_tables(spark, args.sf).values():
         df.count()
@@ -80,9 +80,9 @@ def main() -> None:
             spark.catalog.clearCache()
             unpersist_all_rdds(spark)
         if args.explain:
-            os.makedirs("plans/r17", exist_ok=True)
+            os.makedirs("plans/r18", exist_ok=True)
             df = fn(spark, args.sf)
-            with open(f"plans/r17/{name}_{args.tag or 'before'}.txt", "w") as f:
+            with open(f"plans/r18/{name}_{args.tag or 'before'}.txt", "w") as f:
                 f.write(df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
             spark.catalog.clearCache()
@@ -98,7 +98,7 @@ def main() -> None:
         }
         print(f"{name}: med {med:.3f}s best {min(obs):.3f}s jobs {jobs_per_run[-1]} tasks {tasks_per_run[-1]}", file=sys.stderr)
 
-    out = args.out or "/tmp/profile_r17.json"
+    out = args.out or "/tmp/profile_r18.json"
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
