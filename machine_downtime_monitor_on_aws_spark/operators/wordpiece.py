@@ -162,21 +162,25 @@ def wordpiece_train_merges(
     held: DataFrame | None = None
     try:
         for it in range(1, n_merges + 1):
-            # LAZY barrier (the bpe_train_merges shape): the argmax
-            # collect materializes the symbol state and scores the
-            # pairs in ONE job; the previous state releases only
-            # after that collect, since this checkpoint reads its
-            # blocks while materializing.
-            cur = _tracked_local_checkpoint(cur, eager=False)
+            # EAGER barrier, deliberately NOT the bpe lazy shape
+            # (r18): _scored_pairs reads ``cur`` TWICE (symbol counts
+            # + pair counts), and a lazy checkpoint's first action
+            # computes the un-materialized fold once per consumer
+            # stage - the r17 lazy swap here measured 1.28 -> 2.08 s
+            # on a quiet box (bench_ab_r18). bpe's argmax reads its
+            # state once, so lazy stays right THERE; with two
+            # consumers the eager materialization job is the cheaper
+            # side of the trade.
+            cur = _tracked_local_checkpoint(cur)
+            if held is not None:
+                release_checkpoint(held)
+            held = cur
             top = (
                 _scored_pairs(cur)
                 .orderBy(F.col("score").desc(), F.col("pair").asc())
                 .limit(1)
                 .collect()
             )
-            if held is not None:
-                release_checkpoint(held)
-            held = cur
             if not top:
                 break
             row = top[0]
