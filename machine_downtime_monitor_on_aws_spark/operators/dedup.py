@@ -1161,6 +1161,18 @@ def simhash_neardup_pairs(
 
 
 def _minhash_index_rows(band_arrays: DataFrame) -> DataFrame:
+    """Exploded (doc_id, __bands, band_id, band_key) index rows.
+
+    CALLER CONTRACT (r18): pass a BARRIERED band table (checkpoint
+    scan) unless the input is trivially cheap to recompute. The
+    posexplode over the ``__bands`` attribute makes the optimizer
+    infer ``size(__bands) > 0`` (InferFiltersFromGenerate) and push
+    it below the projections, INLINING the whole fused
+    signature+band pipeline into a Filter at the scan - every
+    document then pays the K x |shingles| md5 work twice (measured:
+    index build 6.5 -> 29 s at sf0.1 when fed the raw fused
+    projection). A checkpoint scan is a pushdown boundary, so the
+    inferred filter stays on the materialized attribute."""
     return band_arrays.select(
         "doc_id",
         "__bands",
@@ -1258,10 +1270,26 @@ def write_minhash_index(
     batch hashed with drifted params fails loudly instead of silently
     missing every cross-history duplicate (r4 advice)."""
     from ..sources.lake import write_bucketed_table
-
-    write_bucketed_table(
-        _minhash_index_rows(band_arrays), table_name, "band_key", num_buckets
+    from ..streaming.store import (
+        _is_checkpoint_scan,
+        _tracked_local_checkpoint,
+        release_checkpoint,
     )
+
+    # barrier before the explode (see _minhash_index_rows): the write
+    # materializes immediately, so the pinned band table releases
+    # here. Only a barrier THIS call created is released - a caller's
+    # checkpoint (the streaming path) stays the caller's to free.
+    own = None
+    if not _is_checkpoint_scan(band_arrays):
+        band_arrays = own = _tracked_local_checkpoint(band_arrays, eager=False)
+    try:
+        write_bucketed_table(
+            _minhash_index_rows(band_arrays), table_name, "band_key", num_buckets
+        )
+    finally:
+        if own is not None:
+            release_checkpoint(own)
     _stamp_index_params(
         band_arrays.sparkSession,
         table_name,
@@ -1287,6 +1315,11 @@ def append_to_minhash_index(
     table's stamped metadata first (a drifted batch would poison the
     index with incomparable hashes)."""
     from ..sources.lake import write_bucketed_table
+    from ..streaming.store import (
+        _is_checkpoint_scan,
+        _tracked_local_checkpoint,
+        release_checkpoint,
+    )
 
     _check_index_params(
         band_arrays.sparkSession,
@@ -1295,13 +1328,22 @@ def append_to_minhash_index(
         num_bands=num_bands,
         shingle_n=shingle_n,
     )
-    write_bucketed_table(
-        _minhash_index_rows(band_arrays),
-        table_name,
-        "band_key",
-        num_buckets,
-        mode="append",
-    )
+    # barrier before the explode (see _minhash_index_rows); releases
+    # only a barrier this call created
+    own = None
+    if not _is_checkpoint_scan(band_arrays):
+        band_arrays = own = _tracked_local_checkpoint(band_arrays, eager=False)
+    try:
+        write_bucketed_table(
+            _minhash_index_rows(band_arrays),
+            table_name,
+            "band_key",
+            num_buckets,
+            mode="append",
+        )
+    finally:
+        if own is not None:
+            release_checkpoint(own)
     # the writing session's own cache invalidates on saveAsTable, but
     # OTHER sessions' cached file listings (e.g. the main session when
     # this append runs inside a foreachBatch clone) go stale and read
@@ -1526,6 +1568,8 @@ def incremental_candidate_pairs(
     both members stay connected through the rep, so
     connected-component dedup is unchanged. None (default) = exact
     enumeration - the mode oracle-paired queries use."""
+    from ..streaming.store import _is_checkpoint_scan, _tracked_local_checkpoint
+
     _check_index_params(
         spark, table_name, num_perms=num_perms, num_bands=num_bands, shingle_n=shingle_n
     )
@@ -1535,6 +1579,16 @@ def incremental_candidate_pairs(
     # history; refresh is a metadata-only invalidation
     spark.catalog.refreshTable(table_name)
     hist = spark.table(table_name)
+    # ONE shared barrier for the batch band table (r18): it feeds the
+    # probe explode, the anti-join id sliver, AND the vs_self
+    # self-join. Without it the posexplode's inferred size-filter
+    # (see _minhash_index_rows) inlines the whole fused signature
+    # pipeline into a pushed Filter and the batch re-hashes once per
+    # consumer - measured 1.56 -> 3.8 s on the bench's incremental
+    # leg. candidate_pairs_exact detects the checkpoint scan below
+    # and adds no second barrier.
+    if not _is_checkpoint_scan(new_band_arrays):
+        new_band_arrays = _tracked_local_checkpoint(new_band_arrays, eager=False)
     new_banded = new_band_arrays.select(
         "doc_id",
         "__bands",

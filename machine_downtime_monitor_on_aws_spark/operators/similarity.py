@@ -221,6 +221,19 @@ def lsh_neardup_pairs(
     b = lsh_buckets(df, num_planes, dim, id_col, vec_col).withColumn(
         "__norm", l2_norm(vec_col, dim)
     )
+    # ONE shared barrier (r18): the bucket+norm table feeds BOTH
+    # self-join sides (and the star legs in capped mode), and the
+    # join-condition inference additionally inlines the full l2_norm
+    # aggregate into pushed isnotnull Filters per side - without the
+    # barrier every vector runs the sign-plane + norm pipeline (all
+    # interpreted higher-order folds) up to four times. The pinned
+    # rows carry the vectors, which both sides must read anyway for
+    # the exact-cosine verify. Ids ride the result (catalog resource
+    # contract).
+    from ..streaming.store import _is_checkpoint_scan, _tracked_local_checkpoint
+
+    if not _is_checkpoint_scan(b):
+        b = _tracked_local_checkpoint(b, eager=False)
     if max_bucket_size is not None:
         w = Window.partitionBy("bucket")
         b = b.withColumn("__bn", F.count(F.lit(1)).over(w)).withColumn(
@@ -274,6 +287,7 @@ def lsh_neardup_pairs(
             .select("id_a", "id_b", "cosine_sim")
         )
         out = out.unionByName(star).distinct()
+    out._spark_graft_ckpt_ids = getattr(b, "_spark_graft_ckpt_ids", ())
     return out
 
 

@@ -158,9 +158,13 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM,
         parallelism=spark.sparkContext.defaultParallelism,
     )
-    return connected_components(pairs, src="id_a", dst="id_b").select(
+    out = connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("doc_id").alias("vec_id"), "component"
     )
+    # CC materialized the pair graph eagerly during construction; ride
+    # the pair barrier's id so release frees it (catalog contract)
+    out._spark_graft_ckpt_ids = getattr(pairs, "_spark_graft_ckpt_ids", ())
+    return out
 
 
 @register(
@@ -1615,8 +1619,11 @@ def neardup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # .select() drops python-level attrs; without the re-attach the
     # three static-table checkpoint pins leak per invocation and
     # release_checkpoint(result) is a no-op (r17 ADVICE #2 - the
-    # textops discipline).
-    out._spark_graft_ckpt_ids = getattr(pr, "_spark_graft_ckpt_ids", ())
+    # textops discipline). The pair table's own barrier id (r18)
+    # rides along too.
+    out._spark_graft_ckpt_ids = getattr(pr, "_spark_graft_ckpt_ids", ()) + getattr(
+        pairs, "_spark_graft_ckpt_ids", ()
+    )
     return out
 
 
@@ -1652,10 +1659,16 @@ def neardup_pagerank_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         staged = f"{path}.build-{uuid.uuid4().hex[:8]}"
         e = _emb(spark, sf_dir)
-        lsh_neardup_pairs(
+        from ..streaming.store import release_checkpoint
+
+        built = lsh_neardup_pairs(
             e, _NEARDUP_THRESHOLD, _NUM_PLANES, _DIM,
             parallelism=spark.sparkContext.defaultParallelism,
-        ).write.mode("overwrite").parquet(staged)
+        )
+        try:
+            built.write.mode("overwrite").parquet(staged)
+        finally:
+            release_checkpoint(built)
         fsio.publish_dir(spark, staged, path, ok_name="_SUCCESS")
     pairs = spark.read.parquet(path)
     pr = pagerank_unrolled(pairs, _PR_ITERS)
