@@ -226,7 +226,10 @@ def test_minhash_estimate_qa_checkpoints_released(spark):
 
     df = minhash_estimate_qa(spark, SF_ORACLE)
     ids = getattr(df, "_spark_graft_ckpt_ids", ())
-    assert len(ids) == 3  # sig, pairs, shingles
+    # sig, pairs (outer + candidate_pairs_exact's inner band barrier,
+    # riding outward since the r18 nested-id merge - ADVICE #3),
+    # shingles
+    assert len(ids) == 4
     assert df.count() > 0  # materializes the lazy checkpoints
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     assert all(jmap.get(i) is not None for i in ids)
